@@ -1,0 +1,160 @@
+"""Bicubic spline interpolation on a uniform grid, evaluated at
+scattered points — the TPU-native equivalent of scipy's
+``RectBivariateSpline(kx=3, ky=3, s=0)`` used by SMRF to lift the
+provisional DTM back onto the point cloud (reference:
+neilpy/neilpy.py:1768-1790).
+
+Design
+------
+FITPACK's interpolating bicubic spline on gridded data is the
+tensor-product *not-a-knot* cubic spline.  We implement it in moment
+form: per axis, solve the classic tridiagonal system for second
+derivatives (moments) with not-a-knot end conditions, then evaluate
+the local cubic on each query's cell from 16 gathered numbers
+(values, x-moments, y-moments, cross-moments at the 4 cell corners).
+
+* Construction: two tridiagonal solves (Thomas via ``lax.scan``, O(n)
+  sequential steps each vectorised across the other axis) — grid-sized
+  work, done once.
+* Evaluation: pure gathers + FMA per query point, ideal for millions
+  of lidar points on the VPU.
+* Out-of-domain queries evaluate the end cell's polynomial
+  (extrapolation), matching FITPACK's ``bispeu`` behaviour of clamping
+  to the boundary knot interval.
+
+Uniform spacing h=1 with data at ``offset + i`` (SMRF uses pixel
+centres 0.5, 1.5, ...).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["spline_coefficients_2d", "spline_ev_2d", "interp_spline_2d"]
+
+
+def _notaknot_moments(Y):
+    """Second-derivative moments of the 1-D not-a-knot cubic spline
+    along axis 0 of ``Y`` (uniform spacing 1), vectorised over the
+    remaining axis.
+
+    Interior equations: M[i-1] + 4 M[i] + M[i+1] = 6 (y[i-1] - 2 y[i]
+    + y[i+1]).  Not-a-knot (continuous third derivative at the second
+    and penultimate data sites) eliminates to the closed forms
+    M[1] = d[1], M[n-2] = d[n-2], M[0] = 2 M[1] - M[2],
+    M[n-1] = 2 M[n-2] - M[n-3].
+    """
+    n = Y.shape[0]
+    if n < 4:
+        raise ValueError("need at least 4 samples per axis for a cubic "
+                         "spline")
+    d = Y[:-2] - 2.0 * Y[1:-1] + Y[2:]          # d[i] for i = 1..n-2
+    m = n - 2                                    # unknowns M[1..n-2]
+    # Tridiagonal system rows j = 0..m-1 for M[j+1]:
+    #   j = 0:    M[1] = d[0]                 (identity row)
+    #   0<j<m-1:  M[j] + 4 M[j+1] + M[j+2] = 6 d[j]
+    #   j = m-1:  M[n-2] = d[m-1]             (identity row)
+    if m == 2:
+        M1 = d[0]
+        M2 = d[1]
+        inner = jnp.stack([M1, M2])
+    else:
+        lower = jnp.concatenate([jnp.zeros((1,)), jnp.ones((m - 2,)),
+                                 jnp.zeros((1,))])
+        diag = jnp.concatenate([jnp.ones((1,)), 4.0 * jnp.ones((m - 2,)),
+                                jnp.ones((1,))])
+        upper = jnp.concatenate([jnp.zeros((1,)), jnp.ones((m - 2,)),
+                                 jnp.zeros((1,))])
+        rhs = jnp.concatenate([d[:1], 6.0 * d[1:-1], d[-1:]], axis=0)
+        inner = _thomas(lower, diag, upper, rhs)
+    M0 = 2.0 * inner[0] - inner[1]
+    Mn = 2.0 * inner[-1] - inner[-2]
+    return jnp.concatenate([M0[None], inner, Mn[None]], axis=0)
+
+
+def _thomas(a, b, c, d):
+    """Thomas tridiagonal solve along axis 0; a/b/c are 1-D bands, d
+    may have trailing axes.  Sequential scan — O(n) tiny steps run once
+    per spline construction."""
+    n = b.shape[0]
+
+    def fwd(carry, inputs):
+        cp_prev, dp_prev = carry
+        ai, bi, ci, di = inputs
+        denom = bi - ai * cp_prev
+        cp = ci / denom
+        dp = (di - ai * dp_prev) / denom
+        return (cp, dp), (cp, dp)
+
+    zeros_like_row = jnp.zeros_like(d[0])
+    (_, _), (cps, dps) = lax.scan(
+        fwd, (jnp.zeros(()), zeros_like_row), (a, b, c, d))
+
+    def bwd(x_next, inputs):
+        cp, dp = inputs
+        x = dp - cp * x_next
+        return x, x
+
+    _, xs = lax.scan(bwd, zeros_like_row, (cps, dps), reverse=True)
+    return xs
+
+
+@partial(jax.jit)
+def spline_coefficients_2d(Z):
+    """Moments for tensor-product evaluation: returns (Z, Mx, My, Mxy)
+    where Mx = column-direction... Mx are moments along axis 1 (x/cols),
+    My along axis 0 (rows), Mxy both."""
+    Z = jnp.asarray(Z, dtype=jnp.float32)
+    Mx = _notaknot_moments(Z.T).T
+    My = _notaknot_moments(Z)
+    Mxy = _notaknot_moments(Mx)
+    return Z, Mx, My, Mxy
+
+
+def _eval_1d(y0, y1, m0, m1, t):
+    """Evaluate the moment-form cubic on a unit interval:
+    f(t) = m0 (1-t)^3/6 + m1 t^3/6 + (y0 - m0/6)(1-t) + (y1 - m1/6) t."""
+    u = 1.0 - t
+    return (m0 * u ** 3 / 6.0 + m1 * t ** 3 / 6.0
+            + (y0 - m0 / 6.0) * u + (y1 - m1 / 6.0) * t)
+
+
+@partial(jax.jit, static_argnames=("offset",))
+def spline_ev_2d(coeffs, r, c, offset=0.5):
+    """Evaluate the bicubic interpolant at scattered (r, c) query
+    coordinates.  ``offset`` is the grid coordinate of sample 0 along
+    both axes (pixel centres -> 0.5)."""
+    Z, Mx, My, Mxy = coeffs
+    H, W = Z.shape
+    # FITPACK bispev clamps out-of-domain query coordinates to the
+    # boundary knots (constant extrapolation); replicate that.
+    r = jnp.clip(jnp.asarray(r, dtype=jnp.float32) - offset, 0.0,
+                 jnp.float32(H - 1))
+    c = jnp.clip(jnp.asarray(c, dtype=jnp.float32) - offset, 0.0,
+                 jnp.float32(W - 1))
+    i = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, H - 2)
+    j = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, W - 2)
+    tr = r - i.astype(jnp.float32)
+    tc = c - j.astype(jnp.float32)
+
+    def g(A, di, dj):
+        return A[i + di, j + dj]
+
+    # interpolate along columns (x) at the two bounding rows,
+    # for values and for row-direction moments
+    w0 = _eval_1d(g(Z, 0, 0), g(Z, 0, 1), g(Mx, 0, 0), g(Mx, 0, 1), tc)
+    w1 = _eval_1d(g(Z, 1, 0), g(Z, 1, 1), g(Mx, 1, 0), g(Mx, 1, 1), tc)
+    m0 = _eval_1d(g(My, 0, 0), g(My, 0, 1), g(Mxy, 0, 0), g(Mxy, 0, 1), tc)
+    m1 = _eval_1d(g(My, 1, 0), g(My, 1, 1), g(Mxy, 1, 0), g(Mxy, 1, 1), tc)
+    return _eval_1d(w0, w1, m0, m1, tr)
+
+
+def interp_spline_2d(Z, r, c, offset=0.5):
+    """One-shot construction + evaluation (RectBivariateSpline.ev
+    equivalent for uniform pixel-centre grids)."""
+    return spline_ev_2d(spline_coefficients_2d(Z), r, c, offset=offset)

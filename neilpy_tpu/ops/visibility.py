@@ -1,0 +1,285 @@
+"""Openness, skyview factor, and geomorphon terrain classification.
+
+This is the flagship compute path (reference call stack §3.2:
+neilpy/neilpy.py:1325-1356 openness, 1360-1384 skyview_factor,
+1404-1430 ternary_pattern_from_openness, 1600-1610 count_openness,
+1617-1654 geomorphons, 1579-1596 geomorphons2).
+
+TPU-native design
+-----------------
+The reference computes, per direction d and scan distance L,
+``angle = pi/2 - atan((ashift(Z,d,L) - Z) / (cellsize*L*w_d))`` and
+keeps the per-direction *minimum* over L (16 x lookup_pixels full-array
+passes, each with an atan).  Because atan is monotonic, the minimum
+angle equals ``pi/2 - atan(max_L ratio_L)`` — so the whole ladder
+collapses to a running max (and, for negative openness, a running min)
+of the slope *ratios*, with a single atan per direction at the end.
+That removes ~99% of the transcendentals and makes the scan a pure
+roll/FMA/max pipeline that XLA fuses tightly (and that the Pallas
+kernel in ops/pallas_scan.py blocks into VMEM).
+
+Boundary semantics: ``ashift`` leaves out-of-range positions at their
+original value, so the reference's ladder implicitly contributes a
+ratio of exactly 0 for every out-of-range L.  The scan reproduces this
+with masked contributions.  NaN handling matches the reference's
+"NaN never replaces the running min" comparison semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.shift import OFFSETS, STEP_LENGTH, shift_valid_mask
+from ..core.codes import (progressive_window, lowest_equivalent_table,
+                          jasiewicz_stepinski_table, terrain_code_class_table)
+
+__all__ = [
+    "openness", "skyview_factor", "count_openness", "geomorphons",
+    "geomorphons2", "ternary_pattern_from_openness",
+    "directional_ratio_extrema",
+]
+
+
+# ----------------------------------------------------------------------
+# Core fused scan
+# ----------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("lookup_pixels", "directions", "fast",
+                                   "how_fast"))
+def directional_ratio_extrema(Z, cellsize=1.0, lookup_pixels=1,
+                              directions=tuple(range(8)), fast=False,
+                              how_fast=20):
+    """Running max/min of ``(Z[p + d*L] - Z[p]) / (cellsize * L * w_d)``
+    over the scan ladder L, per direction.
+
+    Returns (mx, mn, seen) each shaped (n_directions, H, W):
+      * ``mx``  — max ratio (positive-openness horizon tangent)
+      * ``mn``  — min ratio (drives negative openness: max of -ratio = -mn)
+      * ``seen``— whether any contribution (valid or boundary-zero with a
+        finite value) was recorded; False only where every ladder step
+        hit NaN terrain, mirroring the reference's Inf-initialised min.
+
+    Dense ladders use a ``scan`` carrying per-direction rolled copies
+    (static roll-by-1 per step); the 'fast' geometric ladder
+    (neilpy.py:1341-1342) is unrolled with static roll-by-L.
+    """
+    Z = jnp.asarray(Z, dtype=jnp.float32)
+    H, W = Z.shape
+    dirs = tuple(directions)
+    nd = len(dirs)
+
+    cellsize = jnp.float32(cellsize)
+    neg_inf = jnp.float32(-jnp.inf)
+    pos_inf = jnp.float32(jnp.inf)
+
+    rows = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    def contribute(mx_d, mn_d, seen_d, zs_d, L, d):
+        dr, dc = OFFSETS[d]
+        w = jnp.float32(STEP_LENGTH[d])
+        Li = jnp.asarray(L, dtype=jnp.int32)
+        Lf = Li.astype(jnp.float32)
+        sr = rows + dr * Li
+        sc = cols + dc * Li
+        valid = (sr >= 0) & (sr < H) & (sc >= 0) & (sc < W)
+        ratio = (zs_d - Z) / (cellsize * w * Lf)
+        ratio = jnp.where(valid, ratio, 0.0)
+        ok = ~jnp.isnan(ratio)
+        mx_d = jnp.maximum(mx_d, jnp.where(ok, ratio, neg_inf))
+        mn_d = jnp.minimum(mn_d, jnp.where(ok, ratio, pos_inf))
+        seen_d = seen_d | ok
+        return mx_d, mn_d, seen_d
+
+    mx0 = [jnp.full((H, W), neg_inf) for _ in dirs]
+    mn0 = [jnp.full((H, W), pos_inf) for _ in dirs]
+    seen0 = [jnp.zeros((H, W), dtype=bool) for _ in dirs]
+
+    if fast:
+        ladder = [int(v) for v in progressive_window(1, lookup_pixels,
+                                                     how_fast)]
+        mx, mn, seen = mx0, mn0, seen0
+        for L in ladder:
+            for i, d in enumerate(dirs):
+                dr, dc = OFFSETS[d]
+                zs = jnp.roll(Z, (-dr * L, -dc * L), axis=(0, 1))
+                mx[i], mn[i], seen[i] = contribute(mx[i], mn[i], seen[i],
+                                                   zs, L, d)
+        return jnp.stack(mx), jnp.stack(mn), jnp.stack(seen)
+
+    def body(carry, L):
+        zs, mx, mn, seen = carry
+        zs, mx, mn, seen = list(zs), list(mx), list(mn), list(seen)
+        for i, d in enumerate(dirs):
+            dr, dc = OFFSETS[d]
+            zs[i] = jnp.roll(zs[i], (-dr, -dc), axis=(0, 1))
+            mx[i], mn[i], seen[i] = contribute(mx[i], mn[i], seen[i],
+                                               zs[i], L, d)
+        return (tuple(zs), tuple(mx), tuple(mn), tuple(seen)), None
+
+    zs0 = tuple(Z for _ in dirs)
+    Ls = jnp.arange(1, lookup_pixels + 1, dtype=jnp.int32)
+    (_, mx, mn, seen), _ = lax.scan(
+        body, (zs0, tuple(mx0), tuple(mn0), tuple(seen0)), Ls)
+    return jnp.stack(mx), jnp.stack(mn), jnp.stack(seen)
+
+
+def _angles_from_extrema(mx, seen):
+    """Per-direction minimum zenith angle in radians: pi/2 - atan(mx),
+    +inf where the ladder never saw a finite value."""
+    ang = jnp.pi / 2 - jnp.arctan(mx)
+    return jnp.where(seen, ang, jnp.inf)
+
+
+# ----------------------------------------------------------------------
+# Public surface
+# ----------------------------------------------------------------------
+def openness(Z, cellsize=1, lookup_pixels=1, neighbors=None, skyview=False,
+             fast=False, how_fast=20):
+    """Yokoyama positive openness in degrees (neilpy.py:1325-1356).
+
+    Mean over the requested directions of the minimum zenith angle along
+    the scan ladder.  Negative openness = ``openness(-Z, ...)``.
+    """
+    if neighbors is None:
+        neighbors = range(8)
+    dirs = tuple(int(d) for d in np.atleast_1d(np.asarray(neighbors)))
+    mx, _, seen = directional_ratio_extrema(
+        Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels),
+        directions=dirs, fast=fast, how_fast=how_fast)
+    ang = _angles_from_extrema(mx, seen)
+    return jnp.rad2deg(jnp.mean(ang, axis=0))
+
+
+def skyview_factor(Z, cellsize=1, lookup_pixels=1):
+    """Skyview factor: 1 - mean(sin(max positive horizon angle))
+    (neilpy.py:1360-1384).
+
+    The reference accumulates single-pixel ``ashift``s, so its boundary
+    behaviour is edge-propagating (the border value ripples inward) and
+    its diagonal distances use L * cellsize * sqrt(2) even though the
+    accumulated shift saturates at the border; both replicated here via
+    the same shift-with-fallback recurrence inside a scan.
+    """
+    Z = jnp.asarray(Z, dtype=jnp.float32)
+    H, W = Z.shape
+    total = jnp.zeros_like(Z)
+    for direction in range(8):
+        w = STEP_LENGTH[direction]
+        mask1 = shift_valid_mask((H, W), direction, 1)
+        dr, dc = OFFSETS[direction]
+
+        def body(carry, L):
+            z_shift, max_ang = carry
+            rz = jnp.roll(z_shift, (-dr, -dc), axis=(0, 1))
+            z_shift = jnp.where(mask1, rz, z_shift)
+            dist = cellsize * L.astype(jnp.float32) * w
+            ang = jnp.clip(jnp.arctan((z_shift - Z) / dist), 0.0, jnp.inf)
+            # nanmax semantics: NaN loses to any number
+            max_ang = jnp.where(jnp.isnan(ang), max_ang,
+                                jnp.maximum(max_ang, ang))
+            return (z_shift, max_ang), None
+
+        Ls = jnp.arange(1, lookup_pixels + 1, dtype=jnp.int32)
+        (_, max_angles), _ = lax.scan(body, (Z, jnp.zeros_like(Z)), Ls)
+        total = total + jnp.sin(max_angles)
+    return 1.0 - total / 8.0
+
+
+def count_openness(Z, cellsize, lookup_pixels, threshold_angle, fast=False,
+                   how_fast=20):
+    """Per-pixel counts of directions whose (positive - negative)
+    openness difference exceeds +/- threshold (neilpy.py:1600-1610).
+
+    Fused: positive and negative openness for all 8 directions come out
+    of ONE ladder scan — ``O_pos_d - O_neg_d = atan(-mn_d) - atan(mx_d)``
+    in radians, since negating Z negates the ratios.
+    """
+    mx, mn, seen = directional_ratio_extrema(
+        Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels),
+        directions=tuple(range(8)), fast=fast, how_fast=how_fast)
+    pos = jnp.rad2deg(_angles_from_extrema(mx, seen))
+    neg = jnp.rad2deg(_angles_from_extrema(-mn, seen))
+    diff = pos - neg
+    t = jnp.float32(threshold_angle)
+    num_pos = jnp.sum(diff > t, axis=0).astype(jnp.uint8)
+    num_neg = jnp.sum(diff < -t, axis=0).astype(jnp.uint8)
+    return num_pos, num_neg
+
+
+def geomorphons(Z, cellsize=1, lookup_pixels=1, threshold_angle=1,
+                enhance=False, fast=False, how_fast=20):
+    """Geomorphon classes 1-10 from openness counts + the J&S 9x9
+    lookup (neilpy.py:1617-1654), with the optional 'enhance'
+    correction-of-forms second pass."""
+    num_pos, num_neg = count_openness(Z, cellsize, lookup_pixels,
+                                      threshold_angle, fast, how_fast)
+    lut = jnp.asarray(jasiewicz_stepinski_table())
+    G = lut[num_pos.astype(jnp.int32), num_neg.astype(jnp.int32)]
+    if enhance and lookup_pixels > 16:
+        lookup_sm = max(int(np.floor(lookup_pixels / 4)), 4)
+        np_sm, nn_sm = count_openness(Z, cellsize, lookup_sm,
+                                      threshold_angle)
+        G_sm = lut[np_sm.astype(jnp.int32), nn_sm.astype(jnp.int32)]
+        G = jnp.where((G == 4) & (G_sm == 1), 1, G)
+        G = jnp.where((G == 8) & (G_sm == 1), 1, G)
+        G = jnp.where((G == 2) | (G == 3), G_sm, G)
+    return G
+
+
+# Aliases used in the reference notebooks
+get_geomorphons = geomorphons
+get_geomorphon_from_openness = geomorphons
+
+
+def ternary_pattern_from_openness(Z, cellsize=1, lookup_pixels=1,
+                                  threshold_angle=0,
+                                  use_negative_openness=True, lowest=False):
+    """8-direction ternary code packed base-3 into uint16
+    (neilpy.py:1404-1430).  Direction i contributes digit
+    {0: lower, 1: equal, 2: higher} * 3**i."""
+    mx, mn, seen = directional_ratio_extrema(
+        Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels),
+        directions=tuple(range(8)))
+    pos = jnp.rad2deg(_angles_from_extrema(mx, seen))
+    if use_negative_openness:
+        neg = jnp.rad2deg(_angles_from_extrema(-mn, seen))
+        O = pos - neg
+    else:
+        O = pos - 90.0
+    t = jnp.float32(threshold_angle)
+    digits = jnp.ones(O.shape, dtype=jnp.uint32)
+    digits = jnp.where(O > t, jnp.uint32(2), digits)
+    digits = jnp.where(O < -t, jnp.uint32(0), digits)
+    pows = jnp.asarray(3 ** np.arange(8), dtype=jnp.uint32)
+    tc = jnp.sum(digits * pows[:, None, None], axis=0).astype(jnp.uint16)
+    if lowest:
+        tc = jnp.asarray(lowest_equivalent_table())[tc.astype(jnp.int32)]
+    return tc
+
+
+def geomorphons2(Z, cellsize=1, lookup_pixels=5, threshold_angle=1,
+                 use_negative_openness=True, method="loose", outfile=None,
+                 out_transform=None):
+    """Geomorphons via ternary pattern -> canonical code -> class LUT
+    (neilpy.py:1579-1596), with optional paletted PNG + worldfile out."""
+    tc = ternary_pattern_from_openness(
+        Z, cellsize=cellsize, lookup_pixels=lookup_pixels,
+        threshold_angle=threshold_angle,
+        use_negative_openness=use_negative_openness)
+    tc = jnp.asarray(lowest_equivalent_table())[tc.astype(jnp.int32)]
+    lut = jnp.asarray(terrain_code_class_table("loose"))
+    G = lut[tc.astype(jnp.int32)]
+    if outfile is not None:
+        from ..io.png import write_paletted_png
+        from ..core.codes import geomorphon_cmap
+        write_paletted_png(outfile, np.asarray(G), geomorphon_cmap())
+        if out_transform is not None:
+            from ..io.worldfile import write_worldfile
+            write_worldfile(out_transform, outfile[:-3] + "pgw")
+    return G

@@ -1,0 +1,123 @@
+"""SMRF — the Simple Morphological Filter (Pingel, Clarke & McBride
+2013) for lidar ground/object classification.
+
+Reference call stack (SURVEY.md §3.1; neilpy/neilpy.py:1659-1808):
+``create_dem(min)`` -> spring inpaint -> low-outlier pass ->
+progressive morphological opening ladder -> inpaint provisional DTM ->
+bicubic spline lift back to points -> slope-adaptive threshold.
+
+TPU-native composition: host does only the f64 bin-index math; the
+minimum-surface scatter, both Laplacian inpaints, the whole opening
+ladder (disk kernels from ops/morphology), the gradient slope and the
+bicubic point lift all run as jitted device programs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.pointgrid import create_dem
+from ..ops.inpaint import inpaint_nans_by_springs
+from ..ops.morphology import opening_disk
+from ..ops.spline import spline_coefficients_2d, spline_ev_2d
+from ..core.shift import gradient2d
+
+__all__ = ["progressive_filter", "smrf"]
+
+
+def progressive_filter(Z, windows, cellsize=1, slope_threshold=.15,
+                       return_when_dropped=False):
+    """Progressive morphological opening ladder (parity:
+    neilpy.py:1659-1681).
+
+    For each window radius w: grey-open the cascaded surface with
+    ``disk(w)`` and flag cells dropping more than
+    ``slope_threshold * w * cellsize`` as objects.  Note the reference
+    computes (and ignores) a 3x3 override for w==1 — actual behaviour
+    is ``opening(disk(w))`` for every w, which is what we replicate.
+    """
+    windows = np.atleast_1d(np.asarray(windows))
+    Z = jnp.asarray(Z, dtype=jnp.float32)
+    last_surface = Z
+    thresholds = slope_threshold * (windows * cellsize)
+    is_object = jnp.zeros(Z.shape, dtype=bool)
+    when_dropped = jnp.zeros(Z.shape, dtype=jnp.uint8)
+    for i, window in enumerate(windows):
+        opened = opening_disk(last_surface, int(window))
+        new_obj = (last_surface - opened) > jnp.float32(thresholds[i])
+        is_object = is_object | new_obj
+        if return_when_dropped:
+            when_dropped = jnp.where(new_obj, jnp.uint8(i), when_dropped)
+        last_surface = opened
+    if return_when_dropped:
+        return is_object, when_dropped
+    return is_object
+
+
+def smrf(x, y, z, cellsize=1, windows=5, slope_threshold=.15,
+         elevation_threshold=.5, elevation_scaler=1.25,
+         low_filter_slope=5, low_outlier_fill=False, return_extras=False):
+    """Simple Morphological Filter (parity: neilpy.py:1685-1808).
+
+    Returns (Zpro, t, object_cells, is_object_point[, extras]):
+    provisional DTM, affine transform, boolean object grid, and the
+    per-point object classification.
+    """
+    if np.isscalar(windows):
+        windows = np.arange(windows) + 1
+
+    Zmin, t = create_dem(x, y, z, cellsize=cellsize, bin_type="min")
+    is_empty_cell = jnp.isnan(Zmin)
+    Zmin = inpaint_nans_by_springs(Zmin)
+    low_outliers = progressive_filter(-Zmin, np.array([1]), cellsize,
+                                      slope_threshold=low_filter_slope)
+
+    if low_outlier_fill:
+        Zmin = jnp.where(low_outliers, jnp.nan, Zmin)
+        Zmin = inpaint_nans_by_springs(Zmin)
+
+    if return_extras:
+        object_cells, drop_raster = progressive_filter(
+            Zmin, windows, cellsize, slope_threshold,
+            return_when_dropped=True)
+    else:
+        object_cells = progressive_filter(Zmin, windows, cellsize,
+                                          slope_threshold)
+
+    object_cells = is_empty_cell | low_outliers | object_cells
+    Zpro = jnp.where(object_cells, jnp.nan, Zmin)
+    Zpro = inpaint_nans_by_springs(Zpro)
+
+    # Lift the provisional surface (and its slope) onto the points via
+    # the not-a-knot bicubic spline at pixel centres (reference:
+    # RectBivariateSpline, neilpy.py:1768-1790).
+    x64 = np.asarray(x, dtype=np.float64)
+    y64 = np.asarray(y, dtype=np.float64)
+    c, r = (~t) * (x64, y64)
+
+    coeffs = spline_coefficients_2d(Zpro)
+    elevation_values = spline_ev_2d(coeffs, r, c, offset=0.5)
+
+    if return_extras:
+        rr = np.clip(np.round(r).astype(int), 0, Zpro.shape[0] - 1)
+        cc = np.clip(np.round(c).astype(int), 0, Zpro.shape[1] - 1)
+        when_dropped = np.asarray(drop_raster)[rr, cc]
+
+    gy, gx = gradient2d(Zpro, cellsize)
+    S = jnp.sqrt(gy ** 2 + gx ** 2)
+    slope_values = spline_ev_2d(spline_coefficients_2d(S), r, c, offset=0.5)
+
+    required_value = (jnp.float32(elevation_threshold)
+                      + jnp.float32(elevation_scaler) * slope_values)
+    z_dev = jnp.asarray(np.asarray(z, dtype=np.float64), dtype=jnp.float32)
+    is_object_point = jnp.abs(elevation_values - z_dev) > required_value
+
+    if return_extras:
+        extras = {
+            "above_ground_height": z_dev - elevation_values,
+            "drop_raster": drop_raster,
+            "when_dropped": when_dropped,
+        }
+        return Zpro, t, object_cells, is_object_point, extras
+    return Zpro, t, object_cells, is_object_point

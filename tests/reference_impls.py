@@ -1,0 +1,124 @@
+"""Independent numpy re-implementations of reference semantics used as
+test oracles.
+
+These are written from the algorithm descriptions (Yokoyama openness,
+Horn slope, Z&T curvature, D'Errico spring inpainting, ...) and from
+the behavioural notes in SURVEY.md; they serve as slow, trusted oracles
+for the jitted TPU kernels.  scipy/sklearn are allowed here (tests
+only).
+"""
+
+import numpy as np
+
+
+def np_ashift(surface, direction, n=1):
+    s = surface.copy()
+    if direction == 0:
+        s[n:, n:] = s[0:-n, 0:-n]
+    elif direction == 1:
+        s[n:, :] = s[0:-n, :]
+    elif direction == 2:
+        s[n:, 0:-n] = s[0:-n, n:]
+    elif direction == 3:
+        s[:, 0:-n] = s[:, n:]
+    elif direction == 4:
+        s[0:-n, 0:-n] = s[n:, n:]
+    elif direction == 5:
+        s[0:-n, :] = s[n:, :]
+    elif direction == 6:
+        s[0:-n, n:] = s[n:, 0:-n]
+    elif direction == 7:
+        s[:, n:] = s[:, 0:-n]
+    return s
+
+
+def np_openness(Z, cellsize=1, lookup_pixels=1, neighbors=range(8)):
+    nb = list(neighbors)
+    nr, nc = Z.shape
+    opn = np.inf * np.ones((len(nb), nr, nc))
+    dlist = np.array([np.sqrt(2), 1])
+    for L in range(1, lookup_pixels + 1):
+        for i, d in enumerate(nb):
+            dist = cellsize * L * dlist[d % 2]
+            ang = (np.pi / 2) - np.arctan((np_ashift(Z, d, L) - Z) / dist)
+            layer = opn[i]
+            better = ang < layer
+            layer[better] = ang[better]
+            opn[i] = layer
+    return np.rad2deg(np.mean(opn, 0))
+
+
+def np_count_openness(Z, cellsize, lookup_pixels, threshold_angle):
+    num_pos = np.zeros(Z.shape, dtype=np.uint8)
+    num_neg = np.zeros(Z.shape, dtype=np.uint8)
+    for i in range(8):
+        O = np_openness(Z, cellsize, lookup_pixels, neighbors=[i])
+        O = O - np_openness(-Z, cellsize, lookup_pixels, neighbors=[i])
+        num_pos[O > threshold_angle] += 1
+        num_neg[O < -threshold_angle] += 1
+    return num_pos, num_neg
+
+
+def np_gradient_slope(Z, cellsize=1, z_factor=1, return_as="degrees"):
+    gy, gx = np.gradient(Z, cellsize / z_factor)
+    S = np.sqrt(gx ** 2 + gy ** 2)
+    if return_as in ("degrees", "radians"):
+        S = np.arctan(S)
+        if return_as == "degrees":
+            S = np.rad2deg(S)
+    return S
+
+
+def np_hillshade(Z, cellsize=1, z_factor=1, zenith=45, azimuth=315):
+    zen, azi = np.deg2rad((zenith, azimuth))
+    S = np.arctan(np_gradient_slope(Z, cellsize, z_factor, "percent"))
+    gy, gx = np.gradient(Z)
+    A = np.pi / 2 - np.arctan2(gy, -gx)
+    A[A < 0] += 2 * np.pi
+    A[(gx == 0) & (gy == 0)] = 0
+    H = np.cos(zen) * np.cos(S) + np.sin(zen) * np.sin(S) * np.cos(azi - A)
+    H[H < 0] = 0
+    return np.round(255 * H).astype(np.uint8)
+
+
+def np_progressive_filter(Z, windows, cellsize=1, slope_threshold=.15):
+    """SMRF progressive morphological filter oracle using scipy grey
+    opening with the exact skimage-style disk footprint."""
+    import scipy.ndimage as ndi
+    from neilpy_tpu.core.codes import disk
+    last = Z.copy()
+    is_obj = np.zeros(Z.shape, dtype=bool)
+    thresholds = slope_threshold * (np.asarray(windows) * cellsize)
+    for i, w in enumerate(np.atleast_1d(windows)):
+        opened = ndi.grey_erosion(last, footprint=disk(w))
+        opened = ndi.grey_dilation(opened, footprint=disk(w))
+        is_obj |= (last - opened) > thresholds[i]
+        last = opened.copy()
+    return is_obj
+
+
+def np_spring_inpaint(A):
+    """D'Errico method-4 spring inpainting oracle via scipy lsqr."""
+    from scipy import sparse
+    m, n = A.shape
+    nanmat = np.isnan(A)
+    nan_list = np.flatnonzero(nanmat)
+    known_list = np.flatnonzero(~nanmat)
+    r, c = np.unravel_index(nan_list, (m, n))
+    offsets = np.array([[0, 1], [0, -1], [-1, 0], [1, 0]])
+    nbrs = np.vstack([np.vstack((r + o[0], c + o[1])).T for o in offsets])
+    springs = np.tile(nan_list, 4)
+    good = (np.all(nbrs >= 0, 1)) & (nbrs[:, 0] < m) & (nbrs[:, 1] < n)
+    nbr_flat = np.ravel_multi_index((nbrs[good, 0], nbrs[good, 1]), (m, n))
+    springs = np.sort(np.vstack((springs[good], nbr_flat)).T, axis=1)
+    springs = np.unique(springs, axis=0)
+    ns = springs.shape[0]
+    i = np.tile(np.arange(ns), 2)
+    data = np.hstack((np.ones(ns), -np.ones(ns)))
+    S = sparse.coo_matrix((data, (i, springs.T.ravel())),
+                          (ns, m * n)).tocsr()
+    rhs = -S[:, known_list] * A[np.unravel_index(known_list, (m, n))]
+    res = sparse.linalg.lsqr(S[:, nan_list], rhs)[0]
+    B = A.copy()
+    B[np.unravel_index(nan_list, (m, n))] = res
+    return B

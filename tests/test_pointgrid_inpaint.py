@@ -1,0 +1,134 @@
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+from neilpy_tpu.ops.pointgrid import create_dem, bin_points
+from neilpy_tpu.ops.inpaint import (inpaint_nans_by_springs,
+                                    inpaint_nans_by_fda, inpaint_nearest)
+from neilpy_tpu.ops.morphology import (grey_erosion_disk, grey_dilation_disk,
+                                       opening_disk, opening)
+from neilpy_tpu.core.codes import disk
+from .reference_impls import np_spring_inpaint
+
+
+class TestCreateDem:
+    def test_binning_matches_pandas_groupby(self, rng):
+        import pandas as pd
+        n = 20000
+        x = rng.uniform(512000, 512100, n)
+        y = rng.uniform(5403000, 5403080, n)
+        z = rng.normal(300, 10, n)
+        I, t = create_dem(x, y, z, cellsize=1, bin_type="min")
+        I = np.asarray(I)
+        # reference-style oracle: pandas groupby min on the same indices
+        flat, valid, (ny, nx), t2 = bin_points(x, y, cellsize=1)
+        assert list(t) == list(t2)
+        ref = np.full(ny * nx, np.nan)
+        g = pd.DataFrame({"i": flat, "z": z}).groupby("i").min()
+        ref[g.index.values] = g.values[:, 0]
+        ref = ref.reshape(ny, nx)
+        m = np.isfinite(ref)
+        assert (np.isfinite(I) == m).all()
+        np.testing.assert_allclose(I[m], ref[m].astype(np.float32), rtol=0,
+                                   atol=0)
+
+    def test_max_bin(self, rng):
+        x = rng.uniform(0, 50, 5000)
+        y = rng.uniform(0, 40, 5000)
+        z = rng.normal(size=5000)
+        Imax, _ = create_dem(x, y, z, cellsize=2, bin_type="max")
+        Imin, _ = create_dem(x, y, z, cellsize=2, bin_type="min")
+        m = np.isfinite(np.asarray(Imax))
+        assert (np.asarray(Imax)[m] >= np.asarray(Imin)[m]).all()
+
+    def test_explicit_edges_drop_out_of_range(self, rng):
+        x = np.array([0.5, 5.5, 99.0])
+        y = np.array([0.5, 5.5, 99.0])
+        z = np.array([1.0, 2.0, 3.0])
+        edges = (np.arange(0, 11.0), np.arange(10.0, -1, -1))
+        I, t = create_dem(x, y, z, bin_type="max", edges=edges)
+        I = np.asarray(I)
+        assert I.shape == (10, 10)
+        assert np.nansum(I) == 3.0  # out-of-range point dropped
+
+    def test_north_up_orientation(self):
+        # a single point at high y must land in a low row index
+        x = np.array([5.0, 5.0])
+        y = np.array([1.0, 9.0])
+        z = np.array([1.0, 2.0])
+        I, t = create_dem(x, y, z, cellsize=1, bin_type="max")
+        I = np.asarray(I)
+        rows = np.where(np.isfinite(I))[0]
+        assert I[rows.min()].max() == 2.0  # northern point in top row
+
+
+class TestInpaint:
+    def test_springs_matches_lsqr(self, rng):
+        A = rng.normal(size=(40, 50)).cumsum(axis=0).cumsum(axis=1)
+        A[10:18, 12:22] = np.nan
+        A[30, 40] = np.nan
+        A[0, :5] = np.nan
+        ours = np.asarray(inpaint_nans_by_springs(A))
+        ref = np_spring_inpaint(A)
+        assert np.abs(ours - ref).max() < 5e-3
+
+    def test_springs_preserves_known(self, rng):
+        A = rng.normal(size=(20, 20))
+        A[5:8, 5:8] = np.nan
+        out = np.asarray(inpaint_nans_by_springs(A))
+        m = np.isfinite(A)
+        np.testing.assert_array_equal(out[m], A[m].astype(np.float32))
+        assert np.isfinite(out).all()
+
+    def test_springs_flat_region(self):
+        A = np.full((10, 10), 7.0)
+        A[4:6, 4:6] = np.nan
+        out = np.asarray(inpaint_nans_by_springs(A))
+        np.testing.assert_allclose(out, 7.0, atol=1e-5)
+
+    def test_fda_smooth(self, rng):
+        # fda reproduces a smooth (harmonic-ish) surface closely
+        yy, xx = np.mgrid[0:30, 0:30]
+        A = (0.1 * xx + 0.2 * yy).astype(float)
+        hole = A.copy()
+        hole[10:20, 10:20] = np.nan
+        out = np.asarray(inpaint_nans_by_fda(hole))
+        assert np.abs(out - A).max() < 1e-2
+
+    def test_inpaint_nearest(self, rng):
+        A = rng.normal(size=(15, 17))
+        A[5:9, 5:9] = np.nan
+        out = inpaint_nearest(A.copy())
+        assert np.isfinite(out).all()
+        # filled values come from the finite set
+        finite_vals = set(np.round(A[np.isfinite(A)], 6).ravel())
+        assert set(np.round(out[5:9, 5:9], 6).ravel()) <= finite_vals
+
+
+class TestMorphology:
+    @pytest.mark.parametrize("radius", [1, 2, 5, 11, 18])
+    def test_disk_erosion_exact(self, radius, rng):
+        Z = rng.normal(size=(60, 73)).cumsum(axis=0).astype(np.float32)
+        ours = np.asarray(grey_erosion_disk(Z, radius))
+        ref = ndi.grey_erosion(Z, footprint=disk(radius))
+        np.testing.assert_array_equal(ours, ref)
+
+    @pytest.mark.parametrize("radius", [1, 3, 10])
+    def test_disk_opening_exact(self, radius, rng):
+        Z = rng.normal(size=(40, 55)).cumsum(axis=1).astype(np.float32)
+        ours = np.asarray(opening_disk(Z, radius))
+        e = ndi.grey_erosion(Z, footprint=disk(radius))
+        ref = ndi.grey_dilation(e, footprint=disk(radius))
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_generic_footprint(self, rng):
+        Z = rng.normal(size=(30, 30)).astype(np.float32)
+        fp = np.ones((3, 3), dtype=np.uint8)
+        ours = np.asarray(opening(Z, fp))
+        e = ndi.grey_erosion(Z, footprint=fp)
+        ref = ndi.grey_dilation(e, footprint=fp)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_opening_leq_input(self, rng):
+        Z = rng.normal(size=(30, 30)).astype(np.float32)
+        assert (np.asarray(opening_disk(Z, 4)) <= Z + 1e-6).all()

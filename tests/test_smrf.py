@@ -1,0 +1,93 @@
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from neilpy_tpu.pipelines.smrf import smrf, progressive_filter
+from neilpy_tpu.ops.spline import interp_spline_2d
+from .conftest import isprs_path
+from .reference_impls import np_progressive_filter
+
+
+def test_progressive_filter_matches_scipy_ladder(rng):
+    Z = rng.normal(size=(50, 60)).cumsum(axis=0).astype(np.float32)
+    ours = np.asarray(progressive_filter(Z, np.arange(1, 6), cellsize=1,
+                                         slope_threshold=.15))
+    ref = np_progressive_filter(Z.astype(np.float64), np.arange(1, 6))
+    assert (ours == ref).mean() > 0.999
+
+
+def test_spline_matches_scipy(rng):
+    from scipy.interpolate import RectBivariateSpline
+    Z = rng.normal(size=(50, 60)).cumsum(axis=0).cumsum(axis=1)
+    f = RectBivariateSpline(np.arange(0.5, 50.5), np.arange(0.5, 60.5), Z)
+    qr = rng.uniform(-0.5, 50.5, 5000)
+    qc = rng.uniform(-0.5, 60.5, 5000)
+    ours = np.asarray(interp_spline_2d(Z.astype(np.float32), qr, qc))
+    np.testing.assert_allclose(ours, f.ev(qr, qc), atol=2e-3)
+
+
+@pytest.mark.skipif(not os.path.exists(isprs_path("samp12.txt")),
+                    reason="ISPRS sample data not mounted")
+class TestISPRS:
+    """The reference's canonical accuracy oracle: SMRF notebook cell 5
+    stored output (Type I 2.006 / Type II 4.125 / Total 3.091 /
+    kappa 93.81 on samp12 with windows=18, .15/.5/1.25)."""
+
+    @pytest.fixture(scope="class")
+    def samp12(self):
+        df = pd.read_csv(isprs_path("samp12.txt"), header=None,
+                         names=["x", "y", "z", "g"], delimiter="\t")
+        Zs, T, cells, pts = smrf(df.x, df.y, df.z, 1, 18, .15, .5, 1.25)
+        return df, np.asarray(pts)
+
+    def test_total_error(self, samp12):
+        df, pts = samp12
+        total = 1 - np.sum(pts == df.g) / len(df)
+        assert abs(100 * total - 3.091) < 0.05, 100 * total
+
+    def test_type_errors(self, samp12):
+        df, pts = samp12
+        t1 = np.sum((df.g == 0) & (pts == 1)) / np.sum(df.g == 1)
+        t2 = np.sum((df.g == 1) & (pts == 0)) / np.sum(df.g == 0)
+        assert abs(100 * t1 - 2.006) < 0.05
+        assert abs(100 * t2 - 4.125) < 0.05
+
+    def test_kappa(self, samp12):
+        from sklearn.metrics import cohen_kappa_score
+        df, pts = samp12
+        kappa = cohen_kappa_score(df.g, pts)
+        assert abs(100 * kappa - 93.81) < 0.1
+
+
+@pytest.mark.skipif(not os.path.exists(isprs_path("samp11.txt")),
+                    reason="ISPRS sample data not mounted")
+def test_smrf_samp11_small_windows():
+    """End-to-end slice on a second sample with the quick settings."""
+    df = pd.read_csv(isprs_path("samp11.txt"), header=None,
+                     names=["x", "y", "z", "g"], delimiter="\t")
+    Zs, T, cells, pts = smrf(df.x, df.y, df.z, cellsize=1, windows=5)
+    pts = np.asarray(pts)
+    total = 1 - np.sum(pts == df.g) / len(df)
+    # samp11 is a hard steep-slope sample; just require sane accuracy
+    assert total < 0.30
+    assert np.isfinite(np.asarray(Zs)).all()
+
+
+def test_smrf_return_extras(rng):
+    n = 3000
+    x = rng.uniform(0, 60, n)
+    y = rng.uniform(0, 60, n)
+    z = rng.normal(0, 0.05, n)
+    # plant some "buildings"
+    obj = (x > 20) & (x < 30) & (y > 20) & (y < 30)
+    z = z + 10.0 * obj
+    Zs, T, cells, pts, extras = smrf(x, y, z, cellsize=2, windows=4,
+                                     return_extras=True)
+    assert set(extras) == {"above_ground_height", "drop_raster",
+                           "when_dropped"}
+    pts = np.asarray(pts)
+    # most building points flagged, most ground kept
+    assert pts[obj].mean() > 0.9
+    assert pts[~obj].mean() < 0.1

@@ -1,0 +1,114 @@
+import numpy as np
+import pytest
+
+from neilpy_tpu.ops.visibility import (openness, skyview_factor,
+                                       count_openness, geomorphons,
+                                       geomorphons2,
+                                       ternary_pattern_from_openness)
+from .reference_impls import np_openness, np_count_openness, np_ashift
+
+
+class TestOpenness:
+    @pytest.mark.parametrize("lookup", [1, 4, 13])
+    def test_matches_reference_loop(self, terrain, lookup):
+        ours = np.asarray(openness(terrain, cellsize=2.5,
+                                   lookup_pixels=lookup))
+        ref = np_openness(terrain, cellsize=2.5, lookup_pixels=lookup)
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_single_direction(self, terrain):
+        ours = np.asarray(openness(terrain, lookup_pixels=3,
+                                   neighbors=np.array([2])))
+        ref = np_openness(terrain, lookup_pixels=3, neighbors=[2])
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_nan_terrain(self, terrain):
+        Z = terrain.copy()
+        Z[10:14, 20:28] = np.nan
+        ours = np.asarray(openness(Z, lookup_pixels=6))
+        ref = np_openness(Z, lookup_pixels=6)
+        m = np.isfinite(ref)
+        np.testing.assert_allclose(ours[m], ref[m], atol=2e-4)
+        assert (np.isfinite(ours) == m).all()
+
+    def test_negative_openness_symmetry(self, terrain):
+        o = np.asarray(openness(-terrain, lookup_pixels=4))
+        ref = np_openness(-terrain, lookup_pixels=4)
+        np.testing.assert_allclose(o, ref, atol=2e-4)
+
+    def test_fast_ladder(self, terrain):
+        ours = np.asarray(openness(terrain, lookup_pixels=20, fast=True,
+                                   how_fast=20))
+        from neilpy_tpu.core.codes import progressive_window
+        ladder = progressive_window(1, 20, 20)
+        # reference fast path: same loop restricted to the ladder
+        nr, nc = terrain.shape
+        opn = np.inf * np.ones((8, nr, nc))
+        dlist = np.array([np.sqrt(2), 1])
+        for L in ladder:
+            for d in range(8):
+                dist = 1.0 * L * dlist[d % 2]
+                ang = (np.pi / 2) - np.arctan(
+                    (np_ashift(terrain, d, int(L)) - terrain) / dist)
+                opn[d] = np.minimum(opn[d], ang)
+        ref = np.rad2deg(np.mean(opn, 0))
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_count_openness(terrain):
+    num_pos, num_neg = count_openness(terrain, 1, 5, 1)
+    rp, rn = np_count_openness(terrain, 1, 5, 1)
+    # f32 vs f64 can flip ties right at the threshold; allow <=0.5% cells
+    mismatch = (np.asarray(num_pos) != rp).mean() + (np.asarray(num_neg) != rn).mean()
+    assert mismatch < 0.005, mismatch
+
+
+class TestGeomorphons:
+    @pytest.mark.parametrize("Z,code", [
+        ([[1, 1, 1], [1, 2, 1], [1, 1, 1]], 2),    # peak
+        ([[0, 0, 0], [2, 1, 2], [2, 2, 2]], 7),    # hollow
+        ([[1, 1, 1], [1, 0, 1], [1, 1, 1]], 10),   # pit
+        ([[0, 0, 0], [1, 1, 1], [2, 2, 2]], 6),    # slope
+        ([[0, 1, 2], [2, 1, 0], [0, 1, 2]], 6),    # complex slope
+        ([[1, 1, 1], [1, 1, 1], [1, 1, 1]], 1),    # flat
+    ])
+    def test_micro_morphologies(self, Z, code):
+        G = np.asarray(geomorphons(np.array(Z, dtype=float),
+                                   lookup_pixels=1))
+        assert G[1, 1] == code
+
+    def test_matches_reference_loop(self, terrain):
+        G = np.asarray(geomorphons(terrain, cellsize=1, lookup_pixels=5,
+                                   threshold_angle=1))
+        rp, rn = np_count_openness(terrain, 1, 5, 1)
+        from neilpy_tpu.core.codes import jasiewicz_stepinski_table
+        ref = jasiewicz_stepinski_table()[rp, rn]
+        assert (G != ref).mean() < 0.005
+
+    def test_enhance_runs(self, terrain):
+        G = np.asarray(geomorphons(terrain, lookup_pixels=20, enhance=True))
+        assert G.shape == terrain.shape
+        assert set(np.unique(G)) <= set(range(1, 11))
+
+    def test_geomorphons2_close_to_geomorphons(self, terrain):
+        G2 = np.asarray(geomorphons2(terrain, lookup_pixels=5,
+                                     threshold_angle=1))
+        assert G2.shape == terrain.shape
+        assert set(np.unique(G2)) <= set(range(1, 11))
+
+
+def test_ternary_pattern_oracles():
+    Z = np.array([[0, 0, 0], [1, 1, 1], [2, 2, 2]], dtype=float)
+    assert np.asarray(ternary_pattern_from_openness(Z, lookup_pixels=1))[1, 1] == 2240
+    assert np.asarray(ternary_pattern_from_openness(Z, lookup_pixels=1,
+                                                    lowest=True))[1, 1] == 160
+
+
+def test_skyview_factor_range(terrain):
+    svf = np.asarray(skyview_factor(terrain, lookup_pixels=5))
+    assert svf.shape == terrain.shape
+    assert (svf <= 1.0 + 1e-6).all()
+    # flat terrain has SVF exactly 1
+    flat = np.zeros((10, 12))
+    np.testing.assert_allclose(np.asarray(skyview_factor(flat, lookup_pixels=4)),
+                               1.0, atol=1e-6)
