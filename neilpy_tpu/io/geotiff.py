@@ -1,0 +1,456 @@
+"""Self-contained GeoTIFF reader/writer (no rasterio/GDAL).
+
+The runtime image has no rasterio, so the framework owns its raster
+I/O.  Parity surface: ``imread``/``imwrite`` (reference
+neilpy/neilpy.py:114-190) — array + metadata dict with ``transform``
+(our Affine), ``crs``, ``nodata``, ``bounds``, ``cellsize``, ``dtype``,
+``width``, ``height``, ``count``.
+
+Supported on read: baseline TIFF, little/big endian, strip or tile
+organisation, uncompressed / PackBits / Deflate, grayscale or
+multi-band (contiguous or planar), uint8/16/32, int8/16/32,
+float32/64, plus the GeoTIFF ModelPixelScale/ModelTiepoint tags and
+GDAL's NODATA ascii tag.  This covers both reference golden rasters
+(verified uncompressed strips) and everything the framework writes.
+
+Written files: little-endian baseline TIFF, strip-organised,
+uncompressed, with GeoTIFF georeferencing, optional palette
+(PhotometricInterpretation=3 + ColorMap) and GDAL_NODATA.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ..core.affine import Affine
+
+__all__ = ["imread", "imwrite", "read_geotiff", "write_geotiff"]
+
+# TIFF tag ids
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_BITSPERSAMPLE = 258
+_TAG_COMPRESSION = 259
+_TAG_PHOTOMETRIC = 262
+_TAG_STRIPOFFSETS = 273
+_TAG_SAMPLESPERPIXEL = 277
+_TAG_ROWSPERSTRIP = 278
+_TAG_STRIPBYTECOUNTS = 279
+_TAG_PLANARCONFIG = 284
+_TAG_PREDICTOR = 317
+_TAG_COLORMAP = 320
+_TAG_TILEWIDTH = 322
+_TAG_TILELENGTH = 323
+_TAG_TILEOFFSETS = 324
+_TAG_TILEBYTECOUNTS = 325
+_TAG_SAMPLEFORMAT = 339
+_TAG_MODELPIXELSCALE = 33550
+_TAG_MODELTIEPOINT = 33922
+_TAG_GEOKEYDIRECTORY = 34735
+_TAG_GDAL_NODATA = 42113
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "L", 5: "LL", 6: "b", 8: "h", 9: "l",
+             10: "ll", 11: "f", 12: "d", 16: "Q", 17: "q"}
+
+
+def _read_ifd_entries(data, off, en, bigtiff=False):
+    entries = {}
+    if bigtiff:
+        (count,) = struct.unpack(en + "Q", data[off:off + 8])
+        off += 8
+        esize = 20
+    else:
+        (count,) = struct.unpack(en + "H", data[off:off + 2])
+        off += 2
+        esize = 12
+    for i in range(count):
+        e = data[off + i * esize: off + (i + 1) * esize]
+        if bigtiff:
+            tag, typ = struct.unpack(en + "HH", e[:4])
+            (n,) = struct.unpack(en + "Q", e[4:12])
+            payload = e[12:20]
+        else:
+            tag, typ = struct.unpack(en + "HH", e[:4])
+            (n,) = struct.unpack(en + "L", e[4:8])
+            payload = e[8:12]
+        size = _TYPE_SIZES.get(typ, 1) * n
+        if size <= len(payload):
+            raw = payload[:size]
+        else:
+            (ptr,) = struct.unpack(en + ("Q" if bigtiff else "L"),
+                                   payload)
+            raw = data[ptr:ptr + size]
+        entries[tag] = (typ, n, raw)
+    if bigtiff:
+        (nxt,) = struct.unpack(en + "Q",
+                               data[off + count * esize: off + count * esize + 8])
+    else:
+        (nxt,) = struct.unpack(en + "L",
+                               data[off + count * esize: off + count * esize + 4])
+    return entries, nxt
+
+
+def _values(entry, en):
+    typ, n, raw = entry
+    if typ == 2:  # ascii
+        return raw.split(b"\x00")[0].decode("latin-1")
+    fmt = _TYPE_FMT.get(typ)
+    if fmt is None:
+        return raw
+    vals = struct.unpack(en + fmt * n, raw[: struct.calcsize(en + fmt * n)])
+    if typ in (5, 10):  # rationals
+        vals = tuple(a / b if b else 0.0 for a, b in
+                     zip(vals[::2], vals[1::2]))
+    return vals
+
+
+def _dtype_from(bits, sample_format, en):
+    kind = {1: "u", 2: "i", 3: "f"}.get(sample_format, "u")
+    return np.dtype(f"{'<' if en == '<' else '>'}{kind}{bits // 8}")
+
+
+def _decompress(raw, compression, expected, predictor, width, dtype,
+                samples):
+    if compression == 1:
+        out = raw
+    elif compression in (8, 32946):  # Deflate / zlib
+        out = zlib.decompress(raw)
+    elif compression == 32773:  # PackBits
+        out = bytearray()
+        i = 0
+        while i < len(raw) and len(out) < expected:
+            n = raw[i]
+            i += 1
+            if n < 128:
+                out += raw[i:i + n + 1]
+                i += n + 1
+            elif n > 128:
+                out += raw[i:i + 1] * (257 - n)
+                i += 1
+        out = bytes(out)
+    else:
+        raise ValueError(f"Unsupported TIFF compression {compression}")
+    if predictor == 2:
+        arr = np.frombuffer(out, dtype=dtype)[: expected // dtype.itemsize]
+        arr = arr.reshape(-1, width * samples).copy()
+        arr = np.cumsum(arr.reshape(arr.shape[0], width, samples),
+                        axis=1, dtype=arr.dtype)
+        out = arr.tobytes()
+    return out[:expected]
+
+
+def read_geotiff(fn):
+    """Read a (Geo)TIFF.  Returns (array, metadata dict).
+
+    Multi-band rasters come back as (H, W, bands) like the reference's
+    ``imread`` (neilpy.py:129).
+    """
+    with open(fn, "rb") as f:
+        data = f.read()
+    if data[:2] == b"II":
+        en = "<"
+    elif data[:2] == b"MM":
+        en = ">"
+    else:
+        raise ValueError("Not a TIFF file")
+    (magic,) = struct.unpack(en + "H", data[2:4])
+    bigtiff = magic == 43
+    if bigtiff:
+        (first_ifd,) = struct.unpack(en + "Q", data[8:16])
+    else:
+        (first_ifd,) = struct.unpack(en + "L", data[4:8])
+    tags, _ = _read_ifd_entries(data, first_ifd, en, bigtiff)
+
+    g = lambda t, d=None: (_values(tags[t], en) if t in tags else d)
+    width = int(g(_TAG_WIDTH)[0])
+    height = int(g(_TAG_HEIGHT)[0])
+    spp = int(g(_TAG_SAMPLESPERPIXEL, (1,))[0])
+    bits = int(g(_TAG_BITSPERSAMPLE, (8,))[0])
+    comp = int(g(_TAG_COMPRESSION, (1,))[0])
+    sfmt = int(g(_TAG_SAMPLEFORMAT, (1,))[0])
+    planar = int(g(_TAG_PLANARCONFIG, (1,))[0])
+    predictor = int(g(_TAG_PREDICTOR, (1,))[0])
+    dtype = _dtype_from(bits, sfmt, en)
+
+    if _TAG_TILEOFFSETS in tags:
+        tw = int(g(_TAG_TILEWIDTH)[0])
+        th = int(g(_TAG_TILELENGTH)[0])
+        offsets = g(_TAG_TILEOFFSETS)
+        counts = g(_TAG_TILEBYTECOUNTS)
+        tiles_x = (width + tw - 1) // tw
+        tiles_y = (height + th - 1) // th
+        planes = spp if planar == 2 else 1
+        chans = 1 if planar == 2 else spp
+        img = np.zeros((planes, height, width, chans), dtype=dtype)
+        idx = 0
+        for p in range(planes):
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    raw = data[offsets[idx]:offsets[idx] + counts[idx]]
+                    expected = tw * th * chans * dtype.itemsize
+                    buf = _decompress(raw, comp, expected, predictor, tw,
+                                      dtype, chans)
+                    tile = np.frombuffer(buf, dtype=dtype).reshape(
+                        th, tw, chans)
+                    y0, x0 = ty * th, tx * tw
+                    ys, xs = min(th, height - y0), min(tw, width - x0)
+                    img[p, y0:y0 + ys, x0:x0 + xs] = tile[:ys, :xs]
+                    idx += 1
+    else:
+        offsets = g(_TAG_STRIPOFFSETS)
+        counts = g(_TAG_STRIPBYTECOUNTS)
+        rps = int(g(_TAG_ROWSPERSTRIP, (height,))[0])
+        planes = spp if planar == 2 else 1
+        chans = 1 if planar == 2 else spp
+        strips_per_plane = (height + rps - 1) // rps
+        img = np.zeros((planes, height, width, chans), dtype=dtype)
+        idx = 0
+        for p in range(planes):
+            row = 0
+            for s in range(strips_per_plane):
+                nrows = min(rps, height - row)
+                expected = nrows * width * chans * dtype.itemsize
+                raw = data[offsets[idx]:offsets[idx] + counts[idx]]
+                buf = _decompress(raw, comp, expected, predictor, width,
+                                  dtype, chans)
+                img[p, row:row + nrows] = np.frombuffer(
+                    buf, dtype=dtype).reshape(nrows, width, chans)
+                row += nrows
+                idx += 1
+
+    if planar == 2:
+        arr = np.moveaxis(img[:, :, :, 0], 0, -1)
+    else:
+        arr = img[0]
+    if arr.shape[-1] == 1:
+        arr = arr[:, :, 0]
+    if en == ">":
+        arr = arr.astype(arr.dtype.newbyteorder("="))
+
+    # --- georeferencing ---
+    transform = Affine.identity()
+    scale = g(_TAG_MODELPIXELSCALE)
+    tie = g(_TAG_MODELTIEPOINT)
+    if scale and tie and len(tie) >= 6:
+        sx, sy = float(scale[0]), float(scale[1])
+        i, j, _, x, y, _ = tie[:6]
+        transform = Affine(sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy)
+
+    nodata = g(_TAG_GDAL_NODATA)
+    if isinstance(nodata, str):
+        try:
+            nodata = float(nodata.strip())
+        except ValueError:
+            nodata = None
+
+    crs = None
+    if _TAG_GEOKEYDIRECTORY in tags:
+        keys = g(_TAG_GEOKEYDIRECTORY)
+        # GeoKey 3072 = ProjectedCSTypeGeoKey, 2048 = GeographicTypeGeoKey
+        for k in range(4, len(keys), 4):
+            if keys[k] in (3072, 2048) and keys[k + 1] == 0:
+                crs = int(keys[k + 3])
+                break
+
+    meta = {
+        "driver": "GTiff", "width": width, "height": height,
+        "count": 1 if arr.ndim == 2 else arr.shape[2],
+        "dtype": str(arr.dtype), "transform": transform, "crs": crs,
+        "nodata": nodata,
+    }
+    x0, y0 = transform * (0, 0)
+    x1, y1 = transform * (width, height)
+    meta["bounds"] = (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+    cellsizes = np.abs(np.array((transform[0], transform[4])))
+    meta["cellsize"] = (float(np.mean(cellsizes))
+                        if np.diff(cellsizes)[0] < 1e-8 else cellsizes)
+    return arr, meta
+
+
+def _np_to_sampleformat(dt):
+    if dt.kind == "u":
+        return 1
+    if dt.kind == "i":
+        return 2
+    if dt.kind == "f":
+        return 3
+    raise ValueError(f"Unsupported dtype {dt}")
+
+
+def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
+                  colormap=None):
+    """Write a strip-organised uncompressed GeoTIFF.
+
+    ``im`` may be (H, W) or (H, W, bands) or (bands, H, W); uint8/16/32,
+    int16/32, float32/64.  ``colormap`` is a {value: (r, g, b)} dict
+    producing a paletted single-band file.
+    """
+    im = np.asarray(im)
+    if im.ndim == 3 and im.shape[0] < min(im.shape[1:]) and im.shape[0] <= 4:
+        im = np.moveaxis(im, 0, -1)
+    if im.ndim == 2:
+        im = im[:, :, None]
+    height, width, bands = im.shape
+    dt = im.dtype.newbyteorder("<")
+    im = im.astype(dt)
+
+    tags = []
+
+    def tag(tid, typ, vals):
+        tags.append((tid, typ, vals))
+
+    tag(_TAG_WIDTH, 4, [width])
+    tag(_TAG_HEIGHT, 4, [height])
+    tag(_TAG_BITSPERSAMPLE, 3, [dt.itemsize * 8] * bands)
+    tag(_TAG_COMPRESSION, 3, [1])
+    photometric = 1
+    if colormap is not None:
+        photometric = 3
+    elif bands >= 3:
+        photometric = 2
+    tag(_TAG_PHOTOMETRIC, 3, [photometric])
+    tag(_TAG_SAMPLESPERPIXEL, 3, [bands])
+    rows_per_strip = max(1, min(height, (1 << 20) // max(1, width * bands * dt.itemsize)))
+    nstrips = (height + rows_per_strip - 1) // rows_per_strip
+    tag(_TAG_ROWSPERSTRIP, 4, [rows_per_strip])
+    tag(_TAG_PLANARCONFIG, 3, [1])
+    tag(_TAG_SAMPLEFORMAT, 3, [_np_to_sampleformat(dt)] * bands)
+    if colormap is not None:
+        if dt != np.dtype("<u1"):
+            raise ValueError("colormap requires uint8 data")
+        cm = np.zeros((3, 256), dtype="<u2")
+        for value, rgb in colormap.items():
+            cm[:, int(value)] = [c * 257 for c in rgb[:3]]
+        tag(_TAG_COLORMAP, 3, list(cm.ravel()))
+    if transform is not None:
+        t = transform
+        tag(_TAG_MODELPIXELSCALE, 12, [abs(t[0]), abs(t[4]), 0.0])
+        tag(_TAG_MODELTIEPOINT, 12, [0.0, 0.0, 0.0, t[2], t[5], 0.0])
+    if crs is not None:
+        epsg = int(crs)
+        model, key = (1, 3072) if epsg not in range(4000, 5000) else (2, 2048)
+        keys = [1, 1, 0, 3,
+                1024, 0, 1, model,
+                1025, 0, 1, 1,
+                key, 0, 1, epsg]
+        tag(_TAG_GEOKEYDIRECTORY, 3, keys)
+    if nodata is not None:
+        nd = (f"{nodata:.18g}" if isinstance(nodata, float)
+              else str(nodata)) + "\x00"
+        tag(_TAG_GDAL_NODATA, 2, nd.encode())
+
+    # strip data
+    strip_data = []
+    for s in range(nstrips):
+        r0 = s * rows_per_strip
+        strip_data.append(im[r0:r0 + rows_per_strip].tobytes())
+
+    # layout: header(8) + IFD + external tag values + strip data.
+    # External-value sizes don't depend on the strip offsets, so the
+    # data start is known up front and entries are emitted in one pass.
+    strip_counts = [len(s) for s in strip_data]
+    all_tags = (tags + [(_TAG_STRIPOFFSETS, 4, [0] * nstrips),
+                        (_TAG_STRIPBYTECOUNTS, 4, strip_counts)])
+    all_tags.sort(key=lambda x: x[0])
+    n_entries = len(all_tags)
+    ifd_off = 8
+    ifd_size = 2 + n_entries * 12 + 4
+
+    def pack_vals(typ, vals):
+        if typ == 2:
+            return vals if isinstance(vals, bytes) else vals.encode()
+        fmt = _TYPE_FMT[typ]
+        return b"".join(struct.pack("<" + fmt, v) for v in vals)
+
+    ext_size = 0
+    for tid, typ, vals in all_tags:
+        raw = pack_vals(typ, vals)
+        if len(raw) > 4:
+            ext_size += len(raw) + (len(raw) % 2)
+    data_start = ifd_off + ifd_size + ext_size
+
+    offsets, pos = [], data_start
+    for c in strip_counts:
+        offsets.append(pos)
+        pos += c
+
+    entries, ext_blobs = [], []
+    ext_off = ifd_off + ifd_size
+    for tid, typ, vals in all_tags:
+        if tid == _TAG_STRIPOFFSETS:
+            vals = offsets
+        raw = pack_vals(typ, vals)
+        n = len(raw) if typ == 2 else len(vals)
+        if len(raw) <= 4:
+            payload = raw.ljust(4, b"\x00")
+        else:
+            payload = struct.pack("<L", ext_off)
+            ext_blobs.append(raw if len(raw) % 2 == 0 else raw + b"\x00")
+            ext_off += len(raw) + (len(raw) % 2)
+        entries.append(struct.pack("<HHL", tid, typ, n) + payload)
+
+    out = bytearray()
+    out += b"II" + struct.pack("<HL", 42, ifd_off)
+    out += struct.pack("<H", n_entries)
+    for e in entries:
+        out += e
+    out += struct.pack("<L", 0)
+    for blob in ext_blobs:
+        out += blob
+    assert len(out) == data_start, (len(out), data_start)
+    for s in strip_data:
+        out += s
+    with open(fn, "wb") as f:
+        f.write(bytes(out))
+
+
+# ----------------------------------------------------------------------
+# Reference-parity wrappers
+# ----------------------------------------------------------------------
+def imread(fn, return_metadata=True, fix_nodata=False, force_float=False):
+    """GeoTIFF (or PNG via PIL fallback) read with metadata
+    (parity: neilpy.py:114-158)."""
+    if str(fn).lower().endswith((".tif", ".tiff")):
+        X, metadata = read_geotiff(fn)
+    else:
+        from PIL import Image
+        X = np.asarray(Image.open(fn))
+        metadata = {"width": X.shape[1], "height": X.shape[0],
+                    "count": 1 if X.ndim == 2 else X.shape[2],
+                    "dtype": str(X.dtype), "transform": Affine.identity(),
+                    "crs": None, "nodata": None, "cellsize": 1.0,
+                    "bounds": (0, 0, X.shape[1], X.shape[0])}
+    if force_float and metadata["dtype"] not in ("float32", "float64"):
+        X = X.astype(np.float32)
+        metadata["dtype"] = "float32"
+    if fix_nodata:
+        if metadata["dtype"] in ("float32", "float64"):
+            if metadata.get("nodata") is not None:
+                X = X.copy()
+                X[X == metadata["nodata"]] = np.nan
+        else:
+            print("Warning: fix_nodata requested, but " +
+                  str(metadata["dtype"]) + " cannot be converted to np.nan.")
+    if return_metadata:
+        return X, metadata
+    return X
+
+
+def imwrite(fn, im, metadata=None, colormap=None, overwrite_metadata=True):
+    """GeoTIFF / image write (parity: neilpy.py:165-190)."""
+    im = np.asarray(im)
+    if metadata is None and str(fn).lower().endswith((".tif", ".tiff")):
+        write_geotiff(fn, im, colormap=colormap)
+        return
+    if metadata is None:
+        import imageio
+        imageio.imwrite(fn, im)
+        return
+    write_geotiff(fn, im, transform=metadata.get("transform"),
+                  crs=metadata.get("crs"), nodata=metadata.get("nodata"),
+                  colormap=colormap)

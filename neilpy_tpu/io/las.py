@@ -1,0 +1,155 @@
+"""Pure-Python LAS 1.0-1.4 point-cloud reader (no laspy).
+
+Parity surface: ``read_las`` (reference neilpy/neilpy.py:903-1087) —
+returns (header dict, DataFrame) with scaled x/y/z, unpacked return
+numbers and classification flag bits.  LAZ is rejected.
+
+Design: the LAS point record formats are compositional — a legacy core
+(PDRF 0-5) or extended core (PDRF 6-10) followed by optional GPS-time
+/ RGB / NIR / waveform blocks.  The dtype for any PDRF is assembled
+from those blocks (ASPRS LAS 1.4 R15 spec), the raw buffer is viewed
+once with ``np.frombuffer`` (zero-copy), and bit fields are unpacked
+vectorised.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["read_las", "las_point_dtype"]
+
+_LEGACY_CORE = [("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
+                ("intensity", "<u2"), ("return_byte", "u1"),
+                ("class", "u1"), ("scan_angle", "u1"), ("user_data", "u1"),
+                ("point_source_id", "<u2")]
+_EXT_CORE = [("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
+             ("intensity", "<u2"), ("return_byte", "u1"),
+             ("mixed_byte", "u1"), ("class", "u1"), ("user_data", "u1"),
+             ("scan_angle", "<u2"), ("point_source_id", "<u2"),
+             ("gpstime", "<f8")]
+_GPS = [("gpstime", "<f8")]
+_RGB = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+_NIR = [("near_infrared", "<u2")]
+_WAVE = [("wave_packet_descriptor_index", "u1"), ("byte_offset", "<u8"),
+         ("wave_packet_size", "<u4"),
+         ("return_point_waveform_location", "<f4"),
+         ("xt", "<f4"), ("yt", "<f4"), ("zt", "<f4")]
+
+# PDRF -> optional blocks appended to the core
+_PDRF_BLOCKS = {
+    0: [], 1: [_GPS], 2: [_RGB], 3: [_GPS, _RGB], 4: [_GPS, _WAVE],
+    5: [_GPS, _RGB, _WAVE],
+    6: [], 7: [_RGB], 8: [_RGB, _NIR], 9: [_WAVE],
+    10: [_RGB, _NIR, _WAVE],
+}
+
+
+def las_point_dtype(pdrf):
+    """numpy dtype for a LAS point data record format 0-10."""
+    if pdrf not in _PDRF_BLOCKS:
+        raise ValueError("Point Data Record Format", pdrf,
+                         "not yet supported.")
+    fields = list(_LEGACY_CORE if pdrf < 6 else _EXT_CORE)
+    for block in _PDRF_BLOCKS[pdrf]:
+        fields.extend(block)
+    return np.dtype(fields)
+
+
+def _bit(arr, i):
+    return (arr & (1 << i)) != 0
+
+
+def read_las(filename):
+    """Read a LAS file into (header dict, pandas DataFrame).
+
+    Keys and unpacked columns mirror the reference reader
+    (neilpy.py:903-1087): scaled ``x/y/z``, ``return_number``,
+    ``return_max``, scan/edge flags, and for PDRF>=6 the
+    classification flag bits and scanner channel.
+    """
+    with open(filename, "rb") as f:
+        data = f.read()
+
+    hdr = {}
+    u = lambda fmt, a, b: struct.unpack("<" + fmt, data[a:b])
+    hdr["file_signature"] = u("4s", 0, 4)[0].decode("utf-8")
+    if hdr["file_signature"] != "LASF":
+        raise ValueError("Not a LAS file (missing LASF signature).")
+    hdr["file_source_id"] = u("H", 4, 6)[0]
+    hdr["global_encoding"] = u("H", 6, 8)[0]
+    hdr["project_id"] = [u("L", 8, 12)[0], u("H", 12, 14)[0],
+                         u("H", 14, 16)[0]]
+    hdr["version_major"] = u("B", 24, 25)[0]
+    hdr["version_minor"] = u("B", 25, 26)[0]
+    hdr["version"] = hdr["version_major"] + hdr["version_minor"] / 10
+    hdr["system_id"] = u("32s", 26, 58)[0].decode("utf-8",
+                                                  "replace").rstrip("\x00")
+    hdr["generating_software"] = u("32s", 58, 90)[0].decode(
+        "utf-8", "replace").rstrip("\x00")
+    hdr["file_creation_day"] = u("H", 90, 92)[0]
+    hdr["file_creation_year"] = u("H", 92, 94)[0]
+    hdr["header_size"] = u("H", 94, 96)[0]
+    hdr["point_data_offset"] = u("L", 96, 100)[0]
+    hdr["num_variable_records"] = u("L", 100, 104)[0]
+    pdrf = u("B", 104, 105)[0]
+    if 128 <= pdrf <= 133:
+        raise ValueError("LAZ not yet supported.")
+    hdr["point_data_format_id"] = pdrf
+    hdr["point_data_record_length"] = u("H", 105, 107)[0]
+    hdr["num_point_records"] = u("L", 107, 111)[0]
+    hdr["num_points_by_return"] = u("5L", 111, 131)
+    hdr["scale"] = u("3d", 131, 155)
+    hdr["offset"] = u("3d", 155, 179)
+    hdr["minmax"] = u("6d", 179, 227)
+
+    end_point_data = len(data)
+    if hdr["version"] == 1.3 and len(data) >= 235:
+        hdr["begin_wave_form"] = u("q", 227, 235)[0]
+        if hdr["begin_wave_form"] != 0:
+            end_point_data = hdr["begin_wave_form"]
+    if hdr["version"] >= 1.4 and hdr["header_size"] >= 375:
+        hdr["num_point_records_14"] = u("Q", 247, 255)[0]
+        if hdr["num_point_records"] == 0:
+            hdr["num_point_records"] = hdr["num_point_records_14"]
+
+    dt = las_point_dtype(pdrf)
+    record_len = hdr["point_data_record_length"]
+    n = hdr["num_point_records"]
+    raw = data[hdr["point_data_offset"]:end_point_data]
+    if record_len != dt.itemsize:
+        # extra bytes per point (user extensions): view with a padded dtype
+        dt = np.dtype({"names": list(dt.names),
+                       "formats": [dt.fields[k][0] for k in dt.names],
+                       "offsets": [dt.fields[k][1] for k in dt.names],
+                       "itemsize": record_len})
+    count = min(n, len(raw) // record_len) if n else len(raw) // record_len
+    pts = np.frombuffer(raw, dtype=dt, count=count)
+
+    df = pd.DataFrame({name: pts[name] for name in pts.dtype.names})
+    for axis, col in enumerate("xyz"):
+        df[col] = df[col] * hdr["scale"][axis] + hdr["offset"][axis]
+
+    rb = df["return_byte"].to_numpy()
+    if pdrf < 6:
+        df["return_number"] = (rb & 0b111).astype(np.uint8)
+        df["return_max"] = ((rb >> 3) & 0b111).astype(np.uint8)
+        df["scan_direction"] = _bit(rb, 6)
+        df["edge_of_flight_line"] = _bit(rb, 7)
+    else:
+        df["return_number"] = (rb & 0b1111).astype(np.uint8)
+        df["return_max"] = ((rb >> 4) & 0b1111).astype(np.uint8)
+        mb = df["mixed_byte"].to_numpy()
+        df["classification_bit_synthetic"] = _bit(mb, 0)
+        df["classification_bit_keypoint"] = _bit(mb, 1)
+        df["classification_bit_withheld"] = _bit(mb, 2)
+        df["classification_bit_overlap"] = _bit(mb, 3)
+        df["scanner_channel"] = ((mb >> 4) & 0b11).astype(np.uint8)
+        df["scan_direction"] = _bit(mb, 6)
+        df["edge_of_flight_line"] = _bit(mb, 7)
+        del df["mixed_byte"]
+    del df["return_byte"]
+
+    return hdr, df

@@ -1,0 +1,21 @@
+"""Text point-cloud loaders (ISPRS ground-truth samples and friends)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["read_xyz", "read_isprs"]
+
+
+def read_isprs(fn):
+    """Load an ISPRS labelled sample (``samp*.txt``): tab-separated
+    ``x y z ground_label`` (reference usage: test_neilpy.py:62-79)."""
+    return pd.read_csv(fn, header=None, names=["x", "y", "z", "g"],
+                       delimiter="\t")
+
+
+def read_xyz(fn, delimiter=None, names=("x", "y", "z")):
+    """Generic whitespace/delimited xyz loader."""
+    return pd.read_csv(fn, header=None, names=list(names),
+                       delimiter=delimiter, sep=delimiter or r"\s+")

@@ -1,0 +1,193 @@
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from neilpy_tpu.io.geotiff import imread, imwrite, read_geotiff, write_geotiff
+from neilpy_tpu.io.las import read_las, las_point_dtype
+from neilpy_tpu.io.worldfile import write_worldfile
+from neilpy_tpu.io.png import write_paletted_png
+from neilpy_tpu.io.text import read_isprs
+from neilpy_tpu.core.affine import from_origin
+
+GOLDEN_GEOMORPHONS = "/root/reference/sample_data/sample_dem_geomorphons.tif"
+GOLDEN_DK22 = "/root/reference/examples/dk22_smrfed.tif"
+
+
+class TestGeoTIFF:
+    @pytest.mark.skipif(not os.path.exists(GOLDEN_GEOMORPHONS),
+                        reason="golden raster not mounted")
+    def test_read_golden_geomorphons(self):
+        X, meta = imread(GOLDEN_GEOMORPHONS)
+        assert X.shape == (847, 1540)
+        assert X.dtype == np.uint8
+        # exact histogram (verified byte-identical with PIL's reader;
+        # the .aux.xml histogram is GDAL-approximate). 255 = nodata rim.
+        counts = np.bincount(X.ravel(), minlength=256)
+        assert counts[6] == 629371
+        assert counts[1] == 13464
+        assert counts[10] == 4863
+        assert counts[255] == 4770
+
+    @pytest.mark.skipif(not os.path.exists(GOLDEN_DK22),
+                        reason="golden raster not mounted")
+    def test_read_golden_dk22(self):
+        X, meta = imread(GOLDEN_DK22)
+        assert X.shape == (497, 716)
+        assert X.dtype == np.float32
+        assert np.isfinite(X).all()
+
+    def test_roundtrip_float32(self, tmp_path, rng):
+        Z = rng.normal(size=(37, 53)).astype(np.float32)
+        t = from_origin(5.0e5, 4.3e6, 2.0, 2.0)
+        fn = str(tmp_path / "z.tif")
+        write_geotiff(fn, Z, transform=t, crs=32617, nodata=-9999.0)
+        X, meta = read_geotiff(fn)
+        np.testing.assert_array_equal(X, Z)
+        assert list(meta["transform"]) == list(t)
+        assert meta["crs"] == 32617
+        assert meta["nodata"] == -9999.0
+        assert meta["cellsize"] == 2.0
+
+    def test_roundtrip_uint8_palette(self, tmp_path):
+        classes = np.arange(100, dtype=np.uint8).reshape(10, 10) % 10 + 1
+        fn = str(tmp_path / "c.tif")
+        from neilpy_tpu.core.codes import geomorphon_cmap
+        write_geotiff(fn, classes, colormap=geomorphon_cmap())
+        X, meta = read_geotiff(fn)
+        np.testing.assert_array_equal(X, classes)
+
+    def test_roundtrip_multiband(self, tmp_path, rng):
+        rgb = (rng.uniform(0, 255, (20, 30, 3))).astype(np.uint8)
+        fn = str(tmp_path / "rgb.tif")
+        write_geotiff(fn, rgb)
+        X, meta = read_geotiff(fn)
+        np.testing.assert_array_equal(X, rgb)
+        assert meta["count"] == 3
+
+    def test_roundtrip_large_multistrip(self, tmp_path, rng):
+        Z = rng.normal(size=(600, 700)).astype(np.float64)
+        fn = str(tmp_path / "big.tif")
+        write_geotiff(fn, Z)
+        X, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(X, Z)
+
+    def test_imread_fix_nodata(self, tmp_path):
+        Z = np.array([[1.0, -9999.0], [3.0, 4.0]], dtype=np.float32)
+        fn = str(tmp_path / "nd.tif")
+        write_geotiff(fn, Z, nodata=-9999.0)
+        X, meta = imread(fn, fix_nodata=True)
+        assert np.isnan(X[0, 1])
+        assert X[0, 0] == 1.0
+
+    def test_imwrite_metadata_path(self, tmp_path, rng):
+        Z = rng.normal(size=(10, 12)).astype(np.float32)
+        meta = {"transform": from_origin(0, 10, 1, 1), "crs": 4326,
+                "nodata": None}
+        fn = str(tmp_path / "m.tif")
+        imwrite(fn, Z, metadata=meta)
+        X, m2 = imread(fn)
+        np.testing.assert_array_equal(X, Z)
+        assert m2["crs"] == 4326
+
+
+def _write_synthetic_las(fn, pdrf=3, n=100, seed=0):
+    """Build a spec-conformant little LAS 1.2 file by hand."""
+    rng = np.random.default_rng(seed)
+    scale = (0.01, 0.01, 0.001)
+    offset = (500000.0, 4200000.0, 100.0)
+    dt = las_point_dtype(pdrf)
+    pts = np.zeros(n, dtype=dt)
+    xi = rng.integers(0, 10000, n)
+    yi = rng.integers(0, 10000, n)
+    zi = rng.integers(0, 50000, n)
+    pts["x"], pts["y"], pts["z"] = xi, yi, zi
+    pts["intensity"] = rng.integers(0, 65535, n)
+    # return 2 of 3; legacy PDRFs also pack scan_direction into this byte
+    if pdrf < 6:
+        pts["return_byte"] = 2 | (3 << 3) | (1 << 6)
+    else:
+        pts["return_byte"] = 2 | (3 << 4)
+    pts["class"] = rng.integers(0, 10, n)
+    if "gpstime" in dt.names:
+        pts["gpstime"] = rng.uniform(0, 1e6, n)
+    if "red" in dt.names:
+        pts["red"] = rng.integers(0, 65535, n)
+
+    header = bytearray(227)
+    header[0:4] = b"LASF"
+    struct.pack_into("<B", header, 24, 1)   # version major
+    struct.pack_into("<B", header, 25, 2)   # version minor
+    struct.pack_into("<H", header, 94, 227)  # header size
+    struct.pack_into("<L", header, 96, 227)  # point data offset
+    struct.pack_into("<B", header, 104, pdrf)
+    struct.pack_into("<H", header, 105, dt.itemsize)
+    struct.pack_into("<L", header, 107, n)
+    struct.pack_into("<3d", header, 131, *scale)
+    struct.pack_into("<3d", header, 155, *offset)
+    with open(fn, "wb") as f:
+        f.write(bytes(header) + pts.tobytes())
+    return xi, yi, zi, scale, offset
+
+
+class TestLAS:
+    @pytest.mark.parametrize("pdrf", [0, 1, 2, 3, 6, 7, 8])
+    def test_roundtrip_synthetic(self, tmp_path, pdrf):
+        fn = str(tmp_path / f"t{pdrf}.las")
+        xi, yi, zi, scale, offset = _write_synthetic_las(fn, pdrf=pdrf)
+        header, df = read_las(fn)
+        assert header["point_data_format_id"] == pdrf
+        assert len(df) == 100
+        np.testing.assert_allclose(df.x, xi * scale[0] + offset[0])
+        np.testing.assert_allclose(df.z, zi * scale[2] + offset[2])
+        assert (df.return_number == 2).all()
+        assert (df.return_max == 3).all()
+        if pdrf < 6:
+            assert df.scan_direction.all()
+
+    def test_laz_rejected(self, tmp_path):
+        fn = str(tmp_path / "t.las")
+        _write_synthetic_las(fn, pdrf=3)
+        data = bytearray(open(fn, "rb").read())
+        data[104] = 3 + 128  # LAZ marker
+        open(fn, "wb").write(bytes(data))
+        with pytest.raises(ValueError, match="LAZ"):
+            read_las(fn)
+
+    def test_record_lengths_match_spec(self):
+        # minimum PDRF sizes from the LAS 1.4 spec (reference key at
+        # neilpy.py:925)
+        expected = {0: 20, 1: 28, 2: 26, 3: 34, 4: 57, 5: 63, 6: 30,
+                    7: 36, 8: 38, 9: 59, 10: 67}
+        for pdrf, size in expected.items():
+            assert las_point_dtype(pdrf).itemsize == size, pdrf
+
+
+def test_worldfile(tmp_path):
+    t = from_origin(100.0, 200.0, 2.0, 2.0)
+    fn = str(tmp_path / "t.pgw")
+    write_worldfile(t, fn)
+    vals = [float(v) for v in open(fn).read().split()]
+    assert vals == [2.0, 0.0, 0.0, -2.0, 101.0, 199.0]
+
+
+def test_paletted_png(tmp_path):
+    from neilpy_tpu.core.codes import geomorphon_cmap
+    from PIL import Image
+    classes = (np.arange(100).reshape(10, 10) % 10 + 1).astype(np.uint8)
+    fn = str(tmp_path / "g.png")
+    write_paletted_png(fn, classes, geomorphon_cmap())
+    im = Image.open(fn)
+    assert im.mode == "P"
+    np.testing.assert_array_equal(np.asarray(im), classes)
+
+
+def test_read_isprs():
+    fn = "/root/reference/sample_data/samp11.txt"
+    if not os.path.exists(fn):
+        pytest.skip("not mounted")
+    df = read_isprs(fn)
+    assert list(df.columns) == ["x", "y", "z", "g"]
+    assert len(df) == 38010
+    assert set(df.g.unique()) <= {0, 1}
