@@ -1,0 +1,335 @@
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+from scipy import stats as sstats
+
+import neilpy_tpu as nt
+from neilpy_tpu.core.codes import disk
+
+
+class TestRasterGi:
+    def _reference_gi(self, X, footprint, star):
+        """generic_filter-based oracle replicating the reference math
+        (neilpy.py:330-421)."""
+        X = X.astype(np.float64)
+        if np.isscalar(footprint):
+            m = footprint
+            fp = np.ones((2 * m + 1, 2 * m + 1), dtype=int)
+            if not star:
+                fp[m, m] = 0
+        else:
+            fp = footprint
+        n = np.sum(np.isfinite(X))
+        if star:
+            gm = np.nanmean(X)
+            gv = np.nanstd(X) ** 2
+        else:
+            gm = (np.nansum(X) - X) / (n - 1)
+            gv = ((np.nansum(X ** 2) - X ** 2) / (n - 1)) - gm ** 2
+        w = ndi.generic_filter(np.isfinite(X).astype(np.float64), np.sum,
+                               footprint=fp, mode="nearest")
+        s = ndi.generic_filter(np.nan_to_num(X), np.sum, footprint=fp,
+                               mode="nearest")
+        a = s - w * gm
+        if star:
+            b = np.sqrt((w / (n - 1)) * (n - w) * gv)
+        else:
+            b = np.sqrt((w / (n - 2)) * (n - 1 - w) * gv)
+        Z = a / b
+        P = sstats.norm.sf(np.abs(Z)) * 2
+        return Z, P
+
+    @pytest.mark.parametrize("star", [True, False])
+    def test_matches_generic_filter(self, terrain, star):
+        Z, P, sig = nt.rasterGi(terrain, footprint=2, star=star)
+        Zr, Pr = self._reference_gi(terrain, 2, star)
+        np.testing.assert_allclose(np.asarray(Z), Zr, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(P), Pr, atol=5e-3)
+
+    def test_disk_footprint_star(self, terrain):
+        Z, P, sig = nt.rasterGi(terrain, footprint=disk(3), star=True)
+        Zr, Pr = self._reference_gi(terrain, disk(3), True)
+        np.testing.assert_allclose(np.asarray(Z), Zr, atol=5e-3)
+
+    def test_sig_bins_range(self, terrain):
+        _, _, sig = nt.rasterGi(terrain, footprint=2, star=True)
+        vals = np.unique(np.asarray(sig)[np.isfinite(np.asarray(sig))])
+        assert set(vals) <= {-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0}
+
+    def test_nan_propagation(self, terrain):
+        X = terrain.copy()
+        X[3, 3] = np.nan
+        Z, P, sig = nt.rasterGi(X, footprint=1, star=True)
+        assert np.isnan(np.asarray(Z)[3, 3])
+        assert np.isnan(np.asarray(sig)[3, 3])
+
+
+def test_gi_formulas():
+    x = np.array([1.0, 2.0, np.nan, 4.0])
+    v = nt.gi_formula(x, 100, 2.0, 1.5)
+    assert np.isfinite(v)
+    v2 = nt.gistar_formula(x, 100, 2.0, 1.5)
+    assert np.isfinite(v2) and v2 != v
+
+
+class TestMorans:
+    def test_positive_autocorrelation(self, terrain):
+        I, E_I, z = nt.morans_i(terrain, footprint=1)
+        assert float(I) > 0.5     # cumsum terrain is strongly correlated
+        assert float(z) > 3
+
+    def test_random_noise_near_zero(self, rng):
+        X = rng.normal(size=(60, 60))
+        I, E_I, z = nt.morans_i(X, footprint=1)
+        assert abs(float(I)) < 0.1
+
+    def test_local_morans(self, terrain):
+        I = nt.local_morans_i(terrain, footprint=2)
+        assert np.asarray(I).shape == terrain.shape
+
+
+def test_rmse():
+    X = np.array([[3.0, 4.0], [np.nan, 0.0]])
+    assert np.isclose(float(nt.rmse(X)), np.sqrt(25 / 4))
+
+
+def test_score(rng):
+    a = rng.integers(0, 2, 3000)
+    b = a.copy()
+    flip = rng.random(3000) < 0.1
+    b[flip] = 1 - b[flip]
+    res = nt.score(a, b, seed=0)
+    assert 0.75 < res["cohen_kappa_score"] < 0.95
+    assert res["confusion_matrix"].shape == (2, 2)
+
+
+def test_shi_landslides(terrain):
+    out = np.asarray(nt.shi_landslides(terrain, radii=[2, 3]))
+    assert out.dtype == bool and out.shape == terrain.shape
+
+
+class TestBdr:
+    def test_identity(self, rng):
+        XY = rng.normal(size=(40, 2))
+        res = nt.bdr(XY, XY)
+        assert np.isclose(res["rsquare"], 1.0)
+        assert np.isclose(res["scale"], 1.0)
+        assert np.isclose(res["theta"], 0.0)
+
+    def test_known_rotation_scale(self, rng):
+        XY = rng.normal(size=(60, 2))
+        th = np.deg2rad(30)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        AB = 2.0 * XY @ R.T + np.array([5.0, -3.0])
+        res = nt.bdr(XY, AB)
+        assert np.isclose(res["scale"], 2.0, atol=1e-6)
+        assert np.isclose(abs(res["theta"]), 30.0, atol=1e-4)
+        assert np.isclose(res["rsquare"], 1.0)
+
+    def test_bootstrap_runs(self, rng):
+        XY = rng.normal(size=(10, 2))
+        AB = rng.normal(size=(15, 2))
+        rsq, DI = nt.bdr_bootstrap(XY, AB, k=5, seed=0)
+        assert len(rsq) == 5 and np.isfinite(DI).all()
+
+
+def test_chamfer_and_hungarian(rng):
+    x = rng.normal(size=(50, 2))
+    assert nt.chamfer_distance(x, x) == 0.0
+    y = x + 0.001
+    assert nt.chamfer_distance(x, y, direction="x_to_y") < 0.01
+    rows, cols, costs = nt.hungarian_algorithm(x, y[::-1])
+    assert (x[rows] - y[::-1][cols]).max() < 0.01
+
+
+class TestViz:
+    def test_swiss_shading_shape(self, terrain):
+        rgb = np.asarray(nt.swiss_shading(terrain))
+        assert rgb.shape == terrain.shape + (3,)
+        assert rgb.dtype == np.uint8
+
+    def test_swiss_shading_with_reference_lut(self, terrain):
+        import os
+        lut_fn = "/root/reference/neilpy/swiss_shading_lookup.png"
+        if not os.path.exists(lut_fn):
+            pytest.skip("reference LUT not mounted")
+        rgb = np.asarray(nt.swiss_shading(terrain, lut=lut_fn))
+        assert rgb.shape == terrain.shape + (3,)
+
+    def test_corner_lut_corners(self):
+        from neilpy_tpu.viz.shading import CORNER_SPECS, corner_lut
+        lut = corner_lut(CORNER_SPECS["swiss"])
+        assert lut.shape == (256, 256, 3)
+        np.testing.assert_array_equal(lut[0, 0], CORNER_SPECS["swiss"][0])
+        np.testing.assert_array_equal(lut[0, 255], CORNER_SPECS["swiss"][1])
+        np.testing.assert_array_equal(lut[255, 0], CORNER_SPECS["swiss"][2])
+        np.testing.assert_array_equal(lut[255, 255], CORNER_SPECS["swiss"][3])
+
+    def test_colortable_named_specs(self, terrain):
+        for name in ("swiss", "gray", "bare_earth_dark"):
+            rgb = np.asarray(nt.colortable_shade(terrain, name=name))
+            assert rgb.shape == terrain.shape + (3,)
+
+    def test_brassel(self, terrain):
+        H = np.asarray(nt.hillshade(terrain))
+        out = np.asarray(nt.brassel_atmospheric_perspective(H, terrain, 2))
+        assert out.dtype == np.uint8
+        assert out.shape == H.shape
+        with pytest.raises(ValueError):
+            nt.brassel_atmospheric_perspective(H, terrain, 0.5)
+
+
+class TestGeo:
+    def test_utm_roundtrip(self):
+        lon = np.array([-80.4, -82.9])
+        lat = np.array([37.2, 36.1])
+        x, y = nt.coord_transform(lon, lat, 4326, 32617)
+        lon2, lat2 = nt.coord_transform(x, y, 32617, 4326)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_utm_known_value(self):
+        # zone central meridian: easting must be exactly 500000
+        x, y = nt.coord_transform(-81.0, 40.0, 4326, 32617)
+        assert np.isclose(x, 500000.0, atol=1e-6)
+
+    def test_southern_hemisphere(self):
+        x, y = nt.coord_transform(173.0, -41.0, 4326, 32759)
+        assert y > 5e6  # false northing applied
+
+    def test_great_circle(self):
+        d = nt.great_circle_distance(0.0, 0.0, 0.0, 90.0)
+        assert np.isclose(d, np.pi / 2 * 6372795, rtol=1e-6)
+
+    def test_geodesic_azimuth(self):
+        fwd, back, dist = nt.geodesic_inverse(0.0, 0.0, 1.0, 1.0)
+        assert 0 < fwd < 90
+        assert np.isclose(dist, 156899.6, atol=100)
+
+
+class TestGnssPhoto:
+    def test_read_llh(self, tmp_path):
+        content = (
+            "2023/05/01 12:00:00.000  37.1 -80.4 600.0 1 10 "
+            "0.01 0.01 0.02 0 0 0 0.5 3.1\n"
+            "2023/05/01 12:00:01.000  37.2 -80.5 601.0 2 10 "
+            "0.01 0.01 0.02 0 0 0 0.5 3.1\n")
+        fn = tmp_path / "log.llh"
+        fn.write_text(content)
+        df = nt.read_llh(str(fn))
+        assert df.lat.iloc[0] == 37.1
+        assert "datetime_utc" in df
+        # GPS->UTC -18s
+        delta = (df.datetime_gps - df.datetime_utc).dt.total_seconds()
+        assert (delta == 18).all()
+
+    def test_ypr2opk_cardinal(self):
+        o, p, k = nt.ypr2opk(0.0, -90.0)   # nadir, north heading
+        assert np.isclose(k, 0.0)
+        assert np.isclose(np.hypot(o, p), 0.0, atol=1e-10)
+        o, p, k = nt.ypr2opk(90.0, -45.0)
+        assert np.isclose(k, -90.0)
+
+    def test_track2azimuth(self):
+        lat = np.array([0.0, 1.0, 2.0])
+        lon = np.array([0.0, 0.0, 0.0])
+        az = nt.track2azimuth(lat, lon)
+        np.testing.assert_allclose(az, 0.0, atol=1e-9)
+
+    def test_gopro_fix(self):
+        import pandas as pd
+        times = pd.to_datetime(["2023-01-01 00:00:00"] * 2
+                               + ["2023-01-01 00:00:01"] * 3)
+        fixed = nt.fix_gopro_bad_time_resolution2(pd.Series(times), 18)
+        subsec = (fixed - fixed.dt.floor("s")).dt.total_seconds()
+        np.testing.assert_allclose(subsec, [0.25, 0.75, 1/6, 0.5, 5/6],
+                                   atol=1e-9)
+
+    def test_exif_dd_roundtrip(self):
+        tup = nt.dd_to_exif_tuple(-80.123456)
+        deg = tup[0][0] + tup[1][0] / 60 + tup[2][0] / tup[2][1] / 3600
+        assert np.isclose(deg, 80.123456, atol=1e-6)
+
+    def test_exif_dict_to_dd(self):
+        d = {"GPS": {1: b"N", 2: ((37, 1), (13, 1), (480000, 10000)),
+                     3: b"W", 4: ((80, 1), (25, 1), (120000, 10000)),
+                     5: 0, 6: (6000, 10)},
+             "Exif": {36867: b"2023:05:01 12:00:00"}}
+        lon, lat, alt, gpstime, gpsdate, clock = nt.exif_dict_to_dd(d)
+        assert np.isclose(lat, 37 + 13 / 60 + 48 / 3600)
+        assert np.isclose(lon, -(80 + 25 / 60 + 12 / 3600))
+        assert alt == 600.0
+        assert clock == "2023:05:01 12:00:00"
+
+    def test_posprocessor(self):
+        import pandas as pd
+        pos = pd.DataFrame({
+            "datetime_utc": pd.to_datetime(
+                ["2023-01-01 00:00:%02d" % s for s in range(10)]),
+            "lat": np.linspace(37, 37.09, 10),
+            "lon": np.linspace(-80, -80.09, 10),
+            "alt": np.linspace(600, 609, 10),
+            "Q": [1] * 10})
+        survey = pd.DataFrame({
+            "Name": ["p1"],
+            "Collection Start": ["2023-01-01 00:00:01"],
+            "Collection End": ["2023-01-01 00:00:08"]})
+        out = nt.posprocessor(survey, pos)
+        assert len(out) == 1
+        assert 37.0 < out.lat.iloc[0] < 37.09
+
+
+def test_voxelize(rng):
+    n = 2000
+    x = rng.uniform(0, 10, n)
+    y = rng.uniform(0, 10, n)
+    z = rng.uniform(0, 5, n)
+    V = nt.voxelize(None, x, y, z, resolution=20, bottom_fill=True)
+    assert V.ndim == 3
+    assert V.any()
+    # bottom fill: every column with any voxel is filled from z=0
+    occ = V.any(axis=2)
+    assert (V[:, :, 0][occ]).all()
+
+
+def test_filters_module(terrain):
+    import scipy.ndimage as ndi
+    from neilpy_tpu import filters
+    S = ndi.generic_filter(terrain, filters.esri_planar_slope, size=3,
+                           mode="nearest")
+    assert np.isfinite(S).all()
+    tri = filters.terrain_ruggedness(np.arange(9.0))
+    assert tri > 0
+    # life: a blinker oscillates
+    board = np.zeros((5, 5))
+    board[2, 1:4] = 1
+    nxt = ndi.generic_filter(board, filters.life_filter, size=3,
+                             mode="constant")
+    assert (nxt[1:4, 2] == 1).all()
+
+
+def test_public_api_surface():
+    """Every name the reference exports must exist here
+    (reference neilpy/__init__.py:1)."""
+    reference_names = """coord_transform imread imwrite gi_formula
+    gistar_formula rasterGi esri_slope edges_from_IT slope aspect
+    curvature esri_curvature zevenbergen_and_thorne_curvature
+    evans_curvature wilson_gallant_curvature hillshade
+    multiple_illumination pssm z_factor great_circle_distance read_las
+    create_dem inpaint_nans_by_fda unique_rows inpaint_nans_by_springs
+    inpaint_nearest ashift progressive_window openness skyview_factor
+    ternary_pattern_from_openness int2base get_lowest_equivalent
+    terrain_code_to_geomorphon geomorphon_cmap geomorphon_cmap_old
+    write_worldfile geomorphons2 count_openness geomorphons
+    progressive_filter smrf triangle_height vip_score swiss_shading
+    colortable_shade rmse cutter normalize
+    brassel_atmospheric_perspective reduce_peaks
+    topographic_position_index read_llh read_pos exif_dict_to_dd
+    dd_to_exif_tuple read_geotags_into_df stringify_time
+    fix_gopro_bad_time_resolution set_print_options ypr2opk
+    track2azimuth distance_kernel scaled_morphometry score
+    shi_landslides posprocessor voxelize ppk_images
+    fix_gopro_bad_time_resolution2 bdr chamfer_distance
+    hungarian_algorithm bdr_bootstrap""".split()
+    missing = [n for n in reference_names if not hasattr(nt, n)]
+    assert not missing, f"missing API parity names: {missing}"
