@@ -1,0 +1,129 @@
+"""Benchmark harness: prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Primary metric: geomorphon classification throughput (Mpix/s) at
+lookup_pixels=50 — the reference's headline workload (Poland 30 m
+EU-DEM at lookup=50 took ~26-42 min for ~1e8 px on CPU, i.e.
+~0.2 Mpix/s; BASELINE.md).  Runs on whatever jax.devices() provides
+(the real TPU chip under the driver).
+
+Secondary numbers (printed as comments on stderr): point-gridding
+throughput and SMRF wall time on ISPRS samp12.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MPIX_S = 0.2  # reference CPU: ~1e8 px / ~30 min at lookup=50
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def bench_geomorphons():
+    import jax
+    import jax.numpy as jnp
+    from neilpy_tpu.ops.visibility import geomorphons
+
+    H, W = 2048, 4096
+    lookup = 50
+    rng = np.random.default_rng(0)
+    Z = rng.normal(size=(H, W)).astype(np.float32)
+    Z = np.cumsum(Z, axis=0) + np.cumsum(Z, axis=1)
+    Zd = jax.device_put(jnp.asarray(Z))
+
+    t0 = time.time()
+    G = geomorphons(Zd, cellsize=10, lookup_pixels=lookup,
+                    threshold_angle=1)
+    G.block_until_ready()
+    log(f"geomorphons compile+first run: {time.time() - t0:.1f}s")
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        G = geomorphons(Zd, cellsize=10, lookup_pixels=lookup,
+                        threshold_angle=1)
+        G.block_until_ready()
+        times.append(time.time() - t0)
+    dt = min(times)
+    mpix_s = H * W / dt / 1e6
+    log(f"geomorphons {H}x{W} lookup={lookup}: {dt * 1e3:.1f} ms "
+        f"= {mpix_s:.0f} Mpix/s")
+    return mpix_s
+
+
+def bench_gridding():
+    import jax
+    from neilpy_tpu.ops.pointgrid import bin_points, scatter_reduce
+
+    n = 20_000_000
+    rng = np.random.default_rng(1)
+    x = rng.uniform(500000, 502000, n)
+    y = rng.uniform(4200000, 4202000, n)
+    z = rng.normal(300, 30, n).astype(np.float32)
+
+    t0 = time.time()
+    flat, valid, (ny, nx), t = bin_points(x, y, cellsize=1)
+    t_bin = time.time() - t0
+
+    import jax.numpy as jnp
+    flat_d = jax.device_put(jnp.asarray(flat, dtype=jnp.int32))
+    z_d = jax.device_put(jnp.asarray(z))
+    v_d = jax.device_put(jnp.asarray(valid))
+    g = scatter_reduce(flat_d, z_d, v_d, ny * nx, "min")
+    g.block_until_ready()
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        g = scatter_reduce(flat_d, z_d, v_d, ny * nx, "min")
+        g.block_until_ready()
+        times.append(time.time() - t0)
+    mpts = n / min(times) / 1e6
+    log(f"gridding: host binning {n/t_bin/1e6:.0f} Mpts/s, device "
+        f"scatter-min {mpts:.0f} Mpts/s ({ny}x{nx} grid)")
+    return mpts
+
+
+def bench_smrf():
+    import pandas as pd
+    from neilpy_tpu.pipelines.smrf import smrf
+    fn = "/root/reference/sample_data/samp12.txt"
+    try:
+        df = pd.read_csv(fn, header=None, names=["x", "y", "z", "g"],
+                         delimiter="\t")
+    except FileNotFoundError:
+        return None
+    t0 = time.time()
+    _, _, _, pts = smrf(df.x, df.y, df.z, 1, 18, .15, .5, 1.25)
+    pts = np.asarray(pts)
+    dt = time.time() - t0
+    err = 1 - np.mean(pts == df.g)
+    log(f"smrf samp12 (52k pts, windows=18): {dt:.1f}s, "
+        f"total error {100 * err:.3f}% (published ref: 3.091%)")
+    return dt, err
+
+
+def main():
+    mpix_s = bench_geomorphons()
+    try:
+        bench_gridding()
+    except Exception as e:
+        log("gridding bench failed:", e)
+    try:
+        bench_smrf()
+    except Exception as e:
+        log("smrf bench failed:", e)
+    print(json.dumps({
+        "metric": "geomorphons_throughput_lookup50",
+        "value": round(mpix_s, 1),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Sharded (multi-chip) raster pipelines over a 2-D device mesh.
+
+This is the TPU-native replacement for the reference's
+``apply_parallel(func, Z, tile_size, overlap)`` tiling
+(test_neilpy.py:45, SURVEY.md §2.5): the DEM lives sharded across the
+mesh, stencils run under ``shard_map`` after an ICI halo exchange sized
+by the stencil radius, and outputs stay sharded for downstream stages.
+The tiled==untiled property the reference trusted ``apply_parallel``
+to preserve is asserted by the test suite on a virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .halo import halo_exchange_2d, block_origin
+from ..ops.visibility import directional_ratio_extrema, _angles_from_extrema
+from ..core.codes import jasiewicz_stepinski_table
+
+__all__ = ["make_mesh", "sharded_geomorphons", "sharded_openness",
+           "sharded_hillshade", "pad_to_mesh", "sharded_apply"]
+
+from .halo import sharded_apply  # re-export
+
+
+def make_mesh(devices=None, shape=None, axis_names=("ty", "tx")):
+    """Build a 2-D mesh from the available devices (factored as close
+    to square as possible unless ``shape`` is given)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        ny = int(np.floor(np.sqrt(n)))
+        while n % ny:
+            ny -= 1
+        shape = (ny, n // ny)
+    devs = np.asarray(devices[: shape[0] * shape[1]]).reshape(shape)
+    return Mesh(devs, axis_names)
+
+
+def pad_to_mesh(Z, mesh, axis_names=("ty", "tx"), fill=jnp.nan):
+    """Pad a raster on the bottom/right so both dims divide the mesh.
+    Returns (padded, original_shape)."""
+    ny = mesh.shape[axis_names[0]]
+    nx = mesh.shape[axis_names[1]]
+    H, W = Z.shape
+    Hp = -(-H // ny) * ny
+    Wp = -(-W // nx) * nx
+    if (Hp, Wp) != (H, W):
+        Z = jnp.pad(jnp.asarray(Z), ((0, Hp - H), (0, Wp - W)),
+                    constant_values=fill)
+    return Z, (H, W)
+
+
+@partial(jax.jit, static_argnames=("mesh", "lookup_pixels", "axis_names",
+                                   "global_shape"))
+def _sharded_counts(Zs, mesh, cellsize, lookup_pixels, threshold_angle,
+                    global_shape, axis_names=("ty", "tx")):
+    ny = mesh.shape[axis_names[0]]
+    nx = mesh.shape[axis_names[1]]
+    bh = global_shape[0] // ny
+    bw = global_shape[1] // nx
+    r = int(lookup_pixels)
+
+    def local(block):
+        oy, ox = block_origin((bh, bw), axis_names)
+        padded = halo_exchange_2d(block, r, axis_names, (ny, nx),
+                                  mode="zero")
+        mx, mn, seen = directional_ratio_extrema(
+            padded, cellsize=cellsize, lookup_pixels=r,
+            origin=(oy - r, ox - r), global_shape=global_shape)
+        pos = jnp.rad2deg(_angles_from_extrema(mx, seen))
+        neg = jnp.rad2deg(_angles_from_extrema(-mn, seen))
+        diff = pos - neg
+        t = jnp.float32(threshold_angle)
+        num_pos = jnp.sum(diff > t, axis=0).astype(jnp.uint8)
+        num_neg = jnp.sum(diff < -t, axis=0).astype(jnp.uint8)
+        return (num_pos[r:r + bh, r:r + bw], num_neg[r:r + bh, r:r + bw])
+
+    spec = P(*axis_names)
+    return shard_map(local, mesh=mesh, in_specs=(spec,),
+                     out_specs=(spec, spec))(Zs)
+
+
+def sharded_geomorphons(Z, mesh=None, cellsize=1, lookup_pixels=1,
+                        threshold_angle=1, axis_names=("ty", "tx")):
+    """Geomorphon classification sharded over a device mesh — the
+    multi-chip analog of ``geomorphons`` (bit-identical to the
+    single-device kernel; asserted in tests)."""
+    if mesh is None:
+        mesh = make_mesh()
+    Zp, orig = pad_to_mesh(jnp.asarray(Z, dtype=jnp.float32), mesh,
+                           axis_names)
+    spec = P(*axis_names)
+    Zs = jax.device_put(Zp, NamedSharding(mesh, spec))
+    num_pos, num_neg = _sharded_counts(
+        Zs, mesh, jnp.float32(cellsize), int(lookup_pixels),
+        jnp.float32(threshold_angle), tuple(Zp.shape), axis_names)
+    lut = jnp.asarray(jasiewicz_stepinski_table())
+    G = lut[num_pos.astype(jnp.int32), num_neg.astype(jnp.int32)]
+    return G[: orig[0], : orig[1]]
+
+
+def sharded_openness(Z, mesh=None, cellsize=1, lookup_pixels=1,
+                     axis_names=("ty", "tx")):
+    """Positive openness sharded over a device mesh."""
+    if mesh is None:
+        mesh = make_mesh()
+    Zp, orig = pad_to_mesh(jnp.asarray(Z, dtype=jnp.float32), mesh,
+                           axis_names)
+    ny = mesh.shape[axis_names[0]]
+    nx = mesh.shape[axis_names[1]]
+    bh, bw = Zp.shape[0] // ny, Zp.shape[1] // nx
+    r = int(lookup_pixels)
+    gshape = tuple(Zp.shape)
+
+    def local(block):
+        oy, ox = block_origin((bh, bw), axis_names)
+        padded = halo_exchange_2d(block, r, axis_names, (ny, nx),
+                                  mode="zero")
+        mx, _, seen = directional_ratio_extrema(
+            padded, cellsize=jnp.float32(cellsize), lookup_pixels=r,
+            origin=(oy - r, ox - r), global_shape=gshape)
+        ang = jnp.rad2deg(jnp.mean(_angles_from_extrema(mx, seen),
+                                   axis=0))
+        return ang[r:r + bh, r:r + bw]
+
+    spec = P(*axis_names)
+    Zs = jax.device_put(Zp, NamedSharding(mesh, spec))
+    out = shard_map(local, mesh=mesh, in_specs=(spec,),
+                    out_specs=spec)(Zs)
+    return out[: orig[0], : orig[1]]
+
+
+def sharded_hillshade(Z, mesh=None, cellsize=1, z_factor=1, zenith=45,
+                      azimuth=315, axis_names=("ty", "tx")):
+    """Hillshade sharded over a device mesh.  Radius-1 halo with linear
+    extrapolation reproduces np.gradient's one-sided edge differences
+    at the global boundary exactly."""
+    from ..ops.surface import hillshade
+    if mesh is None:
+        mesh = make_mesh()
+    from .halo import sharded_apply as _apply
+    Zp, orig = pad_to_mesh(jnp.asarray(Z, dtype=jnp.float32), mesh,
+                           axis_names, fill=0.0)
+    out = _apply(lambda b: hillshade(b, cellsize=cellsize,
+                                     z_factor=z_factor, zenith=zenith,
+                                     azimuth=azimuth),
+                 Zp, mesh, radius=1, mode="linear",
+                 axis_names=axis_names)
+    return out[: orig[0], : orig[1]]

@@ -1,0 +1,97 @@
+"""Host-orchestrated tiling for rasters bigger than device memory,
+with tile-granular checkpoint/resume.
+
+This is the single-chip complement to the mesh sharding in
+``dist.api``: the reference used ``apply_parallel(func, Z, tile,
+overlap)`` (test_neilpy.py:45) both for parallelism *and* for memory;
+on TPU the mesh handles parallelism, and this module handles the
+out-of-core case — stream overlapping tiles through the device,
+writing results into a (memory-mapped) output with optional completed-
+tile tracking so a 100k x 100k mosaic job can resume after
+interruption (SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+__all__ = ["tiled_apply", "TileCheckpoint"]
+
+
+class TileCheckpoint:
+    """Tracks completed tiles in a sidecar JSON so an interrupted tiled
+    run resumes where it left off."""
+
+    def __init__(self, path):
+        self.path = path
+        self.done = set()
+        if path and os.path.exists(path):
+            self.done = set(map(tuple, json.load(open(path))))
+
+    def is_done(self, key):
+        return tuple(key) in self.done
+
+    def mark(self, key):
+        self.done.add(tuple(key))
+        if self.path:
+            tmp = self.path + ".tmp"
+            json.dump(sorted(self.done), open(tmp, "w"))
+            os.replace(tmp, self.path)
+
+
+def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
+                checkpoint=None, progress=False):
+    """Apply ``fn`` (array -> array, same HxW) to overlapping tiles of
+    ``Z``, cropping the overlap — semantics of
+    ``skimage.util.apply_parallel(fn, Z, tile_size, overlap)``
+    as used by the reference (test_neilpy.py:35-47).
+
+    ``out`` may be a preallocated (memory-mapped) array; ``checkpoint``
+    a path for tile-granular resume.  ``fn`` typically wraps a jitted
+    kernel; tiles have uniform shape (edge tiles are padded, then
+    cropped) so one compilation serves every tile.
+    """
+    Z = np.asarray(Z)
+    H, W = Z.shape
+    ts = int(tile_size)
+    ov = int(overlap)
+    if out is None:
+        probe = None
+        out = None
+    ckpt = TileCheckpoint(checkpoint) if checkpoint else None
+
+    n_ty = -(-H // ts)
+    n_tx = -(-W // ts)
+    for ty in range(n_ty):
+        for tx in range(n_tx):
+            key = (ty, tx)
+            if ckpt and ckpt.is_done(key):
+                continue
+            r0, c0 = ty * ts, tx * ts
+            r1, c1 = min(r0 + ts, H), min(c0 + ts, W)
+            # overlapped read window, clipped to the raster
+            rr0, cc0 = max(r0 - ov, 0), max(c0 - ov, 0)
+            rr1, cc1 = min(r1 + ov, H), min(c1 + ov, W)
+            block = Z[rr0:rr1, cc0:cc1]
+            # pad to the uniform (ts + 2 ov) shape so jit reuses one
+            # compilation; edge replication preserves local stencils
+            ph = (ov - (r0 - rr0), ov - (rr1 - r1))
+            pw = (ov - (c0 - cc0), ov - (cc1 - c1))
+            fh = ts - (r1 - r0)
+            fw = ts - (c1 - c0)
+            block = np.pad(block, ((ph[0], ph[1] + fh),
+                                   (pw[0], pw[1] + fw)), mode="edge")
+            res = np.asarray(fn(block))
+            res = res[ov:ov + (r1 - r0), ov:ov + (c1 - c0)]
+            if out is None:
+                out_dtype = out_dtype or res.dtype
+                out = np.empty((H, W), dtype=out_dtype)
+            out[r0:r1, c0:c1] = res
+            if ckpt:
+                ckpt.mark(key)
+            if progress:
+                print(f"tile {key} / ({n_ty},{n_tx})", flush=True)
+    return out

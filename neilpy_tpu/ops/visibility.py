@@ -50,10 +50,10 @@ __all__ = [
 # Core fused scan
 # ----------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("lookup_pixels", "directions", "fast",
-                                   "how_fast"))
+                                   "how_fast", "global_shape"))
 def directional_ratio_extrema(Z, cellsize=1.0, lookup_pixels=1,
                               directions=tuple(range(8)), fast=False,
-                              how_fast=20):
+                              how_fast=20, origin=None, global_shape=None):
     """Running max/min of ``(Z[p + d*L] - Z[p]) / (cellsize * L * w_d)``
     over the scan ladder L, per direction.
 
@@ -67,6 +67,14 @@ def directional_ratio_extrema(Z, cellsize=1.0, lookup_pixels=1,
     Dense ladders use a ``scan`` carrying per-direction rolled copies
     (static roll-by-1 per step); the 'fast' geometric ladder
     (neilpy.py:1341-1342) is unrolled with static roll-by-L.
+
+    Sharded execution: pass ``origin`` (traced global row/col of local
+    pixel (0,0)) and static ``global_shape`` so boundary masks are
+    evaluated in *global* coordinates — a halo-padded block then
+    produces bit-identical extrema to the single-device kernel (used by
+    dist.sharded_geomorphons).  Rolls wrap within the padded block, but
+    every in-global source within ``lookup_pixels`` lives in the halo,
+    and wrapped garbage is masked to the boundary-zero contribution.
     """
     Z = jnp.asarray(Z, dtype=jnp.float32)
     H, W = Z.shape
@@ -79,6 +87,10 @@ def directional_ratio_extrema(Z, cellsize=1.0, lookup_pixels=1,
 
     rows = lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    if origin is not None:
+        rows = rows + origin[0]
+        cols = cols + origin[1]
+    GH, GW = global_shape if global_shape is not None else (H, W)
 
     def contribute(mx_d, mn_d, seen_d, zs_d, L, d):
         dr, dc = OFFSETS[d]
@@ -87,7 +99,7 @@ def directional_ratio_extrema(Z, cellsize=1.0, lookup_pixels=1,
         Lf = Li.astype(jnp.float32)
         sr = rows + dr * Li
         sc = cols + dc * Li
-        valid = (sr >= 0) & (sr < H) & (sc >= 0) & (sc < W)
+        valid = (sr >= 0) & (sr < GH) & (sc >= 0) & (sc < GW)
         ratio = (zs_d - Z) / (cellsize * w * Lf)
         ratio = jnp.where(valid, ratio, 0.0)
         ok = ~jnp.isnan(ratio)
@@ -96,9 +108,11 @@ def directional_ratio_extrema(Z, cellsize=1.0, lookup_pixels=1,
         seen_d = seen_d | ok
         return mx_d, mn_d, seen_d
 
-    mx0 = [jnp.full((H, W), neg_inf) for _ in dirs]
-    mn0 = [jnp.full((H, W), pos_inf) for _ in dirs]
-    seen0 = [jnp.zeros((H, W), dtype=bool) for _ in dirs]
+    # *_like(Z) so the carries inherit Z's sharding/varying-axes type
+    # (required for scan type agreement under shard_map)
+    mx0 = [jnp.full_like(Z, neg_inf) for _ in dirs]
+    mn0 = [jnp.full_like(Z, pos_inf) for _ in dirs]
+    seen0 = [jnp.zeros_like(Z, dtype=bool) for _ in dirs]
 
     if fast:
         ladder = [int(v) for v in progressive_window(1, lookup_pixels,

@@ -14,16 +14,39 @@ bicubic point lift all run as jitted device programs.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import numpy as np
 import jax.numpy as jnp
 
 from ..ops.pointgrid import create_dem
 from ..ops.inpaint import inpaint_nans_by_springs
-from ..ops.morphology import opening_disk
+from ..ops.morphology import _disk_morph
 from ..ops.spline import spline_coefficients_2d, spline_ev_2d
 from ..core.shift import gradient2d
 
 __all__ = ["progressive_filter", "smrf"]
+
+
+@partial(jax.jit, static_argnames=("windows", "return_when_dropped"))
+def _progressive_ladder(Z, windows, thresholds, return_when_dropped):
+    """The whole opening ladder fused into ONE jitted program (one
+    compile instead of one per radius — the per-radius jits cost
+    ~10 s each through the TPU tunnel)."""
+    last_surface = Z
+    is_object = jnp.zeros(Z.shape, dtype=bool)
+    when_dropped = jnp.zeros(Z.shape, dtype=jnp.uint8)
+    for i, window in enumerate(windows):
+        opened = _disk_morph(_disk_morph(last_surface, window,
+                                         jnp.minimum),
+                             window, jnp.maximum)
+        new_obj = (last_surface - opened) > thresholds[i]
+        is_object = is_object | new_obj
+        if return_when_dropped:
+            when_dropped = jnp.where(new_obj, jnp.uint8(i), when_dropped)
+        last_surface = opened
+    return is_object, when_dropped
 
 
 def progressive_filter(Z, windows, cellsize=1, slope_threshold=.15,
@@ -39,17 +62,11 @@ def progressive_filter(Z, windows, cellsize=1, slope_threshold=.15,
     """
     windows = np.atleast_1d(np.asarray(windows))
     Z = jnp.asarray(Z, dtype=jnp.float32)
-    last_surface = Z
-    thresholds = slope_threshold * (windows * cellsize)
-    is_object = jnp.zeros(Z.shape, dtype=bool)
-    when_dropped = jnp.zeros(Z.shape, dtype=jnp.uint8)
-    for i, window in enumerate(windows):
-        opened = opening_disk(last_surface, int(window))
-        new_obj = (last_surface - opened) > jnp.float32(thresholds[i])
-        is_object = is_object | new_obj
-        if return_when_dropped:
-            when_dropped = jnp.where(new_obj, jnp.uint8(i), when_dropped)
-        last_surface = opened
+    thresholds = jnp.asarray(slope_threshold * (windows * cellsize),
+                             dtype=jnp.float32)
+    is_object, when_dropped = _progressive_ladder(
+        Z, tuple(int(w) for w in windows), thresholds,
+        bool(return_when_dropped))
     if return_when_dropped:
         return is_object, when_dropped
     return is_object

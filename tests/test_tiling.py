@@ -1,0 +1,58 @@
+import numpy as np
+
+from neilpy_tpu.dist.tiling import tiled_apply, TileCheckpoint
+from neilpy_tpu.ops.surface import hillshade
+from neilpy_tpu.ops.visibility import geomorphons
+
+
+def test_tiled_hillshade_matches_interior(rng):
+    Z = rng.normal(size=(100, 130)).cumsum(axis=0).astype(np.float32)
+    full = np.asarray(hillshade(Z, cellsize=2))
+    tiled = tiled_apply(lambda b: hillshade(b, cellsize=2), Z,
+                        tile_size=40, overlap=4)
+    # interior matches exactly; the global border differs because tile
+    # edge-padding approximates np.gradient's one-sided edge stencil
+    assert (tiled[4:-4, 4:-4] == full[4:-4, 4:-4]).all()
+
+
+def test_tiled_geomorphons(rng):
+    Z = rng.normal(size=(90, 110)).cumsum(axis=0).cumsum(axis=1)
+    Z = Z.astype(np.float32)
+    lookup = 5
+    full = np.asarray(geomorphons(Z, lookup_pixels=lookup))
+    tiled = tiled_apply(lambda b: geomorphons(b, lookup_pixels=lookup),
+                        Z, tile_size=40, overlap=lookup)
+    k = lookup
+    assert (tiled[k:-k, k:-k] == full[k:-k, k:-k]).all()
+
+
+def test_checkpoint_resume(tmp_path, rng):
+    Z = rng.normal(size=(60, 60)).astype(np.float32)
+    ck = str(tmp_path / "tiles.json")
+    calls = []
+
+    def fn(b):
+        calls.append(1)
+        return b * 2
+
+    out1 = tiled_apply(fn, Z, tile_size=20, overlap=2, checkpoint=ck)
+    n_first = len(calls)
+    assert n_first == 9
+    # resume: nothing left to do
+    out2 = tiled_apply(fn, Z, tile_size=20, overlap=2, checkpoint=ck,
+                       out=out1)
+    assert len(calls) == n_first
+    np.testing.assert_array_equal(out1, Z * 2)
+
+
+def test_partial_resume(tmp_path, rng):
+    Z = rng.normal(size=(40, 40)).astype(np.float32)
+    ck = str(tmp_path / "t.json")
+    c = TileCheckpoint(ck)
+    c.mark((0, 0))
+    out = np.zeros_like(Z)
+    tiled_apply(lambda b: b + 1, Z, tile_size=20, overlap=0, out=out,
+                checkpoint=ck)
+    # tile (0,0) skipped (stays zero), others computed
+    assert (out[:20, :20] == 0).all()
+    assert (out[20:, 20:] == Z[20:, 20:] + 1).all()
