@@ -24,10 +24,22 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _timeit(f, k=5):
+    """Robust device timing: a host readback terminates the chain
+    (block_until_ready alone under-reports through the axon tunnel)."""
+    np.asarray(f())  # warm + sync
+    t0 = time.time()
+    for _ in range(k - 1):
+        f()
+    np.asarray(f())
+    return (time.time() - t0) / k
+
+
 def bench_geomorphons():
     import jax
     import jax.numpy as jnp
     from neilpy_tpu.ops.visibility import geomorphons
+    from neilpy_tpu.ops.pallas_scan import geomorphons_pallas
 
     H, W = 2048, 4096
     lookup = 50
@@ -36,24 +48,34 @@ def bench_geomorphons():
     Z = np.cumsum(Z, axis=0) + np.cumsum(Z, axis=1)
     Zd = jax.device_put(jnp.asarray(Z))
 
-    t0 = time.time()
-    G = geomorphons(Zd, cellsize=10, lookup_pixels=lookup,
-                    threshold_angle=1)
-    G.block_until_ready()
-    log(f"geomorphons compile+first run: {time.time() - t0:.1f}s")
+    on_tpu = jax.default_backend() == "tpu"
+    results = {}
 
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        G = geomorphons(Zd, cellsize=10, lookup_pixels=lookup,
-                        threshold_angle=1)
-        G.block_until_ready()
-        times.append(time.time() - t0)
-    dt = min(times)
-    mpix_s = H * W / dt / 1e6
-    log(f"geomorphons {H}x{W} lookup={lookup}: {dt * 1e3:.1f} ms "
-        f"= {mpix_s:.0f} Mpix/s")
-    return mpix_s
+    if on_tpu:
+        try:
+            t0 = time.time()
+            np.asarray(geomorphons_pallas(Zd, cellsize=10,
+                                          lookup_pixels=lookup))
+            log(f"pallas compile+first run: {time.time() - t0:.1f}s")
+            dt = _timeit(lambda: geomorphons_pallas(
+                Zd, cellsize=10, lookup_pixels=lookup))
+            results["pallas"] = H * W / dt / 1e6
+            log(f"pallas geomorphons {H}x{W} lookup={lookup}: "
+                f"{dt * 1e3:.1f} ms = {results['pallas']:.0f} Mpix/s")
+        except Exception as e:
+            log("pallas path failed:", str(e)[:200])
+
+    t0 = time.time()
+    np.asarray(geomorphons(Zd, cellsize=10, lookup_pixels=lookup,
+                           threshold_angle=1))
+    log(f"xla compile+first run: {time.time() - t0:.1f}s")
+    dt = _timeit(lambda: geomorphons(Zd, cellsize=10,
+                                     lookup_pixels=lookup,
+                                     threshold_angle=1))
+    results["xla"] = H * W / dt / 1e6
+    log(f"xla geomorphons {H}x{W} lookup={lookup}: {dt * 1e3:.1f} ms "
+        f"= {results['xla']:.0f} Mpix/s")
+    return max(results.values())
 
 
 def bench_gridding():

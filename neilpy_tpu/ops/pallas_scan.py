@@ -47,18 +47,20 @@ except Exception:  # pragma: no cover
 __all__ = ["openness_counts_pallas", "geomorphons_pallas", "HAS_PALLAS"]
 
 
-def _counts_kernel(Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW, R, H, W,
-                   cellsize, threshold_deg):
+def _counts_kernel(Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW, R, RR, RC,
+                   H, W, cellsize, threshold_deg):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
+    # window DMA: slice extents/offsets are aligned to the (8, 128)
+    # VMEM tiling by construction (RR = R rounded to 8, RC to 128)
     dma = pltpu.make_async_copy(
-        Z_hbm.at[pl.ds(i * TH, TH + 2 * R), pl.ds(j * TW, TW + 2 * R)],
+        Z_hbm.at[pl.ds(i * TH, TH + 2 * RR), pl.ds(j * TW, TW + 2 * RC)],
         win, sem)
     dma.start()
     dma.wait()
 
-    core = win[R:R + TH, R:R + TW]
+    core = win[RR:RR + TH, RC:RC + TW]
     neg_inf = jnp.float32(-jnp.inf)
     pos_inf = jnp.float32(jnp.inf)
 
@@ -68,39 +70,65 @@ def _counts_kernel(Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW, R, H, W,
     inv_w = [jnp.float32(1.0 / (cellsize * STEP_LENGTH[d]))
              for d in range(8)]
 
-    def body(L, carry):
-        mxs = list(carry[0:8])
-        mns = list(carry[8:16])
-        Lf = L.astype(jnp.float32)
-        for d in range(8):
-            dr, dc = OFFSETS[d]
-            src = win[pl.ds(R + dr * L, TH), pl.ds(R + dc * L, TW)]
+    # Direction is the OUTER loop so only one rolled window and two
+    # (TH, TW) accumulators are live at a time.  The ladder itself is a
+    # fori_loop whose carry is the window rolled by one unit step per
+    # iteration — all slices stay static (dynamic sublane offsets are
+    # rejected by Mosaic), the graph stays small (compiles in seconds
+    # instead of minutes for R=50 unrolls), and no wraparound ever
+    # reaches the core read region because RR >= R and RC >= R.
+    T = jnp.float32(math.tan(math.radians(threshold_deg)))
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    num_pos = jnp.zeros((TH, TW), dtype=jnp.float32)
+    num_neg = jnp.zeros((TH, TW), dtype=jnp.float32)
+    for d in range(8):
+        dr, dc = OFFSETS[d]
+
+        def ladder_step(L, carry, dr=dr, dc=dc, d=d):
+            win_d, mx, mn = carry
+            # new[r, c] = old[r + dr, c + dc]
+            if dr:
+                win_d = pltpu.roll(win_d, -dr % win_d.shape[0], axis=0)
+            if dc:
+                win_d = pltpu.roll(win_d, -dc % win_d.shape[1], axis=1)
+            src = win_d[RR:RR + TH, RC:RC + TW]
+            Lf = L.astype(jnp.float32)
             ratio = (src - core) * (inv_w[d] / Lf)
             sr = rows + dr * L
             sc = cols + dc * L
             valid = (sr >= 0) & (sr < H) & (sc >= 0) & (sc < W)
             ratio = jnp.where(valid, ratio, 0.0)
             ok = ratio == ratio  # not NaN
-            mxs[d] = jnp.maximum(mxs[d], jnp.where(ok, ratio, neg_inf))
-            mns[d] = jnp.minimum(mns[d], jnp.where(ok, ratio, pos_inf))
-        return tuple(mxs) + tuple(mns)
+            mx = jnp.maximum(mx, jnp.where(ok, ratio, neg_inf))
+            mn = jnp.minimum(mn, jnp.where(ok, ratio, pos_inf))
+            return win_d, mx, mn
 
-    init = tuple(jnp.full((TH, TW), neg_inf) for _ in range(8)) + \
-        tuple(jnp.full((TH, TW), pos_inf) for _ in range(8))
-    carry = lax.fori_loop(1, R + 1, body, init)
+        _, mx, mn = lax.fori_loop(
+            1, R + 1, ladder_step,
+            (win[:, :], jnp.full((TH, TW), neg_inf),
+             jnp.full((TH, TW), pos_inf)))
 
-    t = jnp.float32(math.radians(threshold_deg))
-    num_pos = jnp.zeros((TH, TW), dtype=jnp.int32)
-    num_neg = jnp.zeros((TH, TW), dtype=jnp.int32)
-    for d in range(8):
-        mx, mn = carry[d], carry[8 + d]
-        seen = mx > neg_inf
-        # pos - neg angle difference in radians:
-        # (pi/2 - atan(mx)) - (pi/2 - atan(-mn)) = atan(-mn) - atan(mx)
-        diff = jnp.arctan(-mn) - jnp.arctan(mx)
-        diff = jnp.where(seen, diff, jnp.nan)
-        num_pos = num_pos + (diff > t).astype(jnp.int32)
-        num_neg = num_neg + (diff < -t).astype(jnp.int32)
+        # The openness difference is diff = atan(a) - atan(b) with
+        # a = -mn, b = mx.  Pallas TPU has no atan primitive; compare
+        # in tangent space instead — exactly, via the identity
+        #   diff > t  <=>  (1+ab > 0) ? (a-b)/(1+ab) > tan(t) : a > b
+        # (valid for 0 <= t < pi/2; |diff| > pi/2 iff 1+ab <= 0).
+        a = -mn
+        b = mx
+        denom = 1.0 + a * b
+        u = (a - b) / denom
+        wide = denom <= 0.0
+        narrow = denom > 0.0
+        # select-of-booleans is unsupported by Mosaic ("unsupported
+        # target bitwidth for truncation"); use i1 logic instead
+        gt = (wide & (a > b)) | (narrow & (u > T))
+        lt = (wide & (a < b)) | (narrow & (u < -T))
+        seen = mx > neg_inf          # unseen -> a,b infinite -> NaN u,
+        gt = gt & seen               # but keep the mask explicit
+        lt = lt & seen
+        num_pos = num_pos + jnp.where(gt, one, zero)
+        num_neg = num_neg + jnp.where(lt, one, zero)
     np_ref[:, :] = num_pos
     nn_ref[:, :] = num_neg
 
@@ -117,18 +145,20 @@ def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
     H, W = Z.shape
     R = int(lookup_pixels)
     TH, TW = tile
+    RR = -(-R // 8) * 8        # sublane-aligned row halo
+    RC = -(-R // 128) * 128    # lane-aligned column halo
     Hp = -(-H // TH) * TH
     Wp = -(-W // TW) * TW
-    # pad: R halo on every side + tile alignment; NaN so halo reads
-    # never fake terrain (masks make them ratio-0 where out of range)
-    Zp = jnp.pad(Z, ((R, R + (Hp - H)), (R, R + (Wp - W))),
+    # pad: aligned halo on every side + tile alignment; NaN so halo
+    # reads never fake terrain (masks make them ratio-0 out of range)
+    Zp = jnp.pad(Z, ((RR, RR + (Hp - H)), (RC, RC + (Wp - W))),
                  constant_values=jnp.nan)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     grid = (Hp // TH, Wp // TW)
-    kernel = partial(_counts_kernel, TH=TH, TW=TW, R=R, H=H, W=W,
-                     cellsize=float(cellsize),
+    kernel = partial(_counts_kernel, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
+                     H=H, W=W, cellsize=float(cellsize),
                      threshold_deg=float(threshold_angle))
     num_pos, num_neg = pl.pallas_call(
         kernel,
@@ -141,11 +171,11 @@ def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
-            jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TH + 2 * R, TW + 2 * R), jnp.float32),
+            pltpu.VMEM((TH + 2 * RR, TW + 2 * RC), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

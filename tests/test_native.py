@@ -1,0 +1,76 @@
+"""Native (C++) LAS decoder tests — built on demand via make."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def native():
+    from neilpy_tpu.io import las_native
+    if not las_native.native_available():
+        r = subprocess.run(["make", "-C", os.path.join(REPO, "native")],
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip(f"native build failed: {r.stderr[-300:]}")
+    assert las_native.native_available()
+    return las_native
+
+
+def test_native_matches_python(native, tmp_path):
+    from .test_io import _write_synthetic_las
+    from neilpy_tpu.io.las import read_las
+    fn = str(tmp_path / "t.las")
+    xi, yi, zi, scale, offset = _write_synthetic_las(fn, pdrf=3, n=5000)
+    out = native.read_las_arrays(fn)
+    hdr, df = read_las(fn)
+    np.testing.assert_allclose(out["x"], df.x.values)
+    np.testing.assert_allclose(out["y"], df.y.values)
+    np.testing.assert_allclose(out["z"], df.z.values)
+    np.testing.assert_array_equal(out["class"], df["class"].values)
+    np.testing.assert_array_equal(out["return_number"],
+                                  df.return_number.values)
+    np.testing.assert_array_equal(out["intensity"], df.intensity.values)
+
+
+def test_native_extended_pdrf(native, tmp_path):
+    from .test_io import _write_synthetic_las
+    from neilpy_tpu.io.las import read_las
+    fn = str(tmp_path / "t6.las")
+    _write_synthetic_las(fn, pdrf=6, n=2000)
+    out = native.read_las_arrays(fn)
+    hdr, df = read_las(fn)
+    np.testing.assert_array_equal(out["class"], df["class"].values)
+    assert (out["return_number"] == 2).all()
+    assert (out["return_max"] == 3).all()
+
+
+def test_native_bbox_and_stride(native, tmp_path):
+    from .test_io import _write_synthetic_las
+    fn = str(tmp_path / "t.las")
+    _write_synthetic_las(fn, pdrf=1, n=10000)
+    full = native.read_las_arrays(fn)
+    xm = float(np.median(full["x"]))
+    filt = native.read_las_arrays(fn, bbox=(full["x"].min(), xm,
+                                            full["y"].min(),
+                                            full["y"].max()))
+    assert 0 < len(filt["x"]) < 10000
+    assert (filt["x"] <= xm).all()
+    dec = native.read_las_arrays(fn, stride=7)
+    assert len(dec["x"]) == -(-10000 // 7)
+    np.testing.assert_allclose(dec["x"], full["x"][::7])
+
+
+def test_native_laz_rejected(native, tmp_path):
+    from .test_io import _write_synthetic_las
+    fn = str(tmp_path / "t.las")
+    _write_synthetic_las(fn, pdrf=3)
+    data = bytearray(open(fn, "rb").read())
+    data[104] = 131
+    open(fn, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="LAZ"):
+        native.read_header(fn)

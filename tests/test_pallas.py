@@ -1,0 +1,61 @@
+"""Pallas kernel parity vs the XLA reference path (interpret mode on
+the CPU backend; the same kernel compiles via Mosaic on TPU)."""
+
+import numpy as np
+import pytest
+
+from neilpy_tpu.ops.pallas_scan import (openness_counts_pallas,
+                                        geomorphons_pallas)
+from neilpy_tpu.ops.visibility import count_openness, geomorphons
+
+
+@pytest.fixture(scope="module")
+def Z(rng=None):
+    r = np.random.default_rng(7)
+    return r.normal(size=(100, 140)).cumsum(axis=0).cumsum(axis=1).astype(
+        np.float32)
+
+
+@pytest.mark.parametrize("threshold", [0.0, 1.0, 5.0])
+def test_counts_match_xla(Z, threshold):
+    np_p, nn_p = openness_counts_pallas(Z, cellsize=2.0, lookup_pixels=7,
+                                        threshold_angle=threshold,
+                                        tile=(64, 64))
+    np_x, nn_x = count_openness(Z, 2.0, 7, threshold)
+    np.testing.assert_array_equal(np.asarray(np_p), np.asarray(np_x))
+    np.testing.assert_array_equal(np.asarray(nn_p), np.asarray(nn_x))
+
+
+@pytest.mark.parametrize("lookup", [1, 5, 13])
+def test_classes_match_xla(Z, lookup):
+    G_p = np.asarray(geomorphons_pallas(Z, cellsize=2.0,
+                                        lookup_pixels=lookup,
+                                        tile=(64, 64)))
+    G_x = np.asarray(geomorphons(Z, cellsize=2.0, lookup_pixels=lookup))
+    np.testing.assert_array_equal(G_p, G_x)
+
+
+def test_nan_terrain(Z):
+    Zn = Z.copy()
+    Zn[30:40, 50:70] = np.nan
+    G_p = np.asarray(geomorphons_pallas(Zn, lookup_pixels=5,
+                                        tile=(64, 64)))
+    G_x = np.asarray(geomorphons(Zn, lookup_pixels=5))
+    np.testing.assert_array_equal(G_p, G_x)
+
+
+def test_non_tile_aligned_shape():
+    r = np.random.default_rng(3)
+    Z = r.normal(size=(70, 90)).cumsum(axis=0).astype(np.float32)
+    G_p = np.asarray(geomorphons_pallas(Z, lookup_pixels=4,
+                                        tile=(64, 64)))
+    G_x = np.asarray(geomorphons(Z, lookup_pixels=4))
+    np.testing.assert_array_equal(G_p, G_x)
+
+
+def test_lookup_larger_than_tile(Z):
+    # halo (R=40) far exceeds the 32-px tile: windows span many tiles
+    G_p = np.asarray(geomorphons_pallas(Z[:64, :96], lookup_pixels=40,
+                                        tile=(32, 32)))
+    G_x = np.asarray(geomorphons(Z[:64, :96], lookup_pixels=40))
+    np.testing.assert_array_equal(G_p, G_x)
