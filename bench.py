@@ -20,18 +20,38 @@ import numpy as np
 BASELINE_MPIX_S = 0.2  # reference CPU: ~1e8 px / ~30 min at lookup=50
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: later bench runs (and rounds)
+    skip recompiles of unchanged programs."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:
+        log("compile cache unavailable:", e)
+
+
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
 def _timeit(f, k=5):
-    """Robust device timing: a host readback terminates the chain
-    (block_until_ready alone under-reports through the axon tunnel)."""
-    np.asarray(f())  # warm + sync
+    """Robust device timing: a (tiny) host readback terminates the
+    chain (block_until_ready alone under-reports through the axon
+    tunnel); only 1 element is pulled so transfer cost stays out of
+    the measurement."""
+    import jax
+
+    def sync(r):
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        np.asarray(leaf.ravel()[:1])
+
+    sync(f())  # warm
     t0 = time.time()
     for _ in range(k - 1):
         f()
-    np.asarray(f())
+    sync(f())
     return (time.time() - t0) / k
 
 
@@ -79,8 +99,14 @@ def bench_geomorphons():
 
 
 def bench_gridding():
+    """End-to-end lidar gridding: device-resident origin-relative
+    coordinates -> fused bin+segment-min program -> materialized grid.
+    A 1-element readback terminates the timing chain honestly (the
+    axon tunnel's block_until_ready can return before execution)."""
     import jax
-    from neilpy_tpu.ops.pointgrid import bin_points, scatter_reduce
+    import jax.numpy as jnp
+    from neilpy_tpu.ops.pointgrid import (bin_points_device, _grid_fused,
+                                          create_dem)
 
     n = 20_000_000
     rng = np.random.default_rng(1)
@@ -89,25 +115,28 @@ def bench_gridding():
     z = rng.normal(300, 30, n).astype(np.float32)
 
     t0 = time.time()
-    flat, valid, (ny, nx), t = bin_points(x, y, cellsize=1)
-    t_bin = time.time() - t0
+    xr, yr, (ny, nx), t = bin_points_device(x, y, cellsize=1)
+    t_host = time.time() - t0  # the one host f64 origin-shift pass
 
-    import jax.numpy as jnp
-    flat_d = jax.device_put(jnp.asarray(flat, dtype=jnp.int32))
+    xr_d = jax.device_put(jnp.asarray(xr))
+    yr_d = jax.device_put(jnp.asarray(yr))
     z_d = jax.device_put(jnp.asarray(z))
-    v_d = jax.device_put(jnp.asarray(valid))
-    g = scatter_reduce(flat_d, z_d, v_d, ny * nx, "min")
-    g.block_until_ready()
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        g = scatter_reduce(flat_d, z_d, v_d, ny * nx, "min")
-        g.block_until_ready()
-        times.append(time.time() - t0)
-    mpts = n / min(times) / 1e6
-    log(f"gridding: host binning {n/t_bin/1e6:.0f} Mpts/s, device "
-        f"scatter-min {mpts:.0f} Mpts/s ({ny}x{nx} grid)")
-    return mpts
+    inv = jnp.float32(1.0 / t.a)
+
+    def run(method):
+        return _grid_fused(xr_d, yr_d, z_d, inv, ny, nx, "min", method)
+
+    out = {}
+    for method in ("sort", "scatter"):
+        try:
+            dt = _timeit(lambda: run(method), k=3)
+            out[method] = n / dt / 1e6
+            log(f"gridding {method}: {dt*1e3:.1f} ms = "
+                f"{out[method]:.0f} Mpts/s device ({ny}x{nx} grid); "
+                f"host origin-shift adds {n/t_host/1e6:.0f} Mpts/s leg")
+        except Exception as e:
+            log(f"gridding {method} failed:", str(e)[:160])
+    return max(out.values()) if out else None
 
 
 def bench_smrf():
@@ -130,6 +159,7 @@ def bench_smrf():
 
 
 def main():
+    _enable_compile_cache()
     mpix_s = bench_geomorphons()
     try:
         bench_gridding()

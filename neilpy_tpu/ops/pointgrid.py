@@ -6,15 +6,23 @@ binning, then a pandas ``groupby(flat_index).min()/.max()`` scatter.
 
 TPU-native design
 -----------------
-* Bin-index computation stays in **float64 on host** (numpy): UTM
-  coordinates (~1e5-1e6) with metre cells cannot survive f32 without
-  misbinning points near cell edges; this is cheap O(N) arithmetic.
-* The reduction is a device **scatter-min/max** (``array.at[idx].min``)
-  over the flat grid — XLA lowers this to a sorted segment reduce on
-  TPU.  min/max are exact in any float width, so the f32 device path
-  bit-matches the f64 host path whenever the inputs are f32-representable.
-* ``bin_points`` is exposed separately so sharded pipelines can bin on
-  host once and shard the (index, z) streams across devices, combining
+* Exact path: bin-index computation in **float64 on host** (numpy) —
+  UTM coordinates (~1e5-1e6) with metre cells cannot survive f32
+  without misbinning points near cell edges.
+* Fast path (``device_bin=True``): the host does ONE f64 pass
+  (subtracting the grid origin); the origin-relative coordinates span
+  only the grid extent, so they are f32-safe, and the floor/clip/ravel
+  binning fuses with the reduction in a single device program.
+* Two reduction kernels, selected by ``method``:
+  - ``"sort"`` (default): key-sort the (bin, z) pairs, segmented
+    min/max via ``lax.associative_scan``, then gather per-cell results
+    with a ``searchsorted`` — sort/scan/gather are the primitives the
+    TPU backend runs fastest; no scatter appears anywhere.
+  - ``"scatter"``: classic ``array.at[idx].min/max``.
+  min/max are exact in any float width, so the f32 device reduction
+  bit-matches the f64 host groupby whenever inputs are f32-representable.
+* ``bin_points`` is exposed separately so sharded pipelines can bin
+  once and shard the (index, z) streams across devices, combining
   per-device partial grids with a min/max ``psum``-style tree.
 """
 
@@ -25,10 +33,12 @@ from functools import partial
 import jax
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 from ..core.affine import Affine
 
-__all__ = ["create_dem", "bin_points", "scatter_reduce"]
+__all__ = ["create_dem", "bin_points", "bin_points_device",
+           "scatter_reduce", "grid_points_device"]
 
 
 def _floor2(x, v):
@@ -39,17 +49,12 @@ def _ceil2(x, v):
     return v * np.ceil(x / v)
 
 
-def bin_points(x, y, cellsize=1, edges=None):
-    """Compute grid shape, affine transform, and per-point flat bin
-    indices (host, float64).
-
-    Returns (flat_index int64 array, in_range bool array, (ny, nx), t).
-    Matches the reference edge snapping exactly (neilpy.py:1117-1143):
+def _grid_frame(x, y, cellsize=1, edges=None):
+    """Shared host-side (f64) grid-frame computation: edge snapping and
+    the north-up affine, exactly as the reference (neilpy.py:1117-1143):
     x edges from floor(min/cs)*cs - .5cs to ceil(max/cs)*cs + 1.5cs,
-    y edges descending (north-up).
+    y edges descending.  Returns (ny, nx, t, cellsize, in_range|None).
     """
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
     if edges is None:
         cellsize = float(cellsize)
         xedges = np.arange(_floor2(x.min(), cellsize) - .5 * cellsize,
@@ -58,7 +63,7 @@ def bin_points(x, y, cellsize=1, edges=None):
         yedges = np.arange(_ceil2(y.max(), cellsize) + .5 * cellsize,
                            _floor2(y.min(), cellsize) - 1.5 * cellsize,
                            -cellsize)
-        in_range = np.ones(x.shape, dtype=bool)
+        in_range = None
     else:
         xedges, yedges = np.asarray(edges[0]), np.asarray(edges[1])
         out = ((x < xedges[0]) | (x > xedges[-1])
@@ -67,6 +72,20 @@ def bin_points(x, y, cellsize=1, edges=None):
         cellsize = float(abs(xedges[1] - xedges[0]))
     nx, ny = len(xedges) - 1, len(yedges) - 1
     t = Affine.from_origin(xedges[0], yedges[0], cellsize, cellsize)
+    return ny, nx, t, cellsize, in_range
+
+
+def bin_points(x, y, cellsize=1, edges=None):
+    """Compute grid shape, affine transform, and per-point flat bin
+    indices (host, float64 — the exact path).
+
+    Returns (flat_index int64 array, in_range bool array, (ny, nx), t).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    ny, nx, t, cellsize, in_range = _grid_frame(x, y, cellsize, edges)
+    if in_range is None:
+        in_range = np.ones(x.shape, dtype=bool)
     c, r = (~t) * (x, y)
     c = np.floor(c).astype(np.int64)
     r = np.floor(r).astype(np.int64)
@@ -78,44 +97,129 @@ def bin_points(x, y, cellsize=1, edges=None):
     return flat, in_range, (ny, nx), t
 
 
-@partial(jax.jit, static_argnames=("n_cells", "bin_type"))
-def scatter_reduce(flat_index, z, valid, n_cells, bin_type="max"):
-    """Device scatter-min/max of z into a flat grid of n_cells.
+def bin_points_device(x, y, cellsize=1, edges=None):
+    """Fast-path frame computation for on-device binning.
 
-    Invalid points are routed to the reduction identity so padded /
-    out-of-range entries never contribute — this keeps the call jittable
-    with a fixed point-count (pad freely).
+    The host does exactly one f64 pass per axis (subtracting the grid
+    origin); the returned origin-relative f32 coordinates span only the
+    grid extent, where f32 resolution is sub-millimetre for km-scale
+    grids — so the device floor reproduces the host binning except for
+    points within one f32 ulp of a cell edge.
+
+    Returns (x_rel f32, y_rel f32 (downward-positive), (ny, nx), t).
     """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    ny, nx, t, cellsize, _ = _grid_frame(x, y, cellsize, edges)
+    x_rel = (x - t.c).astype(np.float32)
+    y_rel = (t.f - y).astype(np.float32)
+    return x_rel, y_rel, (ny, nx), t
+
+
+def _segment_reduce_sorted(idx, z, n_cells, bin_type):
+    """Sort-based segment min/max: key-sort the (bin, z) pairs, run a
+    segmented extremum ``associative_scan``, and gather each cell's
+    segment tail via ``searchsorted``.  Equivalent to the scatter path
+    but built entirely from sort/scan/gather, which lower to the TPU's
+    fast paths (no serialized scatter updates)."""
+    combine = jnp.maximum if bin_type == "max" else jnp.minimum
+    sidx, sz = lax.sort((idx, z), num_keys=1)
+    starts = jnp.concatenate([jnp.ones((1,), bool),
+                              sidx[1:] != sidx[:-1]])
+
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, combine(va, vb))
+
+    _, scanned = lax.associative_scan(comb, (starts, sz))
+    cells = jnp.arange(n_cells, dtype=sidx.dtype)
+    p = jnp.searchsorted(sidx, cells, side="right") - 1
+    pc = jnp.maximum(p, 0)
+    hit = (p >= 0) & (sidx[pc] == cells)
+    return jnp.where(hit, scanned[pc], jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("n_cells", "bin_type", "method"))
+def scatter_reduce(flat_index, z, valid, n_cells, bin_type="max",
+                   method="sort"):
+    """Device min/max reduction of z into a flat grid of n_cells.
+
+    Invalid points are routed to the reduction identity (scatter) or an
+    out-of-grid sentinel bin (sort) so padded / out-of-range entries
+    never contribute — this keeps the call jittable with a fixed
+    point-count (pad freely).
+    """
+    if bin_type not in ("max", "min"):
+        raise ValueError("This type not supported.")
     z = jnp.asarray(z, dtype=jnp.float32)
     idx = jnp.asarray(flat_index, dtype=jnp.int32)
+    if method == "sort":
+        idx = jnp.where(valid, idx, n_cells)
+        return _segment_reduce_sorted(idx, z, n_cells, bin_type)
     if bin_type == "max":
         ident = -jnp.inf
         z = jnp.where(valid, z, ident)
         grid = jnp.full((n_cells,), ident, dtype=jnp.float32)
         grid = grid.at[idx].max(z, mode="drop")
         return jnp.where(jnp.isneginf(grid), jnp.nan, grid)
-    elif bin_type == "min":
+    else:
         ident = jnp.inf
         z = jnp.where(valid, z, ident)
         grid = jnp.full((n_cells,), ident, dtype=jnp.float32)
         grid = grid.at[idx].min(z, mode="drop")
         return jnp.where(jnp.isposinf(grid), jnp.nan, grid)
-    else:
-        raise ValueError("This type not supported.")
+
+
+@partial(jax.jit, static_argnames=("ny", "nx", "bin_type", "method"))
+def _grid_fused(x_rel, y_rel, z, inv_cs, ny, nx, bin_type, method):
+    """One fused device program: floor-binning + validity + segment
+    reduction.  Runs entirely on device; the host only subtracted the
+    grid origin (see ``bin_points_device``)."""
+    c = jnp.floor(x_rel * inv_cs).astype(jnp.int32)
+    r = jnp.floor(y_rel * inv_cs).astype(jnp.int32)
+    valid = (c >= 0) & (c < nx) & (r >= 0) & (r < ny)
+    flat = jnp.where(valid, r * nx + c, ny * nx)
+    return scatter_reduce(flat, z, valid, ny * nx, bin_type=bin_type,
+                          method=method)
+
+
+def grid_points_device(x, y, z, cellsize=1, bin_type="max", edges=None,
+                       method="sort"):
+    """End-to-end device gridding: origin-shift on host, then binning
+    and reduction in a single jitted program.  Returns (I, t)."""
+    x_rel, y_rel, (ny, nx), t = bin_points_device(x, y, cellsize, edges)
+    grid = _grid_fused(jnp.asarray(x_rel), jnp.asarray(y_rel),
+                       jnp.asarray(z, dtype=jnp.float32),
+                       jnp.float32(1.0 / t.a), ny, nx, bin_type, method)
+    return jnp.reshape(grid, (ny, nx)), t
 
 
 def create_dem(x, y, z, cellsize=1, bin_type="max", inpaint=False,
-               edges=None, use_binned_statistic=False):
+               edges=None, use_binned_statistic=False,
+               device_bin=False, method="sort"):
     """Scatter-to-grid DEM creation (parity: neilpy.py:1110-1166).
 
     Returns (I, t): the (ny, nx) float grid with NaN empty cells and the
     affine transform.  ``inpaint=True`` spring-inpaints the gaps.
+    ``device_bin=True`` takes the fused on-device binning fast path
+    (see ``grid_points_device``); the default is the exact host-f64
+    binning the reference's pandas groupby uses.
     """
     del use_binned_statistic  # scipy fallback not needed on this path
+    if device_bin:
+        I, t = grid_points_device(x, y, z, cellsize=cellsize,
+                                  bin_type=bin_type, edges=edges,
+                                  method=method)
+        if inpaint:
+            from .inpaint import inpaint_nans_by_springs
+            I = inpaint_nans_by_springs(I)
+        return I, t
     z = np.asarray(z, dtype=np.float64)
     flat, valid, (ny, nx), t = bin_points(x, y, cellsize=cellsize,
                                           edges=edges)
-    grid = scatter_reduce(flat, z, valid, ny * nx, bin_type=bin_type)
+    grid = scatter_reduce(flat, z, valid, ny * nx, bin_type=bin_type,
+                          method=method)
     I = jnp.reshape(grid, (ny, nx))
     if inpaint:
         from .inpaint import inpaint_nans_by_springs

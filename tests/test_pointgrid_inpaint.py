@@ -51,6 +51,37 @@ class TestCreateDem:
         assert I.shape == (10, 10)
         assert np.nansum(I) == 3.0  # out-of-range point dropped
 
+    @pytest.mark.parametrize("bin_type", ["min", "max"])
+    def test_sort_and_scatter_methods_agree(self, bin_type, rng):
+        x = rng.uniform(1000, 1200, 30000)
+        y = rng.uniform(5000, 5150, 30000)
+        z = rng.normal(size=30000)
+        a = np.asarray(create_dem(x, y, z, cellsize=1, bin_type=bin_type,
+                                  method="sort")[0])
+        b = np.asarray(create_dem(x, y, z, cellsize=1, bin_type=bin_type,
+                                  method="scatter")[0])
+        np.testing.assert_array_equal(np.nan_to_num(a, nan=9e9),
+                                      np.nan_to_num(b, nan=9e9))
+
+    def test_device_bin_fast_path(self, rng):
+        # fused on-device binning matches host-f64 binning except for
+        # points within one f32 ulp of a cell edge (none here: the
+        # coordinates are generated away from edges)
+        n = 50000
+        x = rng.uniform(500000, 500200, n)
+        y = rng.uniform(4200000, 4200150, n)
+        # keep every coordinate >1e-3 away from integer cell edges
+        x = np.where(np.abs(x - np.round(x)) < 1e-3, x + 0.01, x)
+        y = np.where(np.abs(y - np.round(y)) < 1e-3, y + 0.01, y)
+        z = rng.normal(300, 10, n)
+        a, ta = create_dem(x, y, z, cellsize=1, bin_type="min")
+        b, tb = create_dem(x, y, z, cellsize=1, bin_type="min",
+                           device_bin=True)
+        assert list(ta) == list(tb)
+        np.testing.assert_array_equal(
+            np.nan_to_num(np.asarray(a), nan=9e9),
+            np.nan_to_num(np.asarray(b), nan=9e9))
+
     def test_north_up_orientation(self):
         # a single point at high y must land in a low row index
         x = np.array([5.0, 5.0])
