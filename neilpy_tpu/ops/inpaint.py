@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["inpaint_nans_by_springs", "inpaint_nans_by_fda",
-           "inpaint_nearest", "cg_solve"]
+           "inpaint_nearest", "cg_solve", "springs_fill"]
 
 
 def _neighbor_sum(X, mask):
@@ -108,8 +108,15 @@ def cg_solve(apply_fn, b, x0, precond=None, tol=1e-7, maxiter=2000):
     return x, it
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter"))
-def _springs_solve(A, tol=1e-7, maxiter=4000):
+def springs_fill(A, tol=1e-7, maxiter=4000):
+    """Traceable spring-graph fill (no jit wrapper): compose freely
+    inside larger jitted pipelines (e.g. the fused SMRF raster stage).
+    Returns the filled array only."""
+    out, _ = _springs_core(A, tol, maxiter)
+    return out
+
+
+def _springs_core(A, tol, maxiter):
     A = jnp.asarray(A, dtype=jnp.float32)
     nanmask = jnp.isnan(A)
     unknown = nanmask.astype(jnp.float32)
@@ -137,6 +144,11 @@ def _springs_solve(A, tol=1e-7, maxiter=4000):
     x, it = cg_solve(apply_fn, b, x0, precond=precond, tol=tol,
                      maxiter=maxiter)
     return jnp.where(nanmask, x, A), it
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def _springs_solve(A, tol=1e-7, maxiter=4000):
+    return _springs_core(A, tol, maxiter)
 
 
 def inpaint_nans_by_springs(A, inplace=False, neighbors=4, tol=1e-7,

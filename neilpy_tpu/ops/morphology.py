@@ -65,11 +65,13 @@ def _row_window(levels, width, start_col, ncols, reduce_fn):
     return reduce_fn(left, right)
 
 
-def _disk_morph(Z, radius, reduce_fn):
-    Z = jnp.asarray(Z, dtype=jnp.float32)
-    H, W = Z.shape
+def _disk_morph_padded(P, radius, reduce_fn):
+    """Disk min/max over a block already padded by ``radius`` on every
+    side (halo-exchanged shards or host reflect padding); returns the
+    core.  The run decomposition reads only [-r, r] neighbourhoods, so
+    the caller controls boundary semantics entirely via the padding."""
     r = int(radius)
-    P = pad_reflect(Z, r)
+    H, W = P.shape[0] - 2 * r, P.shape[1] - 2 * r
     dys, kxs = disk_run_halfwidths(r)
     max_width = int(2 * kxs.max() + 1)
     levels = _sparse_table(P, max_width, reduce_fn)
@@ -89,6 +91,12 @@ def _disk_morph(Z, radius, reduce_fn):
             band = rm[r + dy: r + dy + H, :]
             out = band if out is None else reduce_fn(out, band)
     return out
+
+
+def _disk_morph(Z, radius, reduce_fn):
+    Z = jnp.asarray(Z, dtype=jnp.float32)
+    return _disk_morph_padded(pad_reflect(Z, int(radius)), radius,
+                              reduce_fn)
 
 
 @partial(jax.jit, static_argnames=("radius",))

@@ -21,7 +21,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops.pointgrid import create_dem
-from ..ops.inpaint import inpaint_nans_by_springs
+from ..ops.inpaint import inpaint_nans_by_springs, springs_fill
 from ..ops.morphology import _disk_morph
 from ..ops.spline import spline_coefficients_2d, spline_ev_2d
 from ..core.shift import gradient2d
@@ -72,6 +72,59 @@ def progressive_filter(Z, windows, cellsize=1, slope_threshold=.15,
     return is_object
 
 
+@partial(jax.jit, static_argnames=("windows", "cellsize",
+                                   "low_outlier_fill", "return_extras"))
+def _smrf_raster(Zmin_raw, windows, thresholds, low_threshold, cellsize,
+                 low_outlier_fill, return_extras):
+    """All grid-shaped SMRF stages fused into ONE device program:
+    spring inpaint -> low-outlier opening -> progressive ladder ->
+    provisional-DTM inpaint -> spline coefficient construction for the
+    DTM and its slope.  One compile serves the whole raster phase."""
+    is_empty_cell = jnp.isnan(Zmin_raw)
+    Zmin = springs_fill(Zmin_raw)
+
+    neg = -Zmin
+    opened = _disk_morph(_disk_morph(neg, 1, jnp.minimum), 1, jnp.maximum)
+    low_outliers = (neg - opened) > low_threshold
+
+    if low_outlier_fill:
+        Zmin = springs_fill(jnp.where(low_outliers, jnp.nan, Zmin))
+
+    last_surface = Zmin
+    object_cells = jnp.zeros(Zmin.shape, dtype=bool)
+    when_dropped = jnp.zeros(Zmin.shape, dtype=jnp.uint8)
+    for i, window in enumerate(windows):
+        opened = _disk_morph(_disk_morph(last_surface, window,
+                                         jnp.minimum),
+                             window, jnp.maximum)
+        new_obj = (last_surface - opened) > thresholds[i]
+        object_cells = object_cells | new_obj
+        if return_extras:
+            when_dropped = jnp.where(new_obj, jnp.uint8(i), when_dropped)
+        last_surface = opened
+
+    object_cells = is_empty_cell | low_outliers | object_cells
+    Zpro = springs_fill(jnp.where(object_cells, jnp.nan, Zmin))
+
+    coeffs_Z = spline_coefficients_2d(Zpro)
+    gy, gx = gradient2d(Zpro, cellsize)
+    coeffs_S = spline_coefficients_2d(jnp.sqrt(gy ** 2 + gx ** 2))
+    return Zpro, object_cells, when_dropped, coeffs_Z, coeffs_S
+
+
+@jax.jit
+def _smrf_points(coeffs_Z, coeffs_S, r, c, z, elevation_threshold,
+                 elevation_scaler):
+    """Point-shaped SMRF tail in one program: bicubic lift of the DTM
+    and slope surfaces onto the points + the adaptive threshold test
+    (reference: neilpy.py:1768-1795)."""
+    elevation_values = spline_ev_2d(coeffs_Z, r, c, offset=0.5)
+    slope_values = spline_ev_2d(coeffs_S, r, c, offset=0.5)
+    required_value = elevation_threshold + elevation_scaler * slope_values
+    is_object_point = jnp.abs(elevation_values - z) > required_value
+    return is_object_point, elevation_values
+
+
 def smrf(x, y, z, cellsize=1, windows=5, slope_threshold=.15,
          elevation_threshold=.5, elevation_scaler=1.25,
          low_filter_slope=5, low_outlier_fill=False, return_extras=False):
@@ -80,57 +133,36 @@ def smrf(x, y, z, cellsize=1, windows=5, slope_threshold=.15,
     Returns (Zpro, t, object_cells, is_object_point[, extras]):
     provisional DTM, affine transform, boolean object grid, and the
     per-point object classification.
+
+    The pipeline runs as exactly three device programs: the gridding
+    scatter, the fused raster stage, and the fused point stage.
     """
     if np.isscalar(windows):
         windows = np.arange(windows) + 1
+    windows = np.atleast_1d(np.asarray(windows))
 
-    Zmin, t = create_dem(x, y, z, cellsize=cellsize, bin_type="min")
-    is_empty_cell = jnp.isnan(Zmin)
-    Zmin = inpaint_nans_by_springs(Zmin)
-    low_outliers = progressive_filter(-Zmin, np.array([1]), cellsize,
-                                      slope_threshold=low_filter_slope)
+    Zmin_raw, t = create_dem(x, y, z, cellsize=cellsize, bin_type="min")
+    thresholds = jnp.asarray(slope_threshold * (windows * cellsize),
+                             dtype=jnp.float32)
+    Zpro, object_cells, drop_raster, coeffs_Z, coeffs_S = _smrf_raster(
+        Zmin_raw, tuple(int(w) for w in windows), thresholds,
+        jnp.float32(low_filter_slope * cellsize), float(cellsize),
+        bool(low_outlier_fill), bool(return_extras))
 
-    if low_outlier_fill:
-        Zmin = jnp.where(low_outliers, jnp.nan, Zmin)
-        Zmin = inpaint_nans_by_springs(Zmin)
-
-    if return_extras:
-        object_cells, drop_raster = progressive_filter(
-            Zmin, windows, cellsize, slope_threshold,
-            return_when_dropped=True)
-    else:
-        object_cells = progressive_filter(Zmin, windows, cellsize,
-                                          slope_threshold)
-
-    object_cells = is_empty_cell | low_outliers | object_cells
-    Zpro = jnp.where(object_cells, jnp.nan, Zmin)
-    Zpro = inpaint_nans_by_springs(Zpro)
-
-    # Lift the provisional surface (and its slope) onto the points via
-    # the not-a-knot bicubic spline at pixel centres (reference:
-    # RectBivariateSpline, neilpy.py:1768-1790).
+    # Host f64 inverse-affine for the point coordinates (precision),
+    # then the fused device point stage.
     x64 = np.asarray(x, dtype=np.float64)
     y64 = np.asarray(y, dtype=np.float64)
     c, r = (~t) * (x64, y64)
-
-    coeffs = spline_coefficients_2d(Zpro)
-    elevation_values = spline_ev_2d(coeffs, r, c, offset=0.5)
+    z_dev = jnp.asarray(np.asarray(z, dtype=np.float64), dtype=jnp.float32)
+    is_object_point, elevation_values = _smrf_points(
+        coeffs_Z, coeffs_S, jnp.asarray(r), jnp.asarray(c), z_dev,
+        jnp.float32(elevation_threshold), jnp.float32(elevation_scaler))
 
     if return_extras:
         rr = np.clip(np.round(r).astype(int), 0, Zpro.shape[0] - 1)
         cc = np.clip(np.round(c).astype(int), 0, Zpro.shape[1] - 1)
         when_dropped = np.asarray(drop_raster)[rr, cc]
-
-    gy, gx = gradient2d(Zpro, cellsize)
-    S = jnp.sqrt(gy ** 2 + gx ** 2)
-    slope_values = spline_ev_2d(spline_coefficients_2d(S), r, c, offset=0.5)
-
-    required_value = (jnp.float32(elevation_threshold)
-                      + jnp.float32(elevation_scaler) * slope_values)
-    z_dev = jnp.asarray(np.asarray(z, dtype=np.float64), dtype=jnp.float32)
-    is_object_point = jnp.abs(elevation_values - z_dev) > required_value
-
-    if return_extras:
         extras = {
             "above_ground_height": z_dev - elevation_values,
             "drop_raster": drop_raster,

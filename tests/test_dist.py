@@ -91,6 +91,50 @@ def test_non_divisible_shape(mesh):
     assert (tiled == single).all()
 
 
+class TestShardedSmrf:
+    """Multi-chip SMRF raster phase == single-device (SURVEY.md §2.5:
+    the tiled==untiled property, now for the flagship pipeline)."""
+
+    def test_springs_fill(self, mesh):
+        from neilpy_tpu.dist.smrf import sharded_springs_fill
+        from neilpy_tpu.ops.inpaint import inpaint_nans_by_springs
+        rng = np.random.default_rng(3)
+        A = rng.normal(size=(70, 90)).astype(np.float32).cumsum(axis=0)
+        A[10:20, 30:50] = np.nan
+        A[40:42, 5:80] = np.nan
+        single = np.asarray(inpaint_nans_by_springs(A))
+        sharded = np.asarray(sharded_springs_fill(A, mesh))
+        np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+    def test_progressive_filter(self, mesh):
+        from neilpy_tpu.dist.smrf import sharded_progressive_filter
+        from neilpy_tpu.pipelines.smrf import progressive_filter
+        rng = np.random.default_rng(4)
+        Z = rng.normal(size=(96, 112)).astype(np.float32).cumsum(axis=1)
+        w = np.arange(1, 8)
+        single = np.asarray(progressive_filter(Z, w, 1, .15))
+        sharded = np.asarray(sharded_progressive_filter(Z, w, mesh, 1,
+                                                        .15))
+        assert (single == sharded).all()
+
+    def test_full_smrf_samp11(self, mesh):
+        import os
+        import pandas as pd
+        from neilpy_tpu.dist.smrf import sharded_smrf
+        from neilpy_tpu.pipelines.smrf import smrf
+        fn = "/root/reference/sample_data/samp11.txt"
+        if not os.path.exists(fn):
+            pytest.skip("ISPRS data not mounted")
+        df = pd.read_csv(fn, header=None, names=["x", "y", "z", "g"],
+                         delimiter="\t")
+        # modest windows to keep the CPU-mesh test quick
+        _, _, oc1, pts1 = smrf(df.x, df.y, df.z, 1, 6, .15, .5, 1.25)
+        _, _, oc2, pts2 = sharded_smrf(df.x, df.y, df.z, 1, 6, .15, .5,
+                                       1.25, mesh=mesh)
+        assert (np.asarray(oc1) == np.asarray(oc2)).mean() > 0.999
+        assert (np.asarray(pts1) == np.asarray(pts2)).mean() > 0.999
+
+
 def test_halo_wider_than_block(mesh):
     """lookup larger than the per-device block dimension is rejected
     cleanly (halo cannot exceed block size in one exchange hop)."""

@@ -70,9 +70,13 @@ class TestCreateDem:
         n = 50000
         x = rng.uniform(500000, 500200, n)
         y = rng.uniform(4200000, 4200150, n)
-        # keep every coordinate >1e-3 away from integer cell edges
-        x = np.where(np.abs(x - np.round(x)) < 1e-3, x + 0.01, x)
-        y = np.where(np.abs(y - np.round(y)) < 1e-3, y + 0.01, y)
+        # keep every coordinate >1e-3 away from the cell edges (which
+        # sit at half-integers: the origin is snapped to -0.5*cellsize)
+        def nudge(v):
+            frac = v - 0.5 - np.round(v - 0.5)
+            return np.where(np.abs(frac) < 1e-3, v + 0.01, v)
+        x = nudge(x)
+        y = nudge(y)
         z = rng.normal(300, 10, n)
         a, ta = create_dem(x, y, z, cellsize=1, bin_type="min")
         b, tb = create_dem(x, y, z, cellsize=1, bin_type="min",
