@@ -53,15 +53,24 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
     a path for tile-granular resume.  ``fn`` typically wraps a jitted
     kernel; tiles have uniform shape (edge tiles are padded, then
     cropped) so one compilation serves every tile.
+
+    ``fn`` may return a tuple of same-shaped rasters (a fused
+    multi-product tile kernel); the return value is then a tuple of
+    output arrays (and ``out``/``out_dtype``, if given, tuples too).
     """
     Z = np.asarray(Z)
     H, W = Z.shape
     ts = int(tile_size)
     ov = int(overlap)
-    if out is None:
-        probe = None
-        out = None
     ckpt = TileCheckpoint(checkpoint) if checkpoint else None
+    multi = None
+    if out is not None:
+        if isinstance(out, (tuple, list)):
+            out = tuple(out)
+            multi = True
+        else:
+            out = (out,)
+            multi = False
 
     n_ty = -(-H // ts)
     n_tx = -(-W // ts)
@@ -84,14 +93,23 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
             fw = ts - (c1 - c0)
             block = np.pad(block, ((ph[0], ph[1] + fh),
                                    (pw[0], pw[1] + fw)), mode="edge")
-            res = np.asarray(fn(block))
-            res = res[ov:ov + (r1 - r0), ov:ov + (c1 - c0)]
+            res = fn(block)
+            if multi is None:
+                multi = isinstance(res, (tuple, list))
+            res = res if isinstance(res, (tuple, list)) else (res,)
+            res = tuple(np.asarray(a)[ov:ov + (r1 - r0),
+                                      ov:ov + (c1 - c0)] for a in res)
             if out is None:
-                out_dtype = out_dtype or res.dtype
-                out = np.empty((H, W), dtype=out_dtype)
-            out[r0:r1, c0:c1] = res
+                dts = (out_dtype if isinstance(out_dtype, (tuple, list))
+                       else (out_dtype,) * len(res))
+                out = tuple(np.empty((H, W), dtype=dt or a.dtype)
+                            for dt, a in zip(dts, res))
+            for o, a in zip(out, res):
+                o[r0:r1, c0:c1] = a
             if ckpt:
                 ckpt.mark(key)
             if progress:
                 print(f"tile {key} / ({n_ty},{n_tx})", flush=True)
-    return out
+    if out is None:
+        return None
+    return out if multi else out[0]

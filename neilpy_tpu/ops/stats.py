@@ -157,8 +157,12 @@ def morans_i(X, footprint=1, mode="nearest"):
     return I, E_I, z
 
 
-def local_morans_i(X, footprint=1, mode="nearest"):
-    """Local Moran's I (Anselin LISA) per cell with binary weights."""
+def local_morans_i(X, footprint=1, mode="nearest", mean=None, s2=None):
+    """Local Moran's I (Anselin LISA) per cell with binary weights.
+
+    ``mean``/``s2`` override the global moments — required when a big
+    mosaic is processed tile-wise and each tile must z-score against
+    the *global* statistics (pipelines/mosaic.py)."""
     X = jnp.asarray(X, dtype=jnp.float32)
     if np.isscalar(footprint):
         m = int(footprint)
@@ -168,9 +172,12 @@ def local_morans_i(X, footprint=1, mode="nearest"):
         fp = np.asarray(footprint).astype(np.float32)
     finite = jnp.isfinite(X)
     nf = jnp.sum(finite).astype(jnp.float32)
-    xbar = jnp.nanmean(X)
+    xbar = jnp.nanmean(X) if mean is None else jnp.float32(mean)
     zdev = jnp.where(finite, X - xbar, 0.0)
-    s2 = jnp.sum(zdev ** 2) / nf
+    if s2 is None:
+        s2 = jnp.sum(zdev ** 2) / nf
+    else:
+        s2 = jnp.float32(s2)
     lag = convolve2d_nearest(zdev, fp, mode=mode)
     I = (zdev / s2) * lag
     return jnp.where(finite, I, jnp.nan)

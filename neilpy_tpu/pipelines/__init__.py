@@ -1,0 +1,8 @@
+"""End-to-end terrain pipelines: SMRF ground filtering and streaming
+mosaic analysis."""
+
+from .smrf import smrf, progressive_filter
+from .mosaic import mosaic_terrain_products, required_overlap
+
+__all__ = ["smrf", "progressive_filter", "mosaic_terrain_products",
+           "required_overlap"]

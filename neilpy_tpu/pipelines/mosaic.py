@@ -1,0 +1,111 @@
+"""Out-of-core terrain analysis for continent-scale mosaics
+(BASELINE config 5: sharded SMRF + geomorphons + Moran's-I
+autocorrelation over a synthetic 100k x 100k DEM mosaic).
+
+A 100k x 100k float32 mosaic is 40 GB — beyond single-chip HBM — so
+this pipeline streams overlapping tiles through ONE fused device
+program producing every requested product per pass (geomorphon
+classes, local Moran's I, SMRF object cells), with tile-granular
+checkpoint/resume (SURVEY.md §5: "tile-granular restart for the
+100k x 100k mosaic config is the one real need").
+
+The overlap is chosen for exactness, not vibes:
+
+* geomorphons at lookup L need an L-px halo;
+* a progressive opening ladder over windows w_1..w_k contaminates a
+  band of 2 * sum(w_i) px at a tile edge (each opening widens the
+  wrong band by erosion + dilation radii);
+* local Moran's I with a radius-r footprint needs r + 1 px (its
+  z-normalization is global and is computed in a first streaming
+  pass over the raw tiles).
+
+so ``overlap = max(lookup, 2*sum(windows), gi_radius + 1)`` makes the
+tiled result equal the untiled one everywhere except within
+``overlap`` pixels of the *global* mosaic boundary, where tile edge
+padding approximates each kernel's own boundary convention (asserted
+in tests, same contract the reference accepted from apply_parallel).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..dist.tiling import tiled_apply
+from ..ops.visibility import geomorphons
+from ..ops.stats import local_morans_i
+from .smrf import progressive_filter
+
+__all__ = ["mosaic_terrain_products", "required_overlap"]
+
+
+def required_overlap(lookup_pixels=0, windows=(), gi_radius=0):
+    """Exactness halo for the fused tile kernel (see module docstring)."""
+    ladder = int(2 * np.sum(windows)) if np.size(windows) else 0
+    gi = int(gi_radius) + 1 if gi_radius else 0
+    return max(int(lookup_pixels), ladder, gi)
+
+
+def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
+                            threshold_angle=1, windows=5,
+                            slope_threshold=.15, gi_radius=3,
+                            tile_size=2048, checkpoint=None,
+                            out=None, progress=False):
+    """Stream a (possibly memory-mapped) mosaic through one fused tile
+    kernel computing geomorphon classes, SMRF object cells, and local
+    Moran's I; resumable at tile granularity via ``checkpoint``.
+
+    Returns ``(geomorphons uint8, object_cells bool, morans_i f32)``.
+    ``out`` may be a tuple of three preallocated (memory-mapped)
+    arrays for mosaics that do not fit in RAM.
+    """
+    if np.isscalar(windows):
+        windows = np.arange(windows) + 1
+    windows = np.atleast_1d(np.asarray(windows))
+    ov = required_overlap(lookup_pixels, windows, gi_radius)
+
+    # Global Moran's z-normalization: one cheap streaming pass for the
+    # global mean/variance (the tile kernel must not normalize locally
+    # or tiled != untiled).
+    Z = np.asarray(Z)
+    gsum = 0.0
+    gsq = 0.0
+    n_finite = 0
+    for r0 in range(0, Z.shape[0], 4096):
+        blk = np.asarray(Z[r0:r0 + 4096], dtype=np.float64)
+        m = np.isfinite(blk)
+        gsum += blk[m].sum()
+        gsq += (blk[m] ** 2).sum()
+        n_finite += int(m.sum())
+    mean = gsum / max(n_finite, 1)
+    s2 = gsq / max(n_finite, 1) - mean * mean
+
+    thresholds = jnp.asarray(slope_threshold * (windows * cellsize),
+                             dtype=jnp.float32)
+    win = tuple(int(w) for w in windows)
+
+    from ..ops.morphology import _disk_morph
+
+    @jax.jit
+    def tile_kernel(block):
+        g = geomorphons(block, cellsize=cellsize,
+                        lookup_pixels=lookup_pixels,
+                        threshold_angle=threshold_angle)
+        mi = local_morans_i(block, footprint=gi_radius, mean=mean,
+                            s2=s2)
+        last = block
+        objects = jnp.zeros(block.shape, dtype=bool)
+        for i, w in enumerate(win):
+            opened = _disk_morph(_disk_morph(last, w, jnp.minimum), w,
+                                 jnp.maximum)
+            objects = objects | ((last - opened) > thresholds[i])
+            last = opened
+        return g.astype(jnp.uint8), objects, mi
+
+    return tiled_apply(tile_kernel, Z, tile_size=tile_size, overlap=ov,
+                       out=out, out_dtype=(np.uint8, bool, np.float32),
+                       checkpoint=checkpoint, progress=progress)

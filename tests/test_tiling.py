@@ -56,3 +56,41 @@ def test_partial_resume(tmp_path, rng):
     # tile (0,0) skipped (stays zero), others computed
     assert (out[:20, :20] == 0).all()
     assert (out[20:, 20:] == Z[20:, 20:] + 1).all()
+
+
+def test_mosaic_terrain_products(tmp_path, rng):
+    """Fused multi-product mosaic pipeline: tiled == untiled in the
+    interior for all three products, resumable at tile granularity."""
+    import jax.numpy as jnp
+    from neilpy_tpu.pipelines.mosaic import (mosaic_terrain_products,
+                                             required_overlap)
+    from neilpy_tpu.pipelines.smrf import progressive_filter
+    from neilpy_tpu.ops.stats import local_morans_i
+
+    Z = rng.normal(size=(100, 120)).cumsum(axis=0).cumsum(axis=1)
+    Z = (Z / 10).astype(np.float32)
+    lookup, windows, gi_r = 4, np.array([1, 2, 3]), 2
+    ov = required_overlap(lookup, windows, gi_r)
+    assert ov == 2 * (1 + 2 + 3)
+
+    ck = str(tmp_path / "mosaic.json")
+    G, O, MI = mosaic_terrain_products(
+        Z, cellsize=1, lookup_pixels=lookup, windows=windows,
+        gi_radius=gi_r, tile_size=48, checkpoint=ck)
+
+    full_G = np.asarray(geomorphons(Z, cellsize=1, lookup_pixels=lookup,
+                                    threshold_angle=1))
+    full_O = np.asarray(progressive_filter(Z, windows, 1, .15))
+    full_MI = np.asarray(local_morans_i(jnp.asarray(Z), footprint=gi_r))
+
+    s = np.s_[ov:-ov, ov:-ov]
+    assert (G[s] == full_G[s]).all()
+    assert (O[s] == full_O[s]).all()
+    np.testing.assert_allclose(MI[s], full_MI[s], rtol=0, atol=1e-4)
+
+    # resume: all tiles done -> no recompute, outputs intact
+    out = (G.copy(), O.copy(), MI.copy())
+    G2, O2, MI2 = mosaic_terrain_products(
+        Z, cellsize=1, lookup_pixels=lookup, windows=windows,
+        gi_radius=gi_r, tile_size=48, checkpoint=ck, out=out)
+    assert (G2 == G).all() and (O2 == O).all()
