@@ -82,3 +82,10 @@ from .photo.exif import (exif_dict_to_dd, dd_to_exif_tuple,
 
 # ----- misc -----------------------------------------------------------
 from .utils import voxelize, set_print_options
+
+# ----- observability ---------------------------------------------------
+from .profiling import Throughput, trace, compile_report
+
+# ----- multi-chip / out-of-core ---------------------------------------
+from . import dist
+from .pipelines.mosaic import mosaic_terrain_products

@@ -163,7 +163,7 @@ def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
     num_pos, num_neg = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((TH, TW), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),

@@ -256,8 +256,10 @@ def bdr(XY, AB):
     rsquare = 1 - resid / (ssq(A) + ssq(B))
     D = np.sqrt(resid)
     Dmax = np.sqrt(ssq(A) + ssq(B))
-    DI = np.sqrt(1 - rsquare)
-    F = ((2 * len(A) - 4) / 2) * (rsquare / (1 - rsquare))
+    DI = np.sqrt(max(1 - rsquare, 0.0))
+    # Nakaya F; a perfect fit (rsquare == 1) gives F = inf, P = 0
+    with np.errstate(divide="ignore"):
+        F = ((2 * len(A) - 4) / 2) * np.divide(rsquare, 1 - rsquare)
     P = 1 - sstats.f.cdf(F, 2, 2 * len(A) - 4)
     return {"beta1": beta1, "beta2": beta2, "alpha1": alpha1,
             "alpha2": alpha2, "scale": scale, "theta": theta,

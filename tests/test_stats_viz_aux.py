@@ -333,3 +333,21 @@ def test_public_api_surface():
     hungarian_algorithm bdr_bootstrap""".split()
     missing = [n for n in reference_names if not hasattr(nt, n)]
     assert not missing, f"missing API parity names: {missing}"
+
+
+class TestProfiling:
+    def test_throughput_counter(self):
+        import jax.numpy as jnp
+        from neilpy_tpu.profiling import Throughput, sync
+        Z = jnp.ones((64, 64))
+        with Throughput("add", items=Z.size, quiet=True) as tp:
+            tp.result = Z + 1
+        assert tp.seconds > 0 and tp.rate > 0
+        sync(None)  # no-op on non-device values
+
+    def test_compile_report(self):
+        import jax.numpy as jnp
+        from neilpy_tpu.profiling import compile_report
+        rep = compile_report(lambda a: (a * 2).sum(), jnp.ones((8, 8)),
+                             name="double")
+        assert rep["compile_s"] >= 0 and rep["name"] == "double"
