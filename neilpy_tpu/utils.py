@@ -6,7 +6,73 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["voxelize", "set_print_options"]
+__all__ = ["voxelize", "write_voxel_stl", "set_print_options"]
+
+
+def write_voxel_stl(filename, H, scale=1.0, origin=(0.0, 0.0, 0.0)):
+    """Write a boolean voxel grid as a binary STL of exposed faces.
+
+    The reference's STL path was dead code (voxelfuse import commented
+    out, neilpy.py:72-74); this is a working replacement with no
+    third-party dependency: every voxel face adjacent to an empty cell
+    emits two triangles, vectorised in numpy.
+    """
+    H = np.asarray(H, dtype=bool)
+    tris = []
+    # (axis, direction, face corner offsets in CCW order viewed from
+    # outside)
+    unit = np.eye(3)
+    for axis in range(3):
+        for sign in (-1, 1):
+            occ = H
+            nb = np.zeros_like(H)
+            sl_src = [slice(None)] * 3
+            sl_dst = [slice(None)] * 3
+            if sign == 1:
+                sl_src[axis] = slice(1, None)
+                sl_dst[axis] = slice(0, -1)
+            else:
+                sl_src[axis] = slice(0, -1)
+                sl_dst[axis] = slice(1, None)
+            nb[tuple(sl_dst)] = H[tuple(sl_src)]
+            exposed = occ & ~nb
+            idx = np.argwhere(exposed).astype(np.float64)
+            if idx.size == 0:
+                continue
+            a = (axis + 1) % 3
+            b = (axis + 2) % 3
+            base = idx + (sign > 0) * unit[axis]
+            c00 = base
+            c10 = base + unit[a]
+            c01 = base + unit[b]
+            c11 = base + unit[a] + unit[b]
+            if sign > 0:
+                quads = np.stack([c00, c10, c11, c01], axis=1)
+            else:
+                quads = np.stack([c00, c01, c11, c10], axis=1)
+            tris.append(quads[:, [0, 1, 2]])
+            tris.append(quads[:, [0, 2, 3]])
+    if tris:
+        T = np.concatenate(tris, axis=0) * scale + np.asarray(origin)
+    else:
+        T = np.zeros((0, 3, 3))
+    n = len(T)
+    # binary STL: 80-byte header, uint32 count, then 50 bytes/facet
+    v1 = T[:, 1] - T[:, 0]
+    v2 = T[:, 2] - T[:, 0]
+    nrm = np.cross(v1, v2)
+    ln = np.linalg.norm(nrm, axis=1, keepdims=True)
+    nrm = np.where(ln > 0, nrm / np.maximum(ln, 1e-30), 0.0)
+    rec = np.zeros(n, dtype=np.dtype([
+        ("normal", "<f4", 3), ("v", "<f4", (3, 3)),
+        ("attr", "<u2")]))
+    rec["normal"] = nrm
+    rec["v"] = T
+    with open(filename, "wb") as f:
+        f.write(b"neilpy_tpu voxel export".ljust(80, b"\0"))
+        f.write(np.uint32(n).tobytes())
+        f.write(rec.tobytes())
+    return n
 
 
 def voxelize(filename, x, y, z, resolution, bottom_fill=True, threshold=1,

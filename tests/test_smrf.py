@@ -91,3 +91,22 @@ def test_smrf_return_extras(rng):
     # most building points flagged, most ground kept
     assert pts[obj].mean() > 0.9
     assert pts[~obj].mean() < 0.1
+
+
+@pytest.mark.slow
+def test_smrf_matches_f64_reference_samp41():
+    """End-to-end agreement with the f64 scipy reference pipeline
+    (lsqr + scipy opening + FITPACK spline): >=99.9% of points and
+    cells identical; only f32 decision-margin cells may differ."""
+    import os
+    import pandas as pd
+    from .reference_impls import np_smrf
+    fn = "/root/reference/sample_data/samp41.txt"
+    if not os.path.exists(fn):
+        pytest.skip("ISPRS data not mounted")
+    df = pd.read_csv(fn, header=None, names=["x", "y", "z", "g"],
+                     delimiter="\t")
+    ref_pts, ref_obj = np_smrf(df.x, df.y, df.z, 1, 18, .15, .5, 1.25)
+    _, _, our_obj, our_pts = smrf(df.x, df.y, df.z, 1, 18, .15, .5, 1.25)
+    assert np.mean(np.asarray(our_pts) == ref_pts) > 0.999
+    assert np.mean(np.asarray(our_obj) == ref_obj) > 0.999
