@@ -1,0 +1,87 @@
+// Native host-side point binning for neilpy_tpu.
+//
+// The exact gridding path needs float64 bin indices (UTM coordinates
+// do not survive f32), which numpy computes at a few Mpts/s across
+// ~10 temporaries.  This kernel does the whole inverse-affine floor
+// binning (plus validity masking) in one multithreaded pass with no
+// temporaries: x,y (f64) -> flat int32 bin index + valid mask.
+//
+// Build: make -C native   ->  neilpy_tpu/_native/libbinning.so
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// Bin n points into an ny x nx grid anchored at (x0, y0) with cell
+// size cs (north-up: rows grow as y decreases).  Writes flat[i] and
+// valid[i]; out-of-grid points get flat = ny*nx (a sentinel bin) and
+// valid = 0.  Returns the number of valid points.
+long bin_points_f64(const double* x, const double* y, long n,
+                    double x0, double y0, double cs,
+                    long ny, long nx,
+                    int32_t* flat, uint8_t* valid) {
+    unsigned hw = std::thread::hardware_concurrency();
+    unsigned nt = hw ? (hw > 16 ? 16 : hw) : 4;
+    if (n < 100000) nt = 1;
+    std::atomic<long> total{0};
+    const double inv = 1.0 / cs;
+    const int32_t sentinel = static_cast<int32_t>(ny * nx);
+
+    auto work = [&](long lo, long hi) {
+        long cnt = 0;
+        for (long i = lo; i < hi; ++i) {
+            double c = std::floor((x[i] - x0) * inv);
+            double r = std::floor((y0 - y[i]) * inv);
+            bool ok = (c >= 0.0) && (c < static_cast<double>(nx)) &&
+                      (r >= 0.0) && (r < static_cast<double>(ny));
+            flat[i] = ok ? static_cast<int32_t>(r) *
+                               static_cast<int32_t>(nx) +
+                               static_cast<int32_t>(c)
+                         : sentinel;
+            valid[i] = ok ? 1 : 0;
+            cnt += ok;
+        }
+        total += cnt;
+    };
+
+    if (nt == 1) {
+        work(0, n);
+    } else {
+        std::vector<std::thread> threads;
+        long chunk = (n + nt - 1) / nt;
+        for (unsigned t = 0; t < nt; ++t) {
+            long lo = static_cast<long>(t) * chunk;
+            long hi = lo + chunk < n ? lo + chunk : n;
+            if (lo >= hi) break;
+            threads.emplace_back(work, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    }
+    return total.load();
+}
+
+// Fused bin + segment-min/max on host (f64 exact): the full
+// create_dem reduction for workflows that never leave the host.
+// grid must be pre-filled with +inf (minimize=1) or -inf (0).
+void bin_reduce_f64(const double* x, const double* y, const double* z,
+                    long n, double x0, double y0, double cs,
+                    long ny, long nx, int minimize, double* grid) {
+    const double inv = 1.0 / cs;
+    // single-threaded: the reduction races otherwise; still one pass
+    for (long i = 0; i < n; ++i) {
+        double c = std::floor((x[i] - x0) * inv);
+        double r = std::floor((y0 - y[i]) * inv);
+        if (c < 0.0 || c >= static_cast<double>(nx) || r < 0.0 ||
+            r >= static_cast<double>(ny))
+            continue;
+        long k = static_cast<long>(r) * nx + static_cast<long>(c);
+        double v = z[i];
+        if (minimize ? (v < grid[k]) : (v > grid[k])) grid[k] = v;
+    }
+}
+
+}  // extern "C"

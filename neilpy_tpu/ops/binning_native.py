@@ -1,0 +1,74 @@
+"""ctypes binding for the native (C++) point-binning kernel.
+
+The exact gridding path computes f64 bin indices on host
+(ops/pointgrid.py); numpy needs ~10 full-array temporaries for it.
+The native kernel (native/binning.cpp) does the inverse-affine floor
+binning in one multithreaded pass — the framework's native fast path
+for the host leg of create_dem.  Falls back transparently to numpy
+when the shared library hasn't been built (``make -C native``).
+
+Results are identical to the numpy path up to f64 associativity (the
+affine inverse is applied as ``(x - x0) / cs`` instead of the
+algebraically equal ``ia*x + ic``); points landing bit-exactly on a
+cell edge are the only cells that could differ.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+__all__ = ["native_available", "bin_points_native"]
+
+_LIB = None
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "_native",
+                         "libbinning.so")
+
+
+def _load():
+    global _LIB
+    if _LIB is None and os.path.exists(_LIB_PATH):
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.bin_points_f64.restype = ctypes.c_long
+        lib.bin_points_f64.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _LIB = lib
+    return _LIB
+
+
+def native_available():
+    return _load() is not None
+
+
+def bin_points_native(x, y, cellsize=1, edges=None):
+    """Native drop-in for ``ops.pointgrid.bin_points``: returns
+    (flat int32, valid bool, (ny, nx), t)."""
+    from .pointgrid import _grid_frame
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native binning library not built; run "
+                           "`make -C native`")
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    ny, nx, t, cellsize, _ = _grid_frame(x, y, cellsize, edges)
+    if ny * nx >= 2 ** 31:
+        raise ValueError("grid too large for int32 bin indices; use "
+                         "bin_points(..., native=False) or tile first")
+    n = x.size
+    flat = np.empty(n, dtype=np.int32)
+    valid = np.empty(n, dtype=np.uint8)
+    lib.bin_points_f64(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, float(t.c), float(t.f), float(cellsize), ny, nx,
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return flat, valid.astype(bool), (ny, nx), t

@@ -74,3 +74,35 @@ def test_native_laz_rejected(native, tmp_path):
     open(fn, "wb").write(bytes(data))
     with pytest.raises(ValueError, match="LAZ"):
         native.read_header(fn)
+
+
+class TestNativeBinning:
+    def test_matches_numpy_binning(self, rng):
+        from neilpy_tpu.ops.binning_native import (native_available,
+                                                   bin_points_native)
+        from neilpy_tpu.ops.pointgrid import bin_points
+        if not native_available():
+            pytest.skip("libbinning.so not built")
+        n = 300000
+        x = rng.uniform(500000, 500400, n)
+        y = rng.uniform(4200000, 4200300, n)
+        f1, v1, s1, t1 = bin_points(x, y, cellsize=1, native=False)
+        f2, v2, s2, t2 = bin_points_native(x, y, cellsize=1)
+        assert s1 == s2 and list(t1) == list(t2)
+        np.testing.assert_array_equal(v1, v2)
+        np.testing.assert_array_equal(f1[v1], f2[v2].astype(np.int64))
+
+    def test_explicit_edges(self, rng):
+        from neilpy_tpu.ops.binning_native import (native_available,
+                                                   bin_points_native)
+        from neilpy_tpu.ops.pointgrid import bin_points
+        if not native_available():
+            pytest.skip("libbinning.so not built")
+        x = np.array([0.6, 5.5, 99.0])
+        y = np.array([0.6, 5.5, 99.0])
+        edges = (np.arange(0, 11.0), np.arange(10.0, -1, -1))
+        f1, v1, s1, _ = bin_points(x, y, edges=edges, native=False)
+        f2, v2, s2, _ = bin_points_native(x, y, edges=edges)
+        assert s1 == s2
+        np.testing.assert_array_equal(v1, v2)
+        np.testing.assert_array_equal(f1[v1], f2[v2].astype(np.int64))

@@ -351,3 +351,19 @@ class TestProfiling:
         rep = compile_report(lambda a: (a * 2).sum(), jnp.ones((8, 8)),
                              name="double")
         assert rep["compile_s"] >= 0 and rep["name"] == "double"
+
+
+def test_write_voxel_stl(tmp_path, rng):
+    import struct
+    from neilpy_tpu.utils import voxelize, write_voxel_stl
+    n = 4000
+    x = rng.uniform(0, 10, n)
+    y = rng.uniform(0, 10, n)
+    z = rng.uniform(0, 3, n)
+    H = voxelize(None, x, y, z, resolution=10)
+    fn = str(tmp_path / "vox.stl")
+    ntri = write_voxel_stl(fn, H)
+    raw = open(fn, "rb").read()
+    assert len(raw) == 84 + 50 * ntri
+    assert struct.unpack("<I", raw[80:84])[0] == ntri
+    assert ntri > 0 and ntri % 2 == 0  # two triangles per exposed face
