@@ -33,6 +33,10 @@ def test_all_samples_mean_error():
     median_err = float(np.median(list(errors.values())))
     print({k: round(100 * v, 3) for k, v in errors.items()})
     print(f"mean {100 * mean_err:.3f}%  median {100 * median_err:.3f}%")
-    # paper-level accuracy: mean ~2.97%; allow modest slack for f32
-    assert mean_err < 0.045, errors
-    assert errors["samp12.txt"] < 0.035
+    # With the single published "best overall" parameter set the f64
+    # reference pipeline measures mean 4.39% / median 3.46% on these
+    # 15 samples (the paper's ~2.97% used per-sample tuning); we must
+    # stay within f32 decision-margin noise of that.
+    assert mean_err < 0.0444, errors
+    assert median_err < 0.0352, errors
+    assert errors["samp12.txt"] < 0.0312
