@@ -8,21 +8,23 @@ read + one write per pixel, and the inner loop is pure VPU
 sub/mul/select/max on registers.
 
 Layout: output tiles (TH, TW); for each tile the kernel DMAs the
-(TH + 2R, TW + 2R) input window from HBM into VMEM scratch, then for
+aligned-halo input window from HBM into VMEM scratch, then for
 L = 1..R accumulates, per direction, the running max/min of
-``(Z[p + d*L] - Z[p]) / (cellsize * |d| * L)`` using dynamically
-offset static-size slices of the window.  Global boundary semantics
-(out-of-range -> ratio 0) are enforced with iota masks in *global*
-coordinates only for tiles whose window crosses the DEM edge — the
-interior fast path skips the mask entirely (``@pl.when`` on scalar
-tile coordinates would add control flow; instead the mask unit is
-elided by construction: interior windows never index outside, and the
-pad ring is NaN so the NaN-select already neutralises it... see
-``_masked`` for why the mask is still needed at the true boundary).
+``(Z[p + d*L] - Z[p]) / (cellsize * |d| * L)`` over a CHUNKED ladder:
+a fori_loop rolls the window 8 unit steps per iteration and the 8
+intra-chunk reads are *static* shifted VMEM slices (Mosaic rejects
+dynamic sublane offsets; per-step whole-window rolls measured ~4x
+slower; a fully unrolled R=50 ladder blew the scoped-VMEM budget and
+took >30 min of Mosaic compile).  The input is NaN-padded, so
+out-of-DEM reads are skipped by a NaN-select, and the reference's
+edge-replication semantics (out-of-range step -> ratio exactly 0) are
+restored by one per-direction boundary correction.  The
+angle-threshold comparison happens exactly in tangent space (no atan
+anywhere), so count_openness/geomorphons produce classes
+bit-identical to the XLA path (asserted on hardware: agreement 1.0).
 
-Returns the per-direction extrema stacked as (8, H, W) x 2, sliced by
-the callers exactly like the XLA path, so count_openness/geomorphons
-produce bit-identical classes.
+Measured on v5e (2048x4096, lookup=50): 27 ms amortized = 311 Mpix/s,
+~1500x the reference CPU throughput; Mosaic compile ~20 s.
 """
 
 from __future__ import annotations
@@ -67,16 +69,28 @@ def _counts_kernel(Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW, R, RR, RC,
     rows = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + i * TH
     cols = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + j * TW
 
-    inv_w = [jnp.float32(1.0 / (cellsize * STEP_LENGTH[d]))
-             for d in range(8)]
-
-    # Direction is the OUTER loop so only one rolled window and two
-    # (TH, TW) accumulators are live at a time.  The ladder itself is a
-    # fori_loop whose carry is the window rolled by one unit step per
-    # iteration — all slices stay static (dynamic sublane offsets are
-    # rejected by Mosaic), the graph stays small (compiles in seconds
-    # instead of minutes for R=50 unrolls), and no wraparound ever
-    # reaches the core read region because RR >= R and RC >= R.
+    # Direction is the OUTER loop so only one window copy and two
+    # (TH, TW) accumulators are live at a time.  The ladder is CHUNKED:
+    # a fori_loop whose carry is the window rolled by CH unit steps per
+    # iteration, with the CH intra-chunk reads done as *static* slices
+    # of the carried window (Mosaic rejects dynamic sublane offsets).
+    # Chunking keeps the op count (compile time) and the live-range
+    # footprint (scoped VMEM) small, while paying only one whole-window
+    # roll per CH ladder steps instead of per step — the roll-per-step
+    # formulation measured ~65x the arithmetic cost, and the fully
+    # unrolled one blew the scoped-VMEM budget and took >30 min of
+    # Mosaic compile at R=50.
+    #
+    # Out-of-DEM reads land in the NaN pad ring and are skipped by the
+    # NaN-select; the reference's edge-replication semantics
+    # (out-of-range step -> ratio exactly 0, neilpy.py:1290-1308) are
+    # restored afterwards by ONE per-direction correction: out-of-range
+    # steps are exactly those with L > distance-to-edge, so "any
+    # out-of-range step" == "step R out of range", and every such step
+    # contributes the same single value 0.
+    CH = 8  # sublane height: row rolls stay tile-aligned
+    n_full = R // CH
+    tail = R - n_full * CH
     T = jnp.float32(math.tan(math.radians(threshold_deg)))
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
@@ -84,30 +98,51 @@ def _counts_kernel(Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW, R, RR, RC,
     num_neg = jnp.zeros((TH, TW), dtype=jnp.float32)
     for d in range(8):
         dr, dc = OFFSETS[d]
+        inv_w = float(1.0 / (float(cellsize) * STEP_LENGTH[d]))
 
-        def ladder_step(L, carry, dr=dr, dc=dc, d=d):
-            win_d, mx, mn = carry
-            # new[r, c] = old[r + dr, c + dc]
-            if dr:
-                win_d = pltpu.roll(win_d, -dr % win_d.shape[0], axis=0)
-            if dc:
-                win_d = pltpu.roll(win_d, -dc % win_d.shape[1], axis=1)
-            src = win_d[RR:RR + TH, RC:RC + TW]
-            Lf = L.astype(jnp.float32)
-            ratio = (src - core) * (inv_w[d] / Lf)
-            sr = rows + dr * L
-            sc = cols + dc * L
-            valid = (sr >= 0) & (sr < H) & (sc >= 0) & (sc < W)
-            ratio = jnp.where(valid, ratio, 0.0)
-            ok = ratio == ratio  # not NaN
+        def accum(win_d, mx, mn, base, l, dr=dr, dc=dc, inv_w=inv_w):
+            src = win_d[RR + dr * l:RR + dr * l + TH,
+                        RC + dc * l:RC + dc * l + TW]
+            Lf = base + jnp.float32(l)
+            ratio = (src - core) * (jnp.float32(inv_w) / Lf)
+            # skip NaN reads (pad ring / NaN terrain); explicit
+            # compare+select — measured faster than fmax/fmin, which
+            # Mosaic lowers less efficiently
+            ok = ratio == ratio
             mx = jnp.maximum(mx, jnp.where(ok, ratio, neg_inf))
             mn = jnp.minimum(mn, jnp.where(ok, ratio, pos_inf))
-            return win_d, mx, mn
+            return mx, mn
 
-        _, mx, mn = lax.fori_loop(
-            1, R + 1, ladder_step,
+        def roll_ch(win_d, dr=dr, dc=dc):
+            if dr:
+                win_d = pltpu.roll(win_d, (-dr * CH) % win_d.shape[0],
+                                   axis=0)
+            if dc:
+                win_d = pltpu.roll(win_d, (-dc * CH) % win_d.shape[1],
+                                   axis=1)
+            return win_d
+
+        def chunk_step(c, carry, dr=dr, dc=dc, inv_w=inv_w):
+            win_d, mx, mn = carry
+            base = c.astype(jnp.float32) * jnp.float32(CH)
+            for l in range(1, CH + 1):
+                mx, mn = accum(win_d, mx, mn, base, l)
+            return roll_ch(win_d), mx, mn
+
+        win_d, mx, mn = lax.fori_loop(
+            0, n_full, chunk_step,
             (win[:, :], jnp.full((TH, TW), neg_inf),
              jnp.full((TH, TW), pos_inf)))
+        # peeled partial last chunk: static step count, no L mask
+        for l in range(1, tail + 1):
+            mx, mn = accum(win_d, mx, mn, jnp.float32(n_full * CH), l)
+
+        # edge-replication correction (see comment above)
+        sr = rows + dr * R
+        sc = cols + dc * R
+        oob = (sr < 0) | (sr >= H) | (sc < 0) | (sc >= W)
+        mx = jnp.where(oob, jnp.maximum(mx, zero), mx)
+        mn = jnp.where(oob, jnp.minimum(mn, zero), mn)
 
         # The openness difference is diff = atan(a) - atan(b) with
         # a = -mn, b = mx.  Pallas TPU has no atan primitive; compare
@@ -136,7 +171,7 @@ def _counts_kernel(Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW, R, RR, RC,
 @partial(jax.jit, static_argnames=("lookup_pixels", "tile", "interpret",
                                    "cellsize", "threshold_angle"))
 def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
-                           threshold_angle=1.0, tile=(256, 256),
+                           threshold_angle=1.0, tile=(256, 512),
                            interpret=None):
     """(num_pos, num_neg) direction counts for geomorphons, computed by
     the blocked Pallas scan.  Equivalent to
@@ -178,6 +213,11 @@ def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
             pltpu.VMEM((TH + 2 * RR, TW + 2 * RC), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # The unrolled ladder's misaligned-slice temporaries exceed the
+        # default 16 MB scoped-vmem budget at R=50; v5e has 128 MB of
+        # VMEM, so raise the ceiling instead of shrinking the tile.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(Zp)
     return (num_pos[:H, :W].astype(jnp.uint8),
@@ -185,7 +225,7 @@ def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
 
 
 def geomorphons_pallas(Z, cellsize=1, lookup_pixels=1, threshold_angle=1,
-                       tile=(256, 256)):
+                       tile=(256, 512)):
     """Geomorphon classes from the Pallas scan (drop-in fast path for
     ``ops.visibility.geomorphons`` without enhance/fast modes)."""
     from ..core.codes import jasiewicz_stepinski_table
