@@ -54,7 +54,7 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                             threshold_angle=1, windows=5,
                             slope_threshold=.15, gi_radius=3,
                             tile_size=2048, checkpoint=None,
-                            out=None, progress=False):
+                            out=None, progress=False, use_pallas=None):
     """Stream a (possibly memory-mapped) mosaic through one fused tile
     kernel computing geomorphon classes, SMRF object cells, and local
     Moran's I; resumable at tile granularity via ``checkpoint``.
@@ -90,11 +90,24 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
 
     from ..ops.morphology import _disk_morph
 
+    # On TPU the Pallas VMEM-ladder kernel classifies ~10x faster than
+    # the XLA scan and treats tile edges with the same edge-replication
+    # convention, so the overlap crop keeps tiled == untiled either way.
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ..ops.pallas_scan import geomorphons_pallas as _geo
+        geo = lambda b: _geo(b, cellsize=cellsize,
+                             lookup_pixels=lookup_pixels,
+                             threshold_angle=threshold_angle)
+    else:
+        geo = lambda b: geomorphons(b, cellsize=cellsize,
+                                    lookup_pixels=lookup_pixels,
+                                    threshold_angle=threshold_angle)
+
     @jax.jit
     def tile_kernel(block):
-        g = geomorphons(block, cellsize=cellsize,
-                        lookup_pixels=lookup_pixels,
-                        threshold_angle=threshold_angle)
+        g = geo(block)
         mi = local_morans_i(block, footprint=gi_radius, mean=mean,
                             s2=s2)
         last = block

@@ -94,3 +94,17 @@ def test_mosaic_terrain_products(tmp_path, rng):
         Z, cellsize=1, lookup_pixels=lookup, windows=windows,
         gi_radius=gi_r, tile_size=48, checkpoint=ck, out=out)
     assert (G2 == G).all() and (O2 == O).all()
+
+
+def test_mosaic_pallas_tile_kernel_matches(rng):
+    """The Pallas tile kernel (interpret mode on CPU) and the XLA tile
+    kernel classify identically through the mosaic pipeline."""
+    from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+    Z = rng.normal(size=(64, 80)).cumsum(axis=0).astype(np.float32)
+    kw = dict(cellsize=1, lookup_pixels=3, windows=np.array([1]),
+              gi_radius=1, tile_size=32)
+    G1, O1, M1 = mosaic_terrain_products(Z, use_pallas=False, **kw)
+    G2, O2, M2 = mosaic_terrain_products(Z, use_pallas=True, **kw)
+    np.testing.assert_array_equal(G1, G2)
+    np.testing.assert_array_equal(O1, O2)
+    np.testing.assert_allclose(M1, M2, atol=1e-5)
