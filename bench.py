@@ -82,8 +82,12 @@ def _pallas_probe():
     np.asarray(geomorphons_pallas(Zd, cellsize=10,
                                   lookup_pixels=BENCH_LOOKUP))
     log(f"pallas compile+first run: {time.time() - t0:.1f}s")
+    # k=30: tunnel dispatch latency (~100-200 ms/roundtrip on bad
+    # days) amortizes as lambda/k over the async chain; the kernel
+    # itself is ~27 ms so the extra iterations are cheap
     dt = _timeit(lambda: geomorphons_pallas(Zd, cellsize=10,
-                                            lookup_pixels=BENCH_LOOKUP))
+                                            lookup_pixels=BENCH_LOOKUP),
+                 k=30)
     print(f"PALLAS_MPIX {H * W / dt / 1e6:.1f}", flush=True)
 
 
@@ -101,11 +105,12 @@ def bench_geomorphons():
     results = {}
     t0 = time.time()
     np.asarray(geomorphons(Zd, cellsize=10, lookup_pixels=lookup,
-                           threshold_angle=1))
+                           threshold_angle=1, engine="xla"))
     log(f"xla compile+first run: {time.time() - t0:.1f}s")
     dt = _timeit(lambda: geomorphons(Zd, cellsize=10,
                                      lookup_pixels=lookup,
-                                     threshold_angle=1))
+                                     threshold_angle=1, engine="xla"),
+                 k=10)
     results["xla"] = H * W / dt / 1e6
     log(f"xla geomorphons {H}x{W} lookup={lookup}: {dt * 1e3:.1f} ms "
         f"= {results['xla']:.0f} Mpix/s")
@@ -171,7 +176,7 @@ def bench_gridding():
     out = {}
     for method in ("scatter",):
         try:
-            dt = _timeit(lambda: run(method), k=3)
+            dt = _timeit(lambda: run(method), k=12)
             out[method] = n / dt / 1e6
             log(f"gridding {method}: {dt*1e3:.1f} ms = "
                 f"{out[method]:.0f} Mpts/s device ({ny}x{nx} grid); "

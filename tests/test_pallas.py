@@ -59,3 +59,20 @@ def test_lookup_larger_than_tile(Z):
                                         tile=(32, 32)))
     G_x = np.asarray(geomorphons(Z[:64, :96], lookup_pixels=40))
     np.testing.assert_array_equal(G_p, G_x)
+
+
+def test_geomorphons_engine_param(rng):
+    from neilpy_tpu.ops.visibility import geomorphons
+    Z = rng.normal(size=(40, 60)).cumsum(axis=0).astype(np.float32)
+    a = np.asarray(geomorphons(Z, cellsize=2, lookup_pixels=5,
+                               threshold_angle=1, engine="xla"))
+    b = np.asarray(geomorphons(Z, cellsize=2, lookup_pixels=5,
+                               threshold_angle=1, engine="pallas"))
+    np.testing.assert_array_equal(a, b)
+    # enhance path through the pallas engine
+    Zb = rng.normal(size=(64, 64)).cumsum(axis=1).astype(np.float32)
+    a = np.asarray(geomorphons(Zb, cellsize=1, lookup_pixels=18,
+                               enhance=True, engine="xla"))
+    b = np.asarray(geomorphons(Zb, cellsize=1, lookup_pixels=18,
+                               enhance=True, engine="pallas"))
+    np.testing.assert_array_equal(a, b)
