@@ -66,6 +66,25 @@ def _bench_input():
     return np.cumsum(Z, axis=0) + np.cumsum(Z, axis=1)
 
 
+def _repeat_in_one_program(kernel, n):
+    """n kernel applications inside ONE jitted program (lax.scan with a
+    data dependence so nothing is CSE'd/DCE'd): a single dispatch, so
+    the tunnel's per-roundtrip latency — which ranged 1 ms to 3 s
+    across a day of measurements — is paid once, not per iteration."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def rep(Z):
+        def body(z, _):
+            g = kernel(z)
+            return z + g.astype(jnp.float32).mean() * 1e-12, None
+        z, _ = lax.scan(body, Z, None, length=n)
+        return z
+    return rep
+
+
 def _pallas_probe():
     """Entry point run in a SUBPROCESS: the Pallas kernel's Mosaic
     compile at lookup=50 can take tens of minutes on a cold cache, and
@@ -77,17 +96,20 @@ def _pallas_probe():
     from neilpy_tpu.ops.pallas_scan import geomorphons_pallas
 
     H, W = BENCH_SHAPE
+    N = 10
     Zd = jax.device_put(jnp.asarray(_bench_input()))
+    rep = _repeat_in_one_program(
+        lambda z: geomorphons_pallas(z, cellsize=10,
+                                     lookup_pixels=BENCH_LOOKUP), N)
     t0 = time.time()
-    np.asarray(geomorphons_pallas(Zd, cellsize=10,
-                                  lookup_pixels=BENCH_LOOKUP))
-    log(f"pallas compile+first run: {time.time() - t0:.1f}s")
-    # k=30: tunnel dispatch latency (~100-200 ms/roundtrip on bad
-    # days) amortizes as lambda/k over the async chain; the kernel
-    # itself is ~27 ms so the extra iterations are cheap
-    dt = _timeit(lambda: geomorphons_pallas(Zd, cellsize=10,
-                                            lookup_pixels=BENCH_LOOKUP),
-                 k=30)
+    np.asarray(rep(Zd).ravel()[:1])
+    log(f"pallas compile+first run (x{N} scan): {time.time() - t0:.1f}s")
+    dts = []
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(rep(Zd).ravel()[:1])
+        dts.append((time.time() - t0) / N)
+    dt = min(dts)
     print(f"PALLAS_MPIX {H * W / dt / 1e6:.1f}", flush=True)
 
 

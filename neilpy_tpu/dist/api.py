@@ -21,8 +21,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from .halo import halo_exchange_2d, block_origin
-from ..ops.visibility import directional_ratio_extrema, _angles_from_extrema
-from ..core.codes import jasiewicz_stepinski_table
+from ..ops.visibility import (directional_ratio_extrema,
+                              _angles_from_extrema, classes_from_counts)
 
 __all__ = ["make_mesh", "sharded_geomorphons", "sharded_openness",
            "sharded_hillshade", "pad_to_mesh", "sharded_apply"]
@@ -60,9 +60,11 @@ def pad_to_mesh(Z, mesh, axis_names=("ty", "tx"), fill=jnp.nan):
 
 
 @partial(jax.jit, static_argnames=("mesh", "lookup_pixels", "axis_names",
-                                   "global_shape"))
+                                   "global_shape", "engine", "cellsize",
+                                   "threshold_angle"))
 def _sharded_counts(Zs, mesh, cellsize, lookup_pixels, threshold_angle,
-                    global_shape, axis_names=("ty", "tx")):
+                    global_shape, axis_names=("ty", "tx"),
+                    engine="xla"):
     ny = mesh.shape[axis_names[0]]
     nx = mesh.shape[axis_names[1]]
     bh = global_shape[0] // ny
@@ -71,6 +73,16 @@ def _sharded_counts(Zs, mesh, cellsize, lookup_pixels, threshold_angle,
 
     def local(block):
         oy, ox = block_origin((bh, bw), axis_names)
+        if engine == "pallas":
+            # NaN halo beyond mesh == beyond raster: the kernel skips
+            # NaNs and applies the global edge-replication correction
+            # from (origin, global_shape)
+            from ..ops.pallas_scan import openness_counts_pallas_block
+            padded = halo_exchange_2d(block, r, axis_names, (ny, nx),
+                                      mode="nan")
+            return openness_counts_pallas_block(
+                padded, (oy, ox), global_shape, r, cellsize=cellsize,
+                threshold_angle=threshold_angle, vma=axis_names)
         padded = halo_exchange_2d(block, r, axis_names, (ny, nx),
                                   mode="zero")
         mx, mn, seen = directional_ratio_extrema(
@@ -85,26 +97,36 @@ def _sharded_counts(Zs, mesh, cellsize, lookup_pixels, threshold_angle,
         return (num_pos[r:r + bh, r:r + bw], num_neg[r:r + bh, r:r + bw])
 
     spec = P(*axis_names)
+    # check_vma=False: the pallas interpret-mode DMA mixes varying and
+    # unvarying operands in a dynamic_slice, which the vma checker
+    # cannot type yet (it suggests this workaround itself)
     return shard_map(local, mesh=mesh, in_specs=(spec,),
-                     out_specs=(spec, spec))(Zs)
+                     out_specs=(spec, spec), check_vma=False)(Zs)
 
 
 def sharded_geomorphons(Z, mesh=None, cellsize=1, lookup_pixels=1,
-                        threshold_angle=1, axis_names=("ty", "tx")):
+                        threshold_angle=1, axis_names=("ty", "tx"),
+                        engine="auto"):
     """Geomorphon classification sharded over a device mesh — the
     multi-chip analog of ``geomorphons`` (bit-identical to the
-    single-device kernel; asserted in tests)."""
+    single-device kernel; asserted in tests).
+
+    ``engine='auto'`` uses the Pallas VMEM-ladder kernel per shard on
+    the TPU backend (halo exchange feeds it real neighbour data), the
+    XLA scan otherwise.
+    """
     if mesh is None:
         mesh = make_mesh()
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     Zp, orig = pad_to_mesh(jnp.asarray(Z, dtype=jnp.float32), mesh,
                            axis_names)
     spec = P(*axis_names)
     Zs = jax.device_put(Zp, NamedSharding(mesh, spec))
     num_pos, num_neg = _sharded_counts(
-        Zs, mesh, jnp.float32(cellsize), int(lookup_pixels),
-        jnp.float32(threshold_angle), tuple(Zp.shape), axis_names)
-    lut = jnp.asarray(jasiewicz_stepinski_table())
-    G = lut[num_pos.astype(jnp.int32), num_neg.astype(jnp.int32)]
+        Zs, mesh, float(cellsize), int(lookup_pixels),
+        float(threshold_angle), tuple(Zp.shape), axis_names, engine)
+    G = classes_from_counts(num_pos, num_neg)
     return G[: orig[0], : orig[1]]
 
 

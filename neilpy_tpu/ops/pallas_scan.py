@@ -46,11 +46,12 @@ try:
 except Exception:  # pragma: no cover
     HAS_PALLAS = False
 
-__all__ = ["openness_counts_pallas", "geomorphons_pallas", "HAS_PALLAS"]
+__all__ = ["openness_counts_pallas", "openness_counts_pallas_block",
+           "geomorphons_pallas", "HAS_PALLAS"]
 
 
-def _counts_kernel(Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW, R, RR, RC,
-                   H, W, cellsize, threshold_deg):
+def _counts_kernel(org_ref, Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW,
+                   R, RR, RC, H, W, cellsize, threshold_deg):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -66,8 +67,13 @@ def _counts_kernel(Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW, R, RR, RC,
     neg_inf = jnp.float32(-jnp.inf)
     pos_inf = jnp.float32(jnp.inf)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + i * TH
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + j * TW
+    # org_ref (SMEM): global (row, col) of this array's core origin —
+    # (0, 0) single-device; the device block's offset under shard_map.
+    # (H, W) is always the GLOBAL raster shape for the oob tests.
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + i * TH
+            + org_ref[0])
+    cols = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + j * TW
+            + org_ref[1])
 
     # Direction is the OUTER loop so only one window copy and two
     # (TH, TW) accumulators are live at a time.  The ladder is CHUNKED:
@@ -191,46 +197,101 @@ def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    org = jnp.zeros((2,), dtype=jnp.int32)
+    num_pos, num_neg = _counts_call(Zp, org, TH, TW, R, RR, RC, H, W,
+                                    float(cellsize),
+                                    float(threshold_angle), interpret)
+    return (num_pos[:H, :W].astype(jnp.uint8),
+            num_neg[:H, :W].astype(jnp.uint8))
+
+
+def _counts_call(Zp, org, TH, TW, R, RR, RC, H, W, cellsize,
+                 threshold_deg, interpret, vma=None):
+    """Shared pallas_call wrapper.  ``Zp`` carries an (RR, RC) aligned
+    NaN halo around its core and tile-aligned bottom/right padding;
+    ``org`` is the core's global (row, col) origin as a traced (2,)
+    int32 (SMEM scalar input).  ``vma`` names the shard_map mesh axes
+    the outputs vary over when called per-shard."""
+    Hp = Zp.shape[0] - 2 * RR
+    Wp = Zp.shape[1] - 2 * RC
     grid = (Hp // TH, Wp // TW)
     kernel = partial(_counts_kernel, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
-                     H=H, W=W, cellsize=float(cellsize),
-                     threshold_deg=float(threshold_angle))
-    num_pos, num_neg = pl.pallas_call(
+                     H=H, W=W, cellsize=cellsize,
+                     threshold_deg=threshold_deg)
+    if vma is None:
+        out_struct = lambda: jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
+    else:
+        out_struct = lambda: jax.ShapeDtypeStruct(
+            (Hp, Wp), jnp.float32, vma=frozenset(vma))
+    return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((TH, TW), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TH, TW), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-        ),
+        out_shape=(out_struct(), out_struct()),
         scratch_shapes=[
             pltpu.VMEM((TH + 2 * RR, TW + 2 * RC), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
-        # The unrolled ladder's misaligned-slice temporaries exceed the
-        # default 16 MB scoped-vmem budget at R=50; v5e has 128 MB of
-        # VMEM, so raise the ceiling instead of shrinking the tile.
+        # The ladder's misaligned-slice temporaries exceed the default
+        # 16 MB scoped-vmem budget at R=50; v5e has 128 MB of VMEM, so
+        # raise the ceiling instead of shrinking the tile.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(Zp)
-    return (num_pos[:H, :W].astype(jnp.uint8),
-            num_neg[:H, :W].astype(jnp.uint8))
+    )(org, Zp)
+
+
+def openness_counts_pallas_block(block_haloed, origin, global_shape,
+                                 lookup_pixels, cellsize=1.0,
+                                 threshold_angle=1.0, tile=None,
+                                 interpret=None, vma=None):
+    """Per-device entry for shard_map use: ``block_haloed`` is a local
+    block already surrounded by an R-wide halo of *real neighbour
+    data* (NaN beyond the mesh / raster); ``origin`` is the global
+    (row, col) of the block core (traced ints).  Returns core-shaped
+    (num_pos, num_neg) uint8 counts identical to the single-device
+    kernel over the same global raster."""
+    R = int(lookup_pixels)
+    bh = block_haloed.shape[0] - 2 * R
+    bw = block_haloed.shape[1] - 2 * R
+    RR = -(-R // 8) * 8
+    RC = -(-R // 128) * 128
+    if tile is None:
+        tile = (min(256, -(-bh // 8) * 8), min(512, -(-bw // 128) * 128))
+    TH, TW = tile
+    Hp = -(-bh // TH) * TH
+    Wp = -(-bw // TW) * TW
+    # grow the R halo to the aligned (RR, RC) halo + tile alignment
+    Zp = jnp.pad(jnp.asarray(block_haloed, dtype=jnp.float32),
+                 ((RR - R, RR - R + (Hp - bh)),
+                  (RC - R, RC - R + (Wp - bw))),
+                 constant_values=jnp.nan)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    org = jnp.stack([jnp.asarray(origin[0], dtype=jnp.int32),
+                     jnp.asarray(origin[1], dtype=jnp.int32)])
+    H, W = int(global_shape[0]), int(global_shape[1])
+    num_pos, num_neg = _counts_call(Zp, org, TH, TW, R, RR, RC, H, W,
+                                    float(cellsize),
+                                    float(threshold_angle), interpret,
+                                    vma=vma)
+    return (num_pos[:bh, :bw].astype(jnp.uint8),
+            num_neg[:bh, :bw].astype(jnp.uint8))
 
 
 def geomorphons_pallas(Z, cellsize=1, lookup_pixels=1, threshold_angle=1,
                        tile=(256, 512)):
     """Geomorphon classes from the Pallas scan (drop-in fast path for
     ``ops.visibility.geomorphons`` without enhance/fast modes)."""
-    from ..core.codes import jasiewicz_stepinski_table
+    from .visibility import classes_from_counts
     num_pos, num_neg = openness_counts_pallas(
         Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels),
         threshold_angle=float(threshold_angle), tile=tile)
-    lut = jnp.asarray(jasiewicz_stepinski_table())
-    return lut[num_pos.astype(jnp.int32), num_neg.astype(jnp.int32)]
+    return classes_from_counts(num_pos, num_neg)

@@ -226,6 +226,22 @@ def count_openness(Z, cellsize, lookup_pixels, threshold_angle, fast=False,
     return num_pos, num_neg
 
 
+def classes_from_counts(num_pos, num_neg):
+    """J&S 9x9 table lookup as a fused 81-way select chain.
+
+    An ``lut[num_pos, num_neg]`` gather costs ~90 ms on 8.4 Mpix on
+    TPU — 3.5x the whole openness scan kernel; the select chain fuses
+    into the producing kernel's epilogue and measures free.
+    """
+    tbl = np.asarray(jasiewicz_stepinski_table()).ravel()
+    idx = (num_pos.astype(jnp.uint8) * jnp.uint8(9)
+           + num_neg.astype(jnp.uint8))
+    out = jnp.full(idx.shape, jnp.uint8(tbl[0]))
+    for k in range(1, 81):
+        out = jnp.where(idx == jnp.uint8(k), jnp.uint8(tbl[k]), out)
+    return out
+
+
 def geomorphons(Z, cellsize=1, lookup_pixels=1, threshold_angle=1,
                 enhance=False, fast=False, how_fast=20, engine="auto"):
     """Geomorphon classes 1-10 from openness counts + the J&S 9x9
@@ -246,25 +262,23 @@ def geomorphons(Z, cellsize=1, lookup_pixels=1, threshold_angle=1,
             Z, cellsize=float(cellsize), lookup_pixels=int(lp),
             threshold_angle=float(threshold_angle))
         num_pos, num_neg = counts(lookup_pixels)
-        lut = jnp.asarray(jasiewicz_stepinski_table())
-        G = lut[num_pos.astype(jnp.int32), num_neg.astype(jnp.int32)]
+        G = classes_from_counts(num_pos, num_neg)
         if enhance and lookup_pixels > 16:
             lookup_sm = max(int(np.floor(lookup_pixels / 4)), 4)
             np_sm, nn_sm = counts(lookup_sm)
-            G_sm = lut[np_sm.astype(jnp.int32), nn_sm.astype(jnp.int32)]
+            G_sm = classes_from_counts(np_sm, nn_sm)
             G = jnp.where((G == 4) & (G_sm == 1), 1, G)
             G = jnp.where((G == 8) & (G_sm == 1), 1, G)
             G = jnp.where((G == 2) | (G == 3), G_sm, G)
         return G
     num_pos, num_neg = count_openness(Z, cellsize, lookup_pixels,
                                       threshold_angle, fast, how_fast)
-    lut = jnp.asarray(jasiewicz_stepinski_table())
-    G = lut[num_pos.astype(jnp.int32), num_neg.astype(jnp.int32)]
+    G = classes_from_counts(num_pos, num_neg)
     if enhance and lookup_pixels > 16:
         lookup_sm = max(int(np.floor(lookup_pixels / 4)), 4)
         np_sm, nn_sm = count_openness(Z, cellsize, lookup_sm,
                                       threshold_angle)
-        G_sm = lut[np_sm.astype(jnp.int32), nn_sm.astype(jnp.int32)]
+        G_sm = classes_from_counts(np_sm, nn_sm)
         G = jnp.where((G == 4) & (G_sm == 1), 1, G)
         G = jnp.where((G == 8) & (G_sm == 1), 1, G)
         G = jnp.where((G == 2) | (G == 3), G_sm, G)

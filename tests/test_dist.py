@@ -142,3 +142,24 @@ def test_halo_wider_than_block(mesh):
     # block is 8x8 on the 2x4 mesh; lookup 12 > 8
     with pytest.raises(Exception):
         np.asarray(sharded_geomorphons(Z, mesh, lookup_pixels=12))
+
+
+def test_sharded_geomorphons_pallas_engine(mesh, big_terrain):
+    """The per-shard Pallas kernel (interpret mode on CPU) matches the
+    single-device classifier through the halo-exchange path."""
+    Z = big_terrain
+    single = np.asarray(geomorphons(Z, cellsize=2, lookup_pixels=4,
+                                    threshold_angle=1))
+    tiled = np.asarray(sharded_geomorphons(Z, mesh, cellsize=2,
+                                           lookup_pixels=4,
+                                           engine="pallas"))
+    np.testing.assert_array_equal(tiled, single)
+
+
+def test_sharded_geomorphons_pallas_non_divisible(mesh):
+    rng = np.random.default_rng(7)
+    Z = rng.normal(size=(45, 53)).cumsum(axis=0).astype(np.float32)
+    single = np.asarray(geomorphons(Z, lookup_pixels=3))
+    tiled = np.asarray(sharded_geomorphons(Z, mesh, lookup_pixels=3,
+                                           engine="pallas"))
+    np.testing.assert_array_equal(tiled, single)
