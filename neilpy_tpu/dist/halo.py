@@ -27,8 +27,6 @@ columns first, then rows of the column-padded block.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import numpy as np
 import jax.numpy as jnp

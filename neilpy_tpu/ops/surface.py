@@ -19,7 +19,6 @@ triangle_height/vip_score 1818-1845, std 2039-2047, reduce_peaks
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import numpy as np

@@ -27,7 +27,6 @@ with masked contributions.  NaN handling matches the reference's
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

@@ -28,8 +28,6 @@ in tests, same contract the reference accepted from apply_parallel).
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax
@@ -38,7 +36,6 @@ import jax.numpy as jnp
 from ..dist.tiling import tiled_apply
 from ..ops.visibility import geomorphons
 from ..ops.stats import local_morans_i
-from .smrf import progressive_filter
 
 __all__ = ["mosaic_terrain_products", "required_overlap"]
 

@@ -21,7 +21,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops.pointgrid import create_dem
-from ..ops.inpaint import inpaint_nans_by_springs, springs_fill
+from ..ops.inpaint import springs_fill
 from ..ops.morphology import _disk_morph
 from ..ops.spline import spline_coefficients_2d, spline_ev_2d
 from ..core.shift import gradient2d
