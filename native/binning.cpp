@@ -64,6 +64,37 @@ long bin_points_f64(const double* x, const double* y, long n,
     return total.load();
 }
 
+// Origin-shift for the device fast path: xr = (x - x0) and
+// yr = (y0 - y) computed in f64 and rounded once to f32, across
+// hardware threads.  This is the only host leg of the fused
+// on-device binning (ops/pointgrid.py bin_points_device).
+void origin_shift_f64(const double* x, const double* y, long n,
+                      double x0, double y0,
+                      float* xr, float* yr) {
+    unsigned hw = std::thread::hardware_concurrency();
+    unsigned nt = hw ? (hw > 16 ? 16 : hw) : 4;
+    if (n < 100000) nt = 1;
+    auto work = [&](long lo, long hi) {
+        for (long i = lo; i < hi; ++i) {
+            xr[i] = static_cast<float>(x[i] - x0);
+            yr[i] = static_cast<float>(y0 - y[i]);
+        }
+    };
+    if (nt == 1) {
+        work(0, n);
+    } else {
+        std::vector<std::thread> threads;
+        long chunk = (n + nt - 1) / nt;
+        for (unsigned t = 0; t < nt; ++t) {
+            long lo = static_cast<long>(t) * chunk;
+            long hi = lo + chunk < n ? lo + chunk : n;
+            if (lo >= hi) break;
+            threads.emplace_back(work, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    }
+}
+
 // Fused bin + segment-min/max on host (f64 exact): the full
 // create_dem reduction for workflows that never leave the host.
 // grid must be pre-filled with +inf (minimize=1) or -inf (0).

@@ -40,8 +40,38 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        try:
+            lib.origin_shift_f64.restype = None
+            lib.origin_shift_f64.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_long, ctypes.c_double, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ]
+        except AttributeError:  # older .so without the symbol
+            pass
         _LIB = lib
     return _LIB
+
+
+def origin_shift_native(x, y, x0, y0):
+    """Multithreaded (x - x0, y0 - y) -> f32 for the device binning
+    fast path; returns None when the library (or symbol) is missing."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "origin_shift_f64"):
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    xr = np.empty(x.size, dtype=np.float32)
+    yr = np.empty(y.size, dtype=np.float32)
+    lib.origin_shift_f64(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        x.size, float(x0), float(y0),
+        xr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        yr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return xr, yr
 
 
 def native_available():

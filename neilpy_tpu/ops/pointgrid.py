@@ -129,6 +129,10 @@ def bin_points_device(x, y, cellsize=1, edges=None):
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     ny, nx, t, cellsize, _ = _grid_frame(x, y, cellsize, edges)
+    from .binning_native import origin_shift_native
+    shifted = origin_shift_native(x, y, t.c, t.f)
+    if shifted is not None:
+        return shifted[0], shifted[1], (ny, nx), t
     x_rel = (x - t.c).astype(np.float32)
     y_rel = (t.f - y).astype(np.float32)
     return x_rel, y_rel, (ny, nx), t

@@ -106,3 +106,13 @@ class TestNativeBinning:
         assert s1 == s2
         np.testing.assert_array_equal(v1, v2)
         np.testing.assert_array_equal(f1[v1], f2[v2].astype(np.int64))
+
+    def test_origin_shift(self, rng):
+        from neilpy_tpu.ops.binning_native import origin_shift_native
+        if origin_shift_native(np.zeros(1), np.zeros(1), 0, 0) is None:
+            pytest.skip("libbinning.so without origin_shift_f64")
+        x = rng.uniform(500000, 500100, 50000)
+        y = rng.uniform(4200000, 4200100, 50000)
+        xr, yr = origin_shift_native(x, y, 499999.5, 4200100.5)
+        np.testing.assert_array_equal(xr, (x - 499999.5).astype(np.float32))
+        np.testing.assert_array_equal(yr, (4200100.5 - y).astype(np.float32))
