@@ -29,7 +29,7 @@ from .core.codes import (int2base, get_lowest_equivalent,
 
 # ----- I/O ------------------------------------------------------------
 from .io.geotiff import imread, imwrite, read_geotiff, write_geotiff
-from .io.las import read_las
+from .io.las import read_las, write_las
 from .io.worldfile import write_worldfile
 from .io.png import write_paletted_png
 from .io.text import read_isprs, read_xyz
@@ -81,7 +81,7 @@ from .photo.exif import (exif_dict_to_dd, dd_to_exif_tuple,
                          read_geotags_into_df, ppk_images)
 
 # ----- misc -----------------------------------------------------------
-from .utils import voxelize, set_print_options
+from .utils import voxelize, write_voxel_stl, set_print_options
 
 # ----- observability ---------------------------------------------------
 from .profiling import Throughput, trace, compile_report

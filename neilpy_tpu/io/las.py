@@ -19,7 +19,7 @@ import struct
 import numpy as np
 import pandas as pd
 
-__all__ = ["read_las", "las_point_dtype"]
+__all__ = ["read_las", "write_las", "las_point_dtype"]
 
 _LEGACY_CORE = [("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
                 ("intensity", "<u2"), ("return_byte", "u1"),
@@ -153,3 +153,78 @@ def read_las(filename):
     del df["return_byte"]
 
     return hdr, df
+
+
+def write_las(filename, x, y, z, intensity=None, classification=None,
+              gpstime=None, rgb=None, return_number=None,
+              num_returns=None, point_source_id=None, pdrf=None,
+              scale=(0.001, 0.001, 0.001), offset=None):
+    """Write a LAS 1.2 file (legacy PDRF 0-3).
+
+    Beyond the reference's surface (it only reads LAS); the writer
+    makes lidar pipelines round-trippable and produces files the
+    reader (and the native decoder) consume bit-exactly.
+
+    ``pdrf`` defaults to the smallest format holding the supplied
+    optional columns (gpstime -> +1, rgb -> +2).  ``offset`` defaults
+    to the floor of the coordinate minima.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    n = x.size
+    if pdrf is None:
+        pdrf = (1 if gpstime is not None else 0) | \
+               (2 if rgb is not None else 0)
+    if pdrf not in (0, 1, 2, 3):
+        raise ValueError("write_las supports legacy PDRF 0-3.")
+    if offset is None:
+        offset = (np.floor(x.min()), np.floor(y.min()), np.floor(z.min()))
+    scale = tuple(float(s) for s in scale)
+    offset = tuple(float(o) for o in offset)
+
+    dt = las_point_dtype(pdrf)
+    rec = np.zeros(n, dtype=dt)
+    rec["x"] = np.round((x - offset[0]) / scale[0]).astype(np.int64)
+    rec["y"] = np.round((y - offset[1]) / scale[1]).astype(np.int64)
+    rec["z"] = np.round((z - offset[2]) / scale[2]).astype(np.int64)
+    if intensity is not None:
+        rec["intensity"] = np.asarray(intensity, dtype=np.uint16)
+    if classification is not None:
+        rec["class"] = np.asarray(classification, dtype=np.uint8)
+    rn = (np.ones(n, dtype=np.uint8) if return_number is None
+          else np.asarray(return_number, dtype=np.uint8))
+    nr = (np.ones(n, dtype=np.uint8) if num_returns is None
+          else np.asarray(num_returns, dtype=np.uint8))
+    rec["return_byte"] = (rn & 0b111) | ((nr & 0b111) << 3)
+    if point_source_id is not None:
+        rec["point_source_id"] = np.asarray(point_source_id,
+                                            dtype=np.uint16)
+    if gpstime is not None:
+        rec["gpstime"] = np.asarray(gpstime, dtype=np.float64)
+    if rgb is not None:
+        r, g, b = rgb
+        rec["red"] = np.asarray(r, dtype=np.uint16)
+        rec["green"] = np.asarray(g, dtype=np.uint16)
+        rec["blue"] = np.asarray(b, dtype=np.uint16)
+
+    hdr = bytearray(227)
+    struct.pack_into("<4s", hdr, 0, b"LASF")
+    struct.pack_into("<BB", hdr, 24, 1, 2)            # version 1.2
+    struct.pack_into("<32s", hdr, 26, b"neilpy_tpu")
+    struct.pack_into("<32s", hdr, 58, b"neilpy_tpu write_las")
+    struct.pack_into("<H", hdr, 94, 227)              # header size
+    struct.pack_into("<L", hdr, 96, 227)              # point data offset
+    struct.pack_into("<B", hdr, 104, pdrf)
+    struct.pack_into("<H", hdr, 105, dt.itemsize)
+    struct.pack_into("<L", hdr, 107, n)
+    struct.pack_into("<5L", hdr, 111,
+                     *(np.bincount(np.minimum(nr, 5), minlength=6)[1:6]
+                       .astype(np.uint32)))
+    struct.pack_into("<3d", hdr, 131, *scale)
+    struct.pack_into("<3d", hdr, 155, *offset)
+    struct.pack_into("<6d", hdr, 179, x.max(), x.min(), y.max(),
+                     y.min(), z.max(), z.min())
+    with open(filename, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(rec.tobytes())

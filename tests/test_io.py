@@ -191,3 +191,50 @@ def test_read_isprs():
     assert list(df.columns) == ["x", "y", "z", "g"]
     assert len(df) == 38010
     assert set(df.g.unique()) <= {0, 1}
+
+
+class TestWriteLas:
+    @pytest.mark.parametrize("pdrf", [0, 1, 2, 3])
+    def test_roundtrip(self, tmp_path, rng, pdrf):
+        from neilpy_tpu.io.las import write_las, read_las
+        n = 500
+        x = rng.uniform(500000, 500100, n)
+        y = rng.uniform(4200000, 4200100, n)
+        z = rng.uniform(200, 300, n)
+        cls = rng.integers(0, 10, n).astype(np.uint8)
+        kw = {}
+        if pdrf in (1, 3):
+            kw["gpstime"] = rng.uniform(1e5, 2e5, n)
+        if pdrf in (2, 3):
+            kw["rgb"] = (rng.integers(0, 65535, n),
+                         rng.integers(0, 65535, n),
+                         rng.integers(0, 65535, n))
+        fn = str(tmp_path / f"t{pdrf}.las")
+        write_las(fn, x, y, z, classification=cls, pdrf=pdrf, **kw)
+        hdr, df = read_las(fn)
+        assert hdr["point_data_format_id"] == pdrf
+        assert len(df) == n
+        np.testing.assert_allclose(df.x, x, atol=5.1e-4)
+        np.testing.assert_allclose(df.y, y, atol=5.1e-4)
+        np.testing.assert_allclose(df.z, z, atol=5.1e-4)
+        np.testing.assert_array_equal(df["class"], cls)
+        if "gpstime" in kw:
+            np.testing.assert_allclose(df.gpstime, kw["gpstime"])
+        if "rgb" in kw:
+            np.testing.assert_array_equal(df.red, kw["rgb"][0])
+
+    def test_native_decoder_reads_written(self, tmp_path, rng):
+        from neilpy_tpu.io.las import write_las
+        from neilpy_tpu.io.las_native import (native_available,
+                                              read_las_arrays)
+        if not native_available():
+            pytest.skip("native decoder not built")
+        n = 1000
+        x = rng.uniform(0, 100, n)
+        y = rng.uniform(0, 100, n)
+        z = rng.uniform(0, 50, n)
+        fn = str(tmp_path / "nat.las")
+        write_las(fn, x, y, z)
+        out = read_las_arrays(fn)
+        np.testing.assert_allclose(out["x"], x, atol=5.1e-4)
+        np.testing.assert_allclose(out["z"], z, atol=5.1e-4)
