@@ -70,6 +70,9 @@ print("wrote", os.path.join(OUT, "geomorphons.png"))
 # 3. Bigger-than-memory mosaics: fused multi-product streaming
 # ----------------------------------------------------------------------
 big = np.tile(Z, (2, 2))
+ck = os.path.join(OUT, "tiles.json")
+if os.path.exists(ck):
+    os.remove(ck)  # fresh demo run (keep it to showcase resume)
 Gm, obj, moran = nt.mosaic_terrain_products(
     big, cellsize=1, lookup_pixels=10, windows=5, gi_radius=3,
     tile_size=256,

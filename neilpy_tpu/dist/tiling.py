@@ -111,5 +111,8 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
             if progress:
                 print(f"tile {key} / ({n_ty},{n_tx})", flush=True)
     if out is None:
-        return None
+        raise ValueError(
+            "checkpoint marks every tile done but no `out` arrays were "
+            "given to resume into — pass the previous outputs via "
+            "`out=` or delete the checkpoint file to recompute")
     return out if multi else out[0]

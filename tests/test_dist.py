@@ -163,3 +163,17 @@ def test_sharded_geomorphons_pallas_non_divisible(mesh):
     tiled = np.asarray(sharded_geomorphons(Z, mesh, lookup_pixels=3,
                                            engine="pallas"))
     np.testing.assert_array_equal(tiled, single)
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (8, 1), (4, 2)])
+def test_mesh_shapes_geomorphons(shape):
+    """Asymmetric meshes (pure row / pure column sharding) preserve
+    the sharded == single-device property."""
+    from neilpy_tpu.dist.api import make_mesh
+    rng = np.random.default_rng(11)
+    Z = rng.normal(size=(64, 96)).cumsum(axis=0).astype(np.float32)
+    m = make_mesh(shape=shape)
+    single = np.asarray(geomorphons(Z, cellsize=2, lookup_pixels=3))
+    tiled = np.asarray(sharded_geomorphons(Z, m, cellsize=2,
+                                           lookup_pixels=3))
+    np.testing.assert_array_equal(tiled, single)

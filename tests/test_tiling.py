@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from neilpy_tpu.dist.tiling import tiled_apply, TileCheckpoint
 from neilpy_tpu.ops.surface import hillshade
@@ -111,3 +112,13 @@ def test_mosaic_pallas_tile_kernel_matches(rng):
     np.testing.assert_array_equal(G1, G2)
     np.testing.assert_array_equal(O1, O2)
     np.testing.assert_allclose(M1, M2, atol=1e-5)
+
+
+def test_completed_checkpoint_without_out_raises(tmp_path):
+    from neilpy_tpu.dist.tiling import tiled_apply
+    Z = np.ones((20, 20), dtype=np.float32)
+    ck = str(tmp_path / "c.json")
+    tiled_apply(lambda b: b, Z, tile_size=20, overlap=0, checkpoint=ck)
+    with pytest.raises(ValueError, match="every tile done"):
+        tiled_apply(lambda b: b, Z, tile_size=20, overlap=0,
+                    checkpoint=ck)
