@@ -38,27 +38,52 @@ __all__ = ["halo_exchange_2d", "sharded_apply", "block_origin"]
 def _exchange_axis(block, radius, axis_name, n_shards, axis):
     """Pad ``block`` along array axis ``axis`` with ``radius``
     rows/cols exchanged from mesh neighbours along ``axis_name``.
-    Out-of-mesh halos are zero-filled (fixed up by the caller)."""
+    Out-of-mesh halos are zero-filled (fixed up by the caller).
+
+    When ``radius`` exceeds the per-device block extent the exchange
+    runs MULTI-HOP: whole blocks are forwarded neighbour-to-neighbour
+    ``ceil(radius / extent)`` times (``ppermute`` chains over ICI), and
+    the halo is assembled from as many full blocks as needed plus a
+    partial slice of the farthest one.  Devices whose chain walks off
+    the mesh receive ppermute's zero fill, matching the single-hop
+    convention."""
     if radius == 0:
         return block
-    if n_shards > 1 and radius > block.shape[axis]:
-        raise ValueError(
-            f"halo radius {radius} exceeds the per-device block extent "
-            f"{block.shape[axis]} along axis {axis}; use fewer shards "
-            "or a multi-hop exchange")
+    bs = block.shape[axis]
     take = lambda a, sl: a[sl] if axis == 0 else a[:, sl]
-    lead = take(block, slice(0, radius))
-    tail = take(block, slice(block.shape[axis] - radius, None))
-    if n_shards > 1:
+    if n_shards == 1:
+        lead = take(block, slice(0, radius))
+        return jnp.concatenate([jnp.zeros_like(lead), block,
+                                jnp.zeros_like(lead)], axis=axis)
+    if radius <= bs:
+        lead = take(block, slice(0, radius))
+        tail = take(block, slice(bs - radius, None))
         # neighbour i+1's leading strip becomes my trailing halo
         from_next = lax.ppermute(lead, axis_name,
                                  [(i, i - 1) for i in range(1, n_shards)])
         from_prev = lax.ppermute(tail, axis_name,
                                  [(i, i + 1) for i in range(n_shards - 1)])
-    else:
-        from_next = jnp.zeros_like(lead)
-        from_prev = jnp.zeros_like(tail)
-    return jnp.concatenate([from_prev, block, from_next], axis=axis)
+        return jnp.concatenate([from_prev, block, from_next], axis=axis)
+
+    # multi-hop: forward full blocks h times -> block of device i -+ h
+    hops = -(-radius // bs)
+    prev_chain = []
+    next_chain = []
+    prev = block
+    nxt = block
+    for _ in range(hops):
+        prev = lax.ppermute(prev, axis_name,
+                            [(i, i + 1) for i in range(n_shards - 1)])
+        nxt = lax.ppermute(nxt, axis_name,
+                           [(i, i - 1) for i in range(1, n_shards)])
+        prev_chain.append(prev)   # device i - h's block
+        next_chain.append(nxt)    # device i + h's block
+    part = radius - (hops - 1) * bs  # rows taken from the farthest block
+    lead_parts = [take(prev_chain[-1], slice(bs - part, None))]
+    lead_parts += [prev_chain[h] for h in range(hops - 2, -1, -1)]
+    tail_parts = [next_chain[h] for h in range(hops - 1)]
+    tail_parts += [take(next_chain[-1], slice(0, part))]
+    return jnp.concatenate(lead_parts + [block] + tail_parts, axis=axis)
 
 
 def _boundary_fill(padded, radius, axis, at_start, at_end, mode):
@@ -126,6 +151,20 @@ def _boundary_fill(padded, radius, axis, at_start, at_end, mode):
     return jnp.concatenate([head, core, tail], axis=axis)
 
 
+def _beyond_mesh_fill(padded, radius, axis, dev_idx, bs, n_shards,
+                      mode):
+    """Coordinate-based fill for multi-hop halos: positions whose
+    global index falls off the mesh get the constant fill (they arrive
+    as ppermute zeros; 'nan' mode rewrites them)."""
+    if mode == "zero":
+        return padded  # truncated ppermute chains already deliver 0
+    n = padded.shape[axis]
+    idx = lax.broadcasted_iota(jnp.int32, padded.shape, axis)
+    glob = idx - radius + dev_idx * bs
+    beyond = (glob < 0) | (glob >= n_shards * bs)
+    return jnp.where(beyond, jnp.nan, padded)
+
+
 def halo_exchange_2d(block, radius, axis_names=("ty", "tx"),
                      mesh_shape=None, mode="symmetric"):
     """Exchange halos of width ``radius`` with mesh neighbours along
@@ -133,16 +172,37 @@ def halo_exchange_2d(block, radius, axis_names=("ty", "tx"),
 
     Must be called inside ``shard_map`` over a mesh with the given axis
     names.  ``mesh_shape`` (ny, nx) is required (static).
+
+    ``radius`` may exceed the per-device block extent: the exchange
+    then runs multi-hop (see ``_exchange_axis``).  Multi-hop supports
+    the constant fills ('zero'/'nan' — the long-range stencils'
+    modes); reflect-family fills would need mesh-global mirroring and
+    raise instead.
     """
     ny, nx = mesh_shape
     iy = lax.axis_index(axis_names[0])
     ix = lax.axis_index(axis_names[1])
+    bh, bw = block.shape
+
+    multi_col = nx > 1 and radius > bw
+    multi_row = ny > 1 and radius > bh
+    if (multi_col or multi_row) and mode not in ("zero", "nan", "none"):
+        raise ValueError(
+            f"halo radius {radius} exceeds the per-device block "
+            f"{block.shape} and mode={mode!r} cannot be reconstructed "
+            "multi-hop; use mode 'zero'/'nan' or fewer shards")
 
     # columns first, then rows of the column-padded block -> corners OK
     p = _exchange_axis(block, radius, axis_names[1], nx, axis=1)
-    p = _boundary_fill(p, radius, 1, ix == 0, ix == nx - 1, mode)
+    if multi_col:
+        p = _beyond_mesh_fill(p, radius, 1, ix, bw, nx, mode)
+    else:
+        p = _boundary_fill(p, radius, 1, ix == 0, ix == nx - 1, mode)
     p = _exchange_axis(p, radius, axis_names[0], ny, axis=0)
-    p = _boundary_fill(p, radius, 0, iy == 0, iy == ny - 1, mode)
+    if multi_row:
+        p = _beyond_mesh_fill(p, radius, 0, iy, bh, ny, mode)
+    else:
+        p = _boundary_fill(p, radius, 0, iy == 0, iy == ny - 1, mode)
     return p
 
 

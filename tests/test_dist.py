@@ -136,12 +136,24 @@ class TestShardedSmrf:
 
 
 def test_halo_wider_than_block(mesh):
-    """lookup larger than the per-device block dimension is rejected
-    cleanly (halo cannot exceed block size in one exchange hop)."""
-    Z = np.random.default_rng(0).normal(size=(16, 32)).astype(np.float32)
-    # block is 8x8 on the 2x4 mesh; lookup 12 > 8
-    with pytest.raises(Exception):
-        np.asarray(sharded_geomorphons(Z, mesh, lookup_pixels=12))
+    """lookup larger than the per-device block dimension runs the
+    multi-hop exchange and still matches single-device exactly."""
+    Z = np.random.default_rng(0).normal(size=(16, 32)).astype(
+        np.float32).cumsum(axis=0)
+    # block is 8x8 on the 2x4 mesh; lookup 12 > 8 -> 2 hops
+    single = np.asarray(geomorphons(Z, lookup_pixels=12))
+    tiled = np.asarray(sharded_geomorphons(Z, mesh, lookup_pixels=12))
+    np.testing.assert_array_equal(tiled, single)
+    # scan distance spanning the whole mesh (3+ hops)
+    single = np.asarray(geomorphons(Z, lookup_pixels=30))
+    tiled = np.asarray(sharded_geomorphons(Z, mesh, lookup_pixels=30))
+    np.testing.assert_array_equal(tiled, single)
+    # reflect-family modes cannot be reconstructed multi-hop
+    from neilpy_tpu.dist.api import sharded_apply
+    from neilpy_tpu.ops.surface import curvature
+    with pytest.raises(Exception, match="multi-hop|fewer shards"):
+        np.asarray(sharded_apply(lambda b: curvature(b), Z, mesh,
+                                 radius=12, mode="symmetric"))
 
 
 def test_sharded_geomorphons_pallas_engine(mesh, big_terrain):
@@ -176,4 +188,13 @@ def test_mesh_shapes_geomorphons(shape):
     single = np.asarray(geomorphons(Z, cellsize=2, lookup_pixels=3))
     tiled = np.asarray(sharded_geomorphons(Z, m, cellsize=2,
                                            lookup_pixels=3))
+    np.testing.assert_array_equal(tiled, single)
+
+
+def test_halo_multihop_pallas_engine(mesh):
+    Z = np.random.default_rng(0).normal(size=(16, 32)).astype(
+        np.float32).cumsum(axis=0)
+    single = np.asarray(geomorphons(Z, lookup_pixels=12))
+    tiled = np.asarray(sharded_geomorphons(Z, mesh, lookup_pixels=12,
+                                           engine="pallas"))
     np.testing.assert_array_equal(tiled, single)
