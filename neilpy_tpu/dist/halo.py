@@ -52,9 +52,10 @@ def _exchange_axis(block, radius, axis_name, n_shards, axis):
     bs = block.shape[axis]
     take = lambda a, sl: a[sl] if axis == 0 else a[:, sl]
     if n_shards == 1:
-        lead = take(block, slice(0, radius))
-        return jnp.concatenate([jnp.zeros_like(lead), block,
-                                jnp.zeros_like(lead)], axis=axis)
+        shape = list(block.shape)
+        shape[axis] = radius  # NOT a block slice: radius may exceed bs
+        z = jnp.zeros(shape, dtype=block.dtype)
+        return jnp.concatenate([z, block, z], axis=axis)
     if radius <= bs:
         lead = take(block, slice(0, radius))
         tail = take(block, slice(bs - radius, None))

@@ -51,7 +51,7 @@ __all__ = ["openness_counts_pallas", "openness_counts_pallas_block",
 
 
 def _counts_kernel(org_ref, Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW,
-                   R, RR, RC, H, W, cellsize, threshold_deg):
+                   R, RR, RC, H, W, cellsize, threshold_deg, CH=8):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -94,7 +94,8 @@ def _counts_kernel(org_ref, Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW,
     # steps are exactly those with L > distance-to-edge, so "any
     # out-of-range step" == "step R out of range", and every such step
     # contributes the same single value 0.
-    CH = 8  # sublane height: row rolls stay tile-aligned
+    # CH: ladder steps per fori_loop iteration (roll granularity);
+    # must be a multiple of 8 so row rolls stay sublane-tile-aligned
     n_full = R // CH
     tail = R - n_full * CH
     T = jnp.float32(math.tan(math.radians(threshold_deg)))
@@ -175,10 +176,10 @@ def _counts_kernel(org_ref, Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW,
 
 
 @partial(jax.jit, static_argnames=("lookup_pixels", "tile", "interpret",
-                                   "cellsize", "threshold_angle"))
+                                   "cellsize", "threshold_angle", "ch"))
 def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
                            threshold_angle=1.0, tile=(256, 512),
-                           interpret=None):
+                           interpret=None, ch=8):
     """(num_pos, num_neg) direction counts for geomorphons, computed by
     the blocked Pallas scan.  Equivalent to
     ``ops.visibility.count_openness`` (asserted in tests)."""
@@ -200,13 +201,14 @@ def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
     org = jnp.zeros((2,), dtype=jnp.int32)
     num_pos, num_neg = _counts_call(Zp, org, TH, TW, R, RR, RC, H, W,
                                     float(cellsize),
-                                    float(threshold_angle), interpret)
+                                    float(threshold_angle), interpret,
+                                    ch=int(ch))
     return (num_pos[:H, :W].astype(jnp.uint8),
             num_neg[:H, :W].astype(jnp.uint8))
 
 
 def _counts_call(Zp, org, TH, TW, R, RR, RC, H, W, cellsize,
-                 threshold_deg, interpret, vma=None):
+                 threshold_deg, interpret, vma=None, ch=8):
     """Shared pallas_call wrapper.  ``Zp`` carries an (RR, RC) aligned
     NaN halo around its core and tile-aligned bottom/right padding;
     ``org`` is the core's global (row, col) origin as a traced (2,)
@@ -217,7 +219,7 @@ def _counts_call(Zp, org, TH, TW, R, RR, RC, H, W, cellsize,
     grid = (Hp // TH, Wp // TW)
     kernel = partial(_counts_kernel, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
                      H=H, W=W, cellsize=cellsize,
-                     threshold_deg=threshold_deg)
+                     threshold_deg=threshold_deg, CH=ch)
     if vma is None:
         out_struct = lambda: jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
     else:

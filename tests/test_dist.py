@@ -198,3 +198,15 @@ def test_halo_multihop_pallas_engine(mesh):
     tiled = np.asarray(sharded_geomorphons(Z, mesh, lookup_pixels=12,
                                            engine="pallas"))
     np.testing.assert_array_equal(tiled, single)
+
+
+def test_multihop_one_shard_axis():
+    """1xN mesh where the halo exceeds both the unsharded axis extent
+    (zero-pad, not a block slice) and the sharded block extent."""
+    from neilpy_tpu.dist.api import make_mesh
+    Z = np.random.default_rng(0).normal(size=(16, 64)).astype(
+        np.float32).cumsum(axis=0)
+    m = make_mesh(shape=(1, 8))
+    single = np.asarray(geomorphons(Z, lookup_pixels=20))
+    tiled = np.asarray(sharded_geomorphons(Z, m, lookup_pixels=20))
+    np.testing.assert_array_equal(tiled, single)
