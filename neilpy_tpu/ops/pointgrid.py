@@ -57,6 +57,8 @@ def _grid_frame(x, y, cellsize=1, edges=None):
     x edges from floor(min/cs)*cs - .5cs to ceil(max/cs)*cs + 1.5cs,
     y edges descending.  Returns (ny, nx, t, cellsize, in_range|None).
     """
+    if np.size(x) == 0:
+        raise ValueError("empty point set: cannot derive a grid frame")
     if edges is None:
         cellsize = float(cellsize)
         xedges = np.arange(_floor2(x.min(), cellsize) - .5 * cellsize,
