@@ -53,7 +53,7 @@ from .ops.visibility import (openness, skyview_factor, count_openness,
 # ----- point cloud pipeline ------------------------------------------
 from .ops.pointgrid import create_dem, bin_points
 from .ops.inpaint import (inpaint_nans_by_springs, inpaint_nans_by_fda,
-                          inpaint_nearest)
+                          inpaint_nearest, inpaint_nearest_device)
 from .ops.morphology import (grey_erosion_disk, grey_dilation_disk,
                              opening_disk, opening, erosion, dilation)
 from .ops.spline import interp_spline_2d

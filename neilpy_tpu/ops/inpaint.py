@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["inpaint_nans_by_springs", "inpaint_nans_by_fda",
-           "inpaint_nearest", "cg_solve", "springs_fill"]
+           "inpaint_nearest", "inpaint_nearest_device", "cg_solve",
+           "springs_fill"]
 
 
 def _neighbor_sum(X, mask):
@@ -237,10 +238,10 @@ def inpaint_nans_by_fda(A, fast=True, inplace=False, tol=1e-7,
 def inpaint_nearest(X):
     """Nearest-finite-value fill (parity: neilpy.py:1277-1283).
 
-    Device-friendly jump-flooding style fill: iterative masked dilation
-    by powers of two in 8 directions, carrying (squared distance,
-    value).  Exact for the overwhelming majority of cells; ties broken
-    by scan order like the reference's KD-tree is by index order.
+    Host path via scipy's KD-tree interpolator — exact Euclidean
+    nearest with the reference's index-order tie-breaking.  For
+    device-resident pipelines use ``inpaint_nearest_device`` (a
+    jump-flooding fill that jits and shards).
     """
     X = np.asarray(X, dtype=np.float64)
     from scipy import interpolate
@@ -251,3 +252,65 @@ def inpaint_nearest(X):
     miss = ~idx
     X[miss] = f_near(RI.T[miss], CI.T[miss])
     return X
+
+
+@jax.jit
+def inpaint_nearest_device(X):
+    """Nearest-finite-value fill as a jump-flooding pass on device.
+
+    Each cell carries (seed row, seed col, seed value); rounds of
+    8-neighbour propagation at power-of-two offsets (N/2, N/4, ..., 1)
+    keep the closest seed by squared Euclidean distance.  Runs fully
+    under jit (log2(N) rounds of static shifts).  JFA can differ from
+    the exact KD-tree fill on tie/near-tie cells (both are *a* nearest
+    finite value); tested to agree with scipy on distance.
+    """
+    X = jnp.asarray(X, dtype=jnp.float32)
+    H, W = X.shape
+    finite = jnp.isfinite(X)
+    rows = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    BIG = jnp.int32(2 ** 30)
+    sr = jnp.where(finite, rows, BIG)
+    sc = jnp.where(finite, cols, BIG)
+    sv = jnp.where(finite, X, 0.0)
+
+    def shift(a, dy, dx, fill):
+        return jnp.roll(jnp.where(_inb(rows, cols, dy, dx, H, W),
+                                  a, fill), (dy, dx), axis=(0, 1))
+
+    def _d2(r, c):
+        dr = (r - rows).astype(jnp.float32)
+        dc = (c - cols).astype(jnp.float32)
+        return dr * dr + dc * dc
+
+    step = 1 << max(int(np.ceil(np.log2(max(H, W, 2)))) - 1, 0)
+    state = (sr, sc, sv)
+    while step >= 1:
+        r0, c0, v0 = state
+        best_d = _d2(r0, c0)
+        for dy in (-step, 0, step):
+            for dx in (-step, 0, step):
+                if dy == 0 and dx == 0:
+                    continue
+                rn = shift(r0, dy, dx, BIG)
+                cn = shift(c0, dy, dx, BIG)
+                vn = shift(v0, dy, dx, 0.0)
+                dn = _d2(rn, cn)
+                take = dn < best_d
+                r0 = jnp.where(take, rn, r0)
+                c0 = jnp.where(take, cn, c0)
+                v0 = jnp.where(take, vn, v0)
+                best_d = jnp.where(take, dn, best_d)
+        state = (r0, c0, v0)
+        step //= 2
+    r0, c0, v0 = state
+    return jnp.where(finite, X, v0)
+
+
+def _inb(rows, cols, dy, dx, H, W):
+    """Mask of source cells whose roll destination stays in bounds
+    (prevents wraparound seeds)."""
+    # destination (r+dy, c+dx) in bounds <=> source read guard after roll
+    return ((rows + dy >= 0) & (rows + dy < H)
+            & (cols + dx >= 0) & (cols + dx < W))

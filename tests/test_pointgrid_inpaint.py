@@ -167,3 +167,25 @@ class TestMorphology:
     def test_opening_leq_input(self, rng):
         Z = rng.normal(size=(30, 30)).astype(np.float32)
         assert (np.asarray(opening_disk(Z, 4)) <= Z + 1e-6).all()
+
+
+def test_inpaint_nearest_device_jfa(rng):
+    """Device jump-flooding fill: everywhere-filled, values from the
+    finite set, >=99.9% of cells take the exactly-nearest seed."""
+    from scipy.spatial import cKDTree
+    from neilpy_tpu.ops.inpaint import inpaint_nearest_device
+    A = np.full((80, 100), np.nan, dtype=np.float32)
+    idx = rng.random((80, 100)) < 0.03
+    A[idx] = rng.normal(size=int(idx.sum())).astype(np.float32)
+    out = np.asarray(inpaint_nearest_device(A))
+    assert np.isfinite(out).all()
+    finite_vals = set(A[idx].tolist())
+    assert set(out[~idx].ravel().tolist()) <= finite_vals
+    seeds = np.argwhere(idx)
+    tree = cKDTree(seeds)
+    miss = np.argwhere(~idx)
+    d_exact, _ = tree.query(miss)
+    seedpos = {v: tuple(p) for v, p in zip(A[idx], seeds)}
+    chosen = np.array([seedpos[out[tuple(p)]] for p in miss])
+    d_jfa = np.sqrt(((chosen - miss) ** 2).sum(1))
+    assert np.mean(np.isclose(d_jfa, d_exact)) > 0.999
