@@ -47,11 +47,138 @@ except Exception:  # pragma: no cover
     HAS_PALLAS = False
 
 __all__ = ["openness_counts_pallas", "openness_counts_pallas_block",
-           "geomorphons_pallas", "HAS_PALLAS"]
+           "directional_extrema_pallas", "geomorphons_pallas",
+           "HAS_PALLAS"]
+
+
+def _extrema_ladder(win, core, rows, cols, d, *, TH, TW, R, RR, RC, H, W,
+                    cellsize):
+    """The chunked ladder for ONE direction (shared by the counts and
+    extrema kernels): returns (mx, mn) running extrema of the slope
+    ratios with the reference's edge-replication correction applied."""
+    neg_inf = jnp.float32(-jnp.inf)
+    pos_inf = jnp.float32(jnp.inf)
+    CH = 8
+    n_full = R // CH
+    tail = R - n_full * CH
+    dr, dc = OFFSETS[d]
+    inv_w = float(1.0 / (float(cellsize) * STEP_LENGTH[d]))
+
+    def accum(win_d, mx, mn, base, l):
+        src = win_d[RR + dr * l:RR + dr * l + TH,
+                    RC + dc * l:RC + dc * l + TW]
+        Lf = base + jnp.float32(l)
+        ratio = (src - core) * (jnp.float32(inv_w) / Lf)
+        ok = ratio == ratio
+        mx = jnp.maximum(mx, jnp.where(ok, ratio, neg_inf))
+        mn = jnp.minimum(mn, jnp.where(ok, ratio, pos_inf))
+        return mx, mn
+
+    def roll_ch(win_d):
+        if dr:
+            win_d = pltpu.roll(win_d, (-dr * CH) % win_d.shape[0], axis=0)
+        if dc:
+            win_d = pltpu.roll(win_d, (-dc * CH) % win_d.shape[1], axis=1)
+        return win_d
+
+    def chunk_step(c, carry):
+        win_d, mx, mn = carry
+        base = c.astype(jnp.float32) * jnp.float32(CH)
+        for l in range(1, CH + 1):
+            mx, mn = accum(win_d, mx, mn, base, l)
+        return roll_ch(win_d), mx, mn
+
+    win_d, mx, mn = lax.fori_loop(
+        0, n_full, chunk_step,
+        (win[:, :], jnp.full((TH, TW), neg_inf),
+         jnp.full((TH, TW), pos_inf)))
+    for l in range(1, tail + 1):
+        mx, mn = accum(win_d, mx, mn, jnp.float32(n_full * CH), l)
+
+    # edge-replication correction: out-of-range steps contribute 0
+    sr = rows + dr * R
+    sc = cols + dc * R
+    oob = (sr < 0) | (sr >= H) | (sc < 0) | (sc >= W)
+    mx = jnp.where(oob, jnp.maximum(mx, 0.0), mx)
+    mn = jnp.where(oob, jnp.minimum(mn, 0.0), mn)
+    return mx, mn
+
+
+def _extrema_kernel(org_ref, Z_hbm, mx_ref, mn_ref, win, sem, *, TH, TW,
+                    R, RR, RC, H, W, cellsize):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        Z_hbm.at[pl.ds(i * TH, TH + 2 * RR), pl.ds(j * TW, TW + 2 * RC)],
+        win, sem)
+    dma.start()
+    dma.wait()
+    core = win[RR:RR + TH, RC:RC + TW]
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + i * TH
+            + org_ref[0])
+    cols = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + j * TW
+            + org_ref[1])
+    for d in range(8):
+        mx, mn = _extrema_ladder(win, core, rows, cols, d, TH=TH, TW=TW,
+                                 R=R, RR=RR, RC=RC, H=H, W=W,
+                                 cellsize=cellsize)
+        mx_ref[d, :, :] = mx
+        mn_ref[d, :, :] = mn
+
+
+@partial(jax.jit, static_argnames=("lookup_pixels", "tile", "interpret",
+                                   "cellsize"))
+def directional_extrema_pallas(Z, cellsize=1.0, lookup_pixels=1,
+                               tile=(256, 512), interpret=None):
+    """Per-direction (8, H, W) running max/min slope ratios from the
+    blocked VMEM ladder — the Pallas fast path behind openness /
+    ternary codes (equivalent to ``visibility.directional_ratio_extrema``
+    without the ``seen`` plane: ``seen == mx > -inf``)."""
+    Z = jnp.asarray(Z, dtype=jnp.float32)
+    H, W = Z.shape
+    R = int(lookup_pixels)
+    TH, TW = tile
+    TH = min(TH, -(-H // 8) * 8)
+    TW = min(TW, -(-W // 128) * 128)
+    RR = -(-R // 8) * 8
+    RC = -(-R // 128) * 128
+    Hp = -(-H // TH) * TH
+    Wp = -(-W // TW) * TW
+    Zp = jnp.pad(Z, ((RR, RR + (Hp - H)), (RC, RC + (Wp - W))),
+                 constant_values=jnp.nan)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    org = jnp.zeros((2,), dtype=jnp.int32)
+    kernel = partial(_extrema_kernel, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
+                     H=H, W=W, cellsize=float(cellsize))
+    mx, mn = pl.pallas_call(
+        kernel,
+        grid=(Hp // TH, Wp // TW),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec((8, TH, TW), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TH, TW), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Hp, Wp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 2 * RR, TW + 2 * RC), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(org, Zp)
+    return mx[:, :H, :W], mn[:, :H, :W]
 
 
 def _counts_kernel(org_ref, Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW,
-                   R, RR, RC, H, W, cellsize, threshold_deg, CH=8):
+                   R, RR, RC, H, W, cellsize, threshold_deg):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -76,80 +203,18 @@ def _counts_kernel(org_ref, Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW,
             + org_ref[1])
 
     # Direction is the OUTER loop so only one window copy and two
-    # (TH, TW) accumulators are live at a time.  The ladder is CHUNKED:
-    # a fori_loop whose carry is the window rolled by CH unit steps per
-    # iteration, with the CH intra-chunk reads done as *static* slices
-    # of the carried window (Mosaic rejects dynamic sublane offsets).
-    # Chunking keeps the op count (compile time) and the live-range
-    # footprint (scoped VMEM) small, while paying only one whole-window
-    # roll per CH ladder steps instead of per step — the roll-per-step
-    # formulation measured ~65x the arithmetic cost, and the fully
-    # unrolled one blew the scoped-VMEM budget and took >30 min of
-    # Mosaic compile at R=50.
-    #
-    # Out-of-DEM reads land in the NaN pad ring and are skipped by the
-    # NaN-select; the reference's edge-replication semantics
-    # (out-of-range step -> ratio exactly 0, neilpy.py:1290-1308) are
-    # restored afterwards by ONE per-direction correction: out-of-range
-    # steps are exactly those with L > distance-to-edge, so "any
-    # out-of-range step" == "step R out of range", and every such step
-    # contributes the same single value 0.
-    # CH: ladder steps per fori_loop iteration (roll granularity);
-    # must be a multiple of 8 so row rolls stay sublane-tile-aligned
-    n_full = R // CH
-    tail = R - n_full * CH
+    # (TH, TW) accumulators are live at a time; the chunked ladder
+    # lives in _extrema_ladder (see its comments for the Mosaic
+    # constraints that shaped it).
     T = jnp.float32(math.tan(math.radians(threshold_deg)))
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
     num_pos = jnp.zeros((TH, TW), dtype=jnp.float32)
     num_neg = jnp.zeros((TH, TW), dtype=jnp.float32)
     for d in range(8):
-        dr, dc = OFFSETS[d]
-        inv_w = float(1.0 / (float(cellsize) * STEP_LENGTH[d]))
-
-        def accum(win_d, mx, mn, base, l, dr=dr, dc=dc, inv_w=inv_w):
-            src = win_d[RR + dr * l:RR + dr * l + TH,
-                        RC + dc * l:RC + dc * l + TW]
-            Lf = base + jnp.float32(l)
-            ratio = (src - core) * (jnp.float32(inv_w) / Lf)
-            # skip NaN reads (pad ring / NaN terrain); explicit
-            # compare+select — measured faster than fmax/fmin, which
-            # Mosaic lowers less efficiently
-            ok = ratio == ratio
-            mx = jnp.maximum(mx, jnp.where(ok, ratio, neg_inf))
-            mn = jnp.minimum(mn, jnp.where(ok, ratio, pos_inf))
-            return mx, mn
-
-        def roll_ch(win_d, dr=dr, dc=dc):
-            if dr:
-                win_d = pltpu.roll(win_d, (-dr * CH) % win_d.shape[0],
-                                   axis=0)
-            if dc:
-                win_d = pltpu.roll(win_d, (-dc * CH) % win_d.shape[1],
-                                   axis=1)
-            return win_d
-
-        def chunk_step(c, carry, dr=dr, dc=dc, inv_w=inv_w):
-            win_d, mx, mn = carry
-            base = c.astype(jnp.float32) * jnp.float32(CH)
-            for l in range(1, CH + 1):
-                mx, mn = accum(win_d, mx, mn, base, l)
-            return roll_ch(win_d), mx, mn
-
-        win_d, mx, mn = lax.fori_loop(
-            0, n_full, chunk_step,
-            (win[:, :], jnp.full((TH, TW), neg_inf),
-             jnp.full((TH, TW), pos_inf)))
-        # peeled partial last chunk: static step count, no L mask
-        for l in range(1, tail + 1):
-            mx, mn = accum(win_d, mx, mn, jnp.float32(n_full * CH), l)
-
-        # edge-replication correction (see comment above)
-        sr = rows + dr * R
-        sc = cols + dc * R
-        oob = (sr < 0) | (sr >= H) | (sc < 0) | (sc >= W)
-        mx = jnp.where(oob, jnp.maximum(mx, zero), mx)
-        mn = jnp.where(oob, jnp.minimum(mn, zero), mn)
+        mx, mn = _extrema_ladder(win, core, rows, cols, d, TH=TH, TW=TW,
+                                 R=R, RR=RR, RC=RC, H=H, W=W,
+                                 cellsize=cellsize)
 
         # The openness difference is diff = atan(a) - atan(b) with
         # a = -mn, b = mx.  Pallas TPU has no atan primitive; compare
@@ -176,10 +241,10 @@ def _counts_kernel(org_ref, Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW,
 
 
 @partial(jax.jit, static_argnames=("lookup_pixels", "tile", "interpret",
-                                   "cellsize", "threshold_angle", "ch"))
+                                   "cellsize", "threshold_angle"))
 def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
                            threshold_angle=1.0, tile=(256, 512),
-                           interpret=None, ch=8):
+                           interpret=None):
     """(num_pos, num_neg) direction counts for geomorphons, computed by
     the blocked Pallas scan.  Equivalent to
     ``ops.visibility.count_openness`` (asserted in tests)."""
@@ -201,14 +266,13 @@ def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
     org = jnp.zeros((2,), dtype=jnp.int32)
     num_pos, num_neg = _counts_call(Zp, org, TH, TW, R, RR, RC, H, W,
                                     float(cellsize),
-                                    float(threshold_angle), interpret,
-                                    ch=int(ch))
+                                    float(threshold_angle), interpret)
     return (num_pos[:H, :W].astype(jnp.uint8),
             num_neg[:H, :W].astype(jnp.uint8))
 
 
 def _counts_call(Zp, org, TH, TW, R, RR, RC, H, W, cellsize,
-                 threshold_deg, interpret, vma=None, ch=8):
+                 threshold_deg, interpret, vma=None):
     """Shared pallas_call wrapper.  ``Zp`` carries an (RR, RC) aligned
     NaN halo around its core and tile-aligned bottom/right padding;
     ``org`` is the core's global (row, col) origin as a traced (2,)
@@ -219,7 +283,7 @@ def _counts_call(Zp, org, TH, TW, R, RR, RC, H, W, cellsize,
     grid = (Hp // TH, Wp // TW)
     kernel = partial(_counts_kernel, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
                      H=H, W=W, cellsize=cellsize,
-                     threshold_deg=threshold_deg, CH=ch)
+                     threshold_deg=threshold_deg)
     if vma is None:
         out_struct = lambda: jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
     else:

@@ -153,18 +153,32 @@ def _angles_from_extrema(mx, seen):
 # Public surface
 # ----------------------------------------------------------------------
 def openness(Z, cellsize=1, lookup_pixels=1, neighbors=None, skyview=False,
-             fast=False, how_fast=20):
+             fast=False, how_fast=20, engine="auto"):
     """Yokoyama positive openness in degrees (neilpy.py:1325-1356).
 
     Mean over the requested directions of the minimum zenith angle along
     the scan ladder.  Negative openness = ``openness(-Z, ...)``.
+
+    ``engine='auto'`` runs the dense ladder through the Pallas VMEM
+    kernel on TPU (same extrema as the XLA scan).
     """
     if neighbors is None:
         neighbors = range(8)
     dirs = tuple(int(d) for d in np.atleast_1d(np.asarray(neighbors)))
-    mx, _, seen = directional_ratio_extrema(
-        Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels),
-        directions=dirs, fast=fast, how_fast=how_fast)
+    if engine == "auto":
+        engine = ("pallas" if (jax.default_backend() == "tpu"
+                               and not fast) else "xla")
+    if engine == "pallas":
+        from .pallas_scan import directional_extrema_pallas
+        mx_all, _ = directional_extrema_pallas(
+            Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels))
+        mx = mx_all[jnp.asarray(dirs)] if dirs != tuple(range(8)) \
+            else mx_all
+        seen = mx > -jnp.inf
+    else:
+        mx, _, seen = directional_ratio_extrema(
+            Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels),
+            directions=dirs, fast=fast, how_fast=how_fast)
     ang = _angles_from_extrema(mx, seen)
     return jnp.rad2deg(jnp.mean(ang, axis=0))
 

@@ -76,3 +76,35 @@ def test_geomorphons_engine_param(rng):
     b = np.asarray(geomorphons(Zb, cellsize=1, lookup_pixels=18,
                                enhance=True, engine="pallas"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_openness_engine_param(rng):
+    from neilpy_tpu.ops.visibility import openness
+    Z = rng.normal(size=(48, 70)).cumsum(axis=0).astype(np.float32)
+    Z[10:13, 20:25] = np.nan  # NaN terrain handled identically
+    a = np.asarray(openness(Z, cellsize=2, lookup_pixels=6, engine="xla"))
+    b = np.asarray(openness(Z, cellsize=2, lookup_pixels=6,
+                            engine="pallas"))
+    np.testing.assert_allclose(a, b, atol=1e-4, equal_nan=True)
+    # direction subset
+    a = np.asarray(openness(Z, lookup_pixels=4, neighbors=[1, 5],
+                            engine="xla"))
+    b = np.asarray(openness(Z, lookup_pixels=4, neighbors=[1, 5],
+                            engine="pallas"))
+    np.testing.assert_allclose(a, b, atol=1e-4, equal_nan=True)
+
+
+def test_directional_extrema_pallas_matches_xla(rng):
+    from neilpy_tpu.ops.pallas_scan import directional_extrema_pallas
+    from neilpy_tpu.ops.visibility import directional_ratio_extrema
+    Z = rng.normal(size=(40, 60)).cumsum(axis=1).astype(np.float32)
+    mx_p, mn_p = directional_extrema_pallas(Z, cellsize=1.5,
+                                            lookup_pixels=7)
+    mx_x, mn_x, seen = directional_ratio_extrema(Z, cellsize=1.5,
+                                                 lookup_pixels=7)
+    np.testing.assert_allclose(np.asarray(mx_p), np.asarray(mx_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mn_p), np.asarray(mn_x),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mx_p) > -np.inf,
+                                  np.asarray(seen))
