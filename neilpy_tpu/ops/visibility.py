@@ -305,13 +305,22 @@ get_geomorphon_from_openness = geomorphons
 
 def ternary_pattern_from_openness(Z, cellsize=1, lookup_pixels=1,
                                   threshold_angle=0,
-                                  use_negative_openness=True, lowest=False):
+                                  use_negative_openness=True, lowest=False,
+                                  engine="auto"):
     """8-direction ternary code packed base-3 into uint16
     (neilpy.py:1404-1430).  Direction i contributes digit
     {0: lower, 1: equal, 2: higher} * 3**i."""
-    mx, mn, seen = directional_ratio_extrema(
-        Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels),
-        directions=tuple(range(8)))
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if engine == "pallas":
+        from .pallas_scan import directional_extrema_pallas
+        mx, mn = directional_extrema_pallas(
+            Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels))
+        seen = mx > -jnp.inf
+    else:
+        mx, mn, seen = directional_ratio_extrema(
+            Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels),
+            directions=tuple(range(8)))
     pos = jnp.rad2deg(_angles_from_extrema(mx, seen))
     if use_negative_openness:
         neg = jnp.rad2deg(_angles_from_extrema(-mn, seen))

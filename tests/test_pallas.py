@@ -108,3 +108,13 @@ def test_directional_extrema_pallas_matches_xla(rng):
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(mx_p) > -np.inf,
                                   np.asarray(seen))
+
+
+def test_ternary_pattern_engine(rng):
+    from neilpy_tpu.ops.visibility import ternary_pattern_from_openness
+    Z = rng.normal(size=(40, 50)).cumsum(axis=0).astype(np.float32)
+    a = np.asarray(ternary_pattern_from_openness(Z, lookup_pixels=5,
+                                                 engine="xla"))
+    b = np.asarray(ternary_pattern_from_openness(Z, lookup_pixels=5,
+                                                 engine="pallas"))
+    np.testing.assert_array_equal(a, b)
