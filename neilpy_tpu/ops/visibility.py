@@ -340,16 +340,37 @@ def ternary_pattern_from_openness(Z, cellsize=1, lookup_pixels=1,
 
 def geomorphons2(Z, cellsize=1, lookup_pixels=5, threshold_angle=1,
                  use_negative_openness=True, method="loose", outfile=None,
-                 out_transform=None):
+                 out_transform=None, engine="auto"):
     """Geomorphons via ternary pattern -> canonical code -> class LUT
-    (neilpy.py:1579-1596), with optional paletted PNG + worldfile out."""
-    tc = ternary_pattern_from_openness(
-        Z, cellsize=cellsize, lookup_pixels=lookup_pixels,
-        threshold_angle=threshold_angle,
-        use_negative_openness=use_negative_openness)
-    tc = jnp.asarray(lowest_equivalent_table())[tc.astype(jnp.int32)]
-    lut = jnp.asarray(terrain_code_class_table("loose"))
-    G = lut[tc.astype(jnp.int32)]
+    (neilpy.py:1579-1596), with optional paletted PNG + worldfile out.
+
+    The reference pipeline is ternary code -> lowest-equivalent LUT ->
+    'loose' class LUT; since the 'loose' class depends only on the
+    per-direction digit COUNTS (js[count('2'), count('0')],
+    core/codes.py), which rotations/reflections preserve, both
+    6561-entry gathers collapse to the fused count classifier —
+    bit-identical output, no big-array gathers.
+    """
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if engine == "pallas":
+        from .pallas_scan import directional_extrema_pallas
+        mx, mn = directional_extrema_pallas(
+            Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels))
+        seen = mx > -jnp.inf
+    else:
+        mx, mn, seen = directional_ratio_extrema(
+            Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels),
+            directions=tuple(range(8)))
+    pos = jnp.rad2deg(_angles_from_extrema(mx, seen))
+    if use_negative_openness:
+        O = pos - jnp.rad2deg(_angles_from_extrema(-mn, seen))
+    else:
+        O = pos - 90.0
+    t = jnp.float32(threshold_angle)
+    num2 = jnp.sum(O > t, axis=0).astype(jnp.uint8)
+    num0 = jnp.sum(O < -t, axis=0).astype(jnp.uint8)
+    G = classes_from_counts(num2, num0)
     if outfile is not None:
         from ..io.png import write_paletted_png
         from ..core.codes import geomorphon_cmap

@@ -112,3 +112,20 @@ def test_skyview_factor_range(terrain):
     flat = np.zeros((10, 12))
     np.testing.assert_allclose(np.asarray(skyview_factor(flat, lookup_pixels=4)),
                                1.0, atol=1e-6)
+
+
+def test_geomorphons2_equals_lut_pipeline(rng):
+    """The gather-free count formulation == the reference's
+    ternary -> lowest-equivalent LUT -> 'loose' class LUT pipeline."""
+    import jax.numpy as jnp
+    from neilpy_tpu.ops.visibility import (geomorphons2,
+                                           ternary_pattern_from_openness)
+    from neilpy_tpu.core.codes import (lowest_equivalent_table,
+                                       terrain_code_class_table)
+    Z = rng.normal(size=(40, 55)).cumsum(axis=0).astype(np.float32)
+    tc = np.asarray(ternary_pattern_from_openness(Z, lookup_pixels=5,
+                                                  threshold_angle=1))
+    tc = np.asarray(lowest_equivalent_table())[tc.astype(np.int64)]
+    ref = np.asarray(terrain_code_class_table("loose"))[tc.astype(np.int64)]
+    ours = np.asarray(geomorphons2(Z, lookup_pixels=5, threshold_angle=1))
+    np.testing.assert_array_equal(ours, ref)
