@@ -36,7 +36,7 @@ from jax import lax
 
 from ..core.shift import OFFSETS, STEP_LENGTH, shift_valid_mask
 from ..core.codes import (progressive_window, lowest_equivalent_table,
-                          jasiewicz_stepinski_table, terrain_code_class_table)
+                          jasiewicz_stepinski_table)
 
 __all__ = [
     "openness", "skyview_factor", "count_openness", "geomorphons",
