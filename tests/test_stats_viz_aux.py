@@ -367,3 +367,32 @@ def test_write_voxel_stl(tmp_path, rng):
     assert len(raw) == 84 + 50 * ntri
     assert struct.unpack("<I", raw[80:84])[0] == ntri
     assert ntri > 0 and ntri % 2 == 0  # two triangles per exposed face
+
+
+def test_rastergi_matches_generic_filter_oracle(rng):
+    """rasterGi's counted convolutions reproduce the reference's
+    per-pixel generic_filter sums exactly (Gi* path, SURVEY §3.5)."""
+    import scipy.ndimage as ndi
+    import jax.numpy as jnp
+    terrain = rng.normal(size=(30, 36)).cumsum(axis=0).astype(np.float32)
+    terrain[5:7, 8:10] = np.nan
+    m = 2
+    fp = np.ones((2 * m + 1, 2 * m + 1), dtype=bool)
+
+    finite = np.isfinite(terrain)
+    nf = finite.sum()
+    # reference-style per-pixel sums over the footprint ('nearest' pad)
+    w_n = ndi.generic_filter(finite.astype(float), np.sum, footprint=fp,
+                             mode="nearest")
+    s = ndi.generic_filter(np.where(finite, terrain, 0.0), np.sum,
+                           footprint=fp, mode="nearest")
+    gm = np.nanmean(terrain)
+    gv = np.nanstd(terrain) ** 2
+    a = s - w_n * gm
+    b = np.sqrt((w_n / (nf - 1)) * (nf - w_n) * gv)
+    Z_ref = np.where(finite, a / b, np.nan)
+
+    Z, P, sig = __import__("neilpy_tpu").rasterGi(terrain, footprint=m,
+                                                  star=True)
+    np.testing.assert_allclose(np.asarray(Z), Z_ref, atol=2e-4,
+                               equal_nan=True)
