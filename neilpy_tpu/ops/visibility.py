@@ -353,24 +353,36 @@ def geomorphons2(Z, cellsize=1, lookup_pixels=5, threshold_angle=1,
     """
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if engine == "pallas":
-        from .pallas_scan import directional_extrema_pallas
-        mx, mn = directional_extrema_pallas(
-            Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels))
-        seen = mx > -jnp.inf
-    else:
-        mx, mn, seen = directional_ratio_extrema(
+    if engine == "pallas" and use_negative_openness:
+        # with negative openness the digit counts ARE the geomorphon
+        # counts (O = pos - neg thresholded both ways) -> the fused
+        # tangent-space counts kernel computes them directly
+        from .pallas_scan import openness_counts_pallas
+        num2, num0 = openness_counts_pallas(
             Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels),
-            directions=tuple(range(8)))
-    pos = jnp.rad2deg(_angles_from_extrema(mx, seen))
-    if use_negative_openness:
-        O = pos - jnp.rad2deg(_angles_from_extrema(-mn, seen))
+            threshold_angle=float(threshold_angle))
+        G = classes_from_counts(num2, num0)
     else:
-        O = pos - 90.0
-    t = jnp.float32(threshold_angle)
-    num2 = jnp.sum(O > t, axis=0).astype(jnp.uint8)
-    num0 = jnp.sum(O < -t, axis=0).astype(jnp.uint8)
-    G = classes_from_counts(num2, num0)
+        if engine == "pallas":
+            from .pallas_scan import directional_extrema_pallas
+            mx, mn = directional_extrema_pallas(
+                Z, cellsize=float(cellsize),
+                lookup_pixels=int(lookup_pixels))
+            seen = mx > -jnp.inf
+        else:
+            mx, mn, seen = directional_ratio_extrema(
+                Z, cellsize=float(cellsize),
+                lookup_pixels=int(lookup_pixels),
+                directions=tuple(range(8)))
+        pos = jnp.rad2deg(_angles_from_extrema(mx, seen))
+        if use_negative_openness:
+            O = pos - jnp.rad2deg(_angles_from_extrema(-mn, seen))
+        else:
+            O = pos - 90.0
+        t = jnp.float32(threshold_angle)
+        num2 = jnp.sum(O > t, axis=0).astype(jnp.uint8)
+        num0 = jnp.sum(O < -t, axis=0).astype(jnp.uint8)
+        G = classes_from_counts(num2, num0)
     if outfile is not None:
         from ..io.png import write_paletted_png
         from ..core.codes import geomorphon_cmap
