@@ -283,12 +283,17 @@ def _np_to_sampleformat(dt):
 
 
 def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
-                  colormap=None):
+                  colormap=None, bigtiff=None):
     """Write a strip-organised uncompressed GeoTIFF.
 
     ``im`` may be (H, W) or (H, W, bands) or (bands, H, W); uint8/16/32,
     int16/32, float32/64.  ``colormap`` is a {value: (r, g, b)} dict
     producing a paletted single-band file.
+
+    ``bigtiff=None`` auto-selects BigTIFF (version 43, 8-byte offsets)
+    when the payload approaches the classic 4 GB limit — the 100k x
+    100k mosaic outputs need it.  Strips are streamed to the file, so
+    memory-mapped mosaics are written without a second in-RAM copy.
     """
     im = np.asarray(im)
     if im.ndim == 3 and im.shape[0] < min(im.shape[1:]) and im.shape[0] <= 4:
@@ -344,22 +349,25 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
               else str(nodata)) + "\x00"
         tag(_TAG_GDAL_NODATA, 2, nd.encode())
 
-    # strip data
-    strip_data = []
-    for s in range(nstrips):
-        r0 = s * rows_per_strip
-        strip_data.append(im[r0:r0 + rows_per_strip].tobytes())
+    # strip layout (strips are streamed from ``im`` at write time)
+    row_bytes = width * bands * dt.itemsize
+    strip_counts = [min(rows_per_strip, height - s * rows_per_strip)
+                    * row_bytes for s in range(nstrips)]
+    total_data = sum(strip_counts)
+    if bigtiff is None:
+        bigtiff = total_data > (2 ** 32 - 2 ** 26)  # 64 MB of headroom
 
-    # layout: header(8) + IFD + external tag values + strip data.
-    # External-value sizes don't depend on the strip offsets, so the
-    # data start is known up front and entries are emitted in one pass.
-    strip_counts = [len(s) for s in strip_data]
-    all_tags = (tags + [(_TAG_STRIPOFFSETS, 4, [0] * nstrips),
-                        (_TAG_STRIPBYTECOUNTS, 4, strip_counts)])
+    off_type = 16 if bigtiff else 4        # LONG8 vs LONG
+    entry_size = 20 if bigtiff else 12
+    inline_cap = 8 if bigtiff else 4
+    ifd_off = 16 if bigtiff else 8
+
+    all_tags = (tags + [(_TAG_STRIPOFFSETS, off_type, [0] * nstrips),
+                        (_TAG_STRIPBYTECOUNTS, off_type, strip_counts)])
     all_tags.sort(key=lambda x: x[0])
     n_entries = len(all_tags)
-    ifd_off = 8
-    ifd_size = 2 + n_entries * 12 + 4
+    ifd_size = ((8 + n_entries * entry_size + 8) if bigtiff
+                else (2 + n_entries * entry_size + 4))
 
     def pack_vals(typ, vals):
         if typ == 2:
@@ -367,10 +375,13 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
         fmt = _TYPE_FMT[typ]
         return b"".join(struct.pack("<" + fmt, v) for v in vals)
 
+    # layout: header + IFD + external tag values + strip data.
+    # External-value sizes don't depend on the strip offsets, so the
+    # data start is known up front and entries are emitted in one pass.
     ext_size = 0
     for tid, typ, vals in all_tags:
         raw = pack_vals(typ, vals)
-        if len(raw) > 4:
+        if len(raw) > inline_cap:
             ext_size += len(raw) + (len(raw) % 2)
     data_start = ifd_off + ifd_size + ext_size
 
@@ -386,27 +397,36 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
             vals = offsets
         raw = pack_vals(typ, vals)
         n = len(raw) if typ == 2 else len(vals)
-        if len(raw) <= 4:
-            payload = raw.ljust(4, b"\x00")
+        if len(raw) <= inline_cap:
+            payload = raw.ljust(inline_cap, b"\x00")
         else:
-            payload = struct.pack("<L", ext_off)
+            payload = struct.pack("<Q" if bigtiff else "<L", ext_off)
             ext_blobs.append(raw if len(raw) % 2 == 0 else raw + b"\x00")
             ext_off += len(raw) + (len(raw) % 2)
-        entries.append(struct.pack("<HHL", tid, typ, n) + payload)
+        if bigtiff:
+            entries.append(struct.pack("<HHQ", tid, typ, n) + payload)
+        else:
+            entries.append(struct.pack("<HHL", tid, typ, n) + payload)
 
-    out = bytearray()
-    out += b"II" + struct.pack("<HL", 42, ifd_off)
-    out += struct.pack("<H", n_entries)
+    head = bytearray()
+    if bigtiff:
+        head += b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+        head += struct.pack("<Q", n_entries)
+    else:
+        head += b"II" + struct.pack("<HL", 42, ifd_off)
+        head += struct.pack("<H", n_entries)
     for e in entries:
-        out += e
-    out += struct.pack("<L", 0)
+        head += e
+    head += struct.pack("<Q" if bigtiff else "<L", 0)
     for blob in ext_blobs:
-        out += blob
-    assert len(out) == data_start, (len(out), data_start)
-    for s in strip_data:
-        out += s
+        head += blob
+    assert len(head) == data_start, (len(head), data_start)
     with open(fn, "wb") as f:
-        f.write(bytes(out))
+        f.write(bytes(head))
+        for s in range(nstrips):
+            r0 = s * rows_per_strip
+            f.write(np.ascontiguousarray(
+                im[r0:r0 + rows_per_strip]).tobytes())
 
 
 # ----------------------------------------------------------------------

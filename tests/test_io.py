@@ -238,3 +238,36 @@ class TestWriteLas:
         out = read_las_arrays(fn)
         np.testing.assert_allclose(out["x"], x, atol=5.1e-4)
         np.testing.assert_allclose(out["z"], z, atol=5.1e-4)
+
+
+class TestBigTiff:
+    def test_roundtrip_forced_bigtiff(self, tmp_path, rng):
+        from neilpy_tpu.io.geotiff import write_geotiff, read_geotiff
+        from neilpy_tpu.core.affine import Affine
+        im = rng.normal(size=(60, 90)).astype(np.float32)
+        t = Affine.from_origin(500000, 4200000, 2, 2)
+        fn = str(tmp_path / "big.tif")
+        write_geotiff(fn, im, transform=t, nodata=-9999.0, bigtiff=True)
+        raw = open(fn, "rb").read()
+        assert raw[:4] == b"II\x2b\x00"  # version 43
+        X, meta = read_geotiff(fn)
+        np.testing.assert_array_equal(X, im)
+        assert abs(meta["transform"][0] - 2) < 1e-9
+        assert meta["nodata"] == -9999.0
+
+    def test_roundtrip_classic_unchanged(self, tmp_path, rng):
+        from neilpy_tpu.io.geotiff import write_geotiff, read_geotiff
+        im = (rng.random((40, 50)) * 250).astype(np.uint8)
+        fn = str(tmp_path / "classic.tif")
+        write_geotiff(fn, im)
+        assert open(fn, "rb").read(4) == b"II\x2a\x00"
+        X, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(X, im)
+
+    def test_bigtiff_multiband_palette_paths(self, tmp_path, rng):
+        from neilpy_tpu.io.geotiff import write_geotiff, read_geotiff
+        rgb = (rng.random((30, 40, 3)) * 255).astype(np.uint8)
+        fn = str(tmp_path / "rgb_big.tif")
+        write_geotiff(fn, rgb, bigtiff=True)
+        X, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(X, rgb)
