@@ -98,7 +98,7 @@ def _read_ifd_entries(data, off, en, bigtiff=False):
 def _values(entry, en):
     typ, n, raw = entry
     if typ == 2:  # ascii
-        return raw.split(b"\x00")[0].decode("latin-1")
+        return bytes(raw).split(b"\x00")[0].decode("latin-1")
     fmt = _TYPE_FMT.get(typ)
     if fmt is None:
         return raw
@@ -150,8 +150,10 @@ def read_geotiff(fn):
     Multi-band rasters come back as (H, W, bands) like the reference's
     ``imread`` (neilpy.py:129).
     """
-    with open(fn, "rb") as f:
-        data = f.read()
+    # memory-map instead of slurping: multi-GB BigTIFF mosaics read
+    # lazily, and uncompressed strips view the map zero-copy (the
+    # returned array keeps the mapping alive via the buffer protocol)
+    data = memoryview(np.memmap(fn, dtype=np.uint8, mode="r"))
     if data[:2] == b"II":
         en = "<"
     elif data[:2] == b"MM":
