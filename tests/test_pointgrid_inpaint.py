@@ -174,8 +174,8 @@ def test_inpaint_nearest_device_jfa(rng):
     finite set, >=99.9% of cells take the exactly-nearest seed."""
     from scipy.spatial import cKDTree
     from neilpy_tpu.ops.inpaint import inpaint_nearest_device
-    A = np.full((80, 100), np.nan, dtype=np.float32)
-    idx = rng.random((80, 100)) < 0.03
+    A = np.full((48, 64), np.nan, dtype=np.float32)
+    idx = rng.random((48, 64)) < 0.04
     A[idx] = rng.normal(size=int(idx.sum())).astype(np.float32)
     out = np.asarray(inpaint_nearest_device(A))
     assert np.isfinite(out).all()
