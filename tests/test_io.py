@@ -271,3 +271,24 @@ class TestBigTiff:
         write_geotiff(fn, rgb, bigtiff=True)
         X, _ = read_geotiff(fn)
         np.testing.assert_array_equal(X, rgb)
+
+
+class TestCompressedTiff:
+    @pytest.mark.parametrize("comp", ["tiff_adobe_deflate", "packbits"])
+    def test_read_pil_compressed(self, tmp_path, rng, comp):
+        from PIL import Image
+        from neilpy_tpu.io.geotiff import read_geotiff
+        a = (rng.random((45, 62)) * 250).astype(np.uint8)
+        fn = str(tmp_path / f"{comp}.tif")
+        Image.fromarray(a).save(fn, compression=comp)
+        X, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(X, a)
+
+    def test_read_deflate_float_predictor_none(self, tmp_path, rng):
+        from PIL import Image
+        from neilpy_tpu.io.geotiff import read_geotiff
+        a = rng.normal(size=(30, 40)).astype(np.float32)
+        fn = str(tmp_path / "f32.tif")
+        Image.fromarray(a).save(fn, compression="tiff_adobe_deflate")
+        X, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(X, a)
