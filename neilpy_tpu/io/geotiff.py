@@ -121,6 +121,7 @@ def _decompress(raw, compression, expected, predictor, width, dtype,
     elif compression in (8, 32946):  # Deflate / zlib
         out = zlib.decompress(raw)
     elif compression == 32773:  # PackBits
+        raw = bytes(raw)  # mmap-backed memoryview -> bytes for slicing math
         out = bytearray()
         i = 0
         while i < len(raw) and len(out) < expected:
