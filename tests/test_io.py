@@ -292,3 +292,58 @@ class TestCompressedTiff:
         Image.fromarray(a).save(fn, compression="tiff_adobe_deflate")
         X, _ = read_geotiff(fn)
         np.testing.assert_array_equal(X, a)
+
+
+def test_read_tiled_tiff(tmp_path, rng):
+    """Tile-organised TIFF read path (the goldens are all strips):
+    hand-built 48x48 uint8 with 16x16 tiles, partial none."""
+    import struct
+    from neilpy_tpu.io.geotiff import read_geotiff
+    H = W = 48
+    TS = 16
+    a = (rng.random((H, W)) * 250).astype(np.uint8)
+    tiles = []
+    for ty in range(H // TS):
+        for tx in range(W // TS):
+            tiles.append(a[ty*TS:(ty+1)*TS, tx*TS:(tx+1)*TS].tobytes())
+
+    def entry(tid, typ, n, val):
+        return struct.pack("<HHL", tid, typ, n) + val
+
+    ntags = 9
+    ifd_off = 8
+    ifd_size = 2 + ntags * 12 + 4
+    noff = len(tiles)
+    ext_off = ifd_off + ifd_size
+    offsets_blob_off = ext_off
+    counts_blob_off = offsets_blob_off + 4 * noff
+    data_off = counts_blob_off + 4 * noff
+    offs, pos = [], data_off
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    out = bytearray()
+    out += b"II" + struct.pack("<HL", 42, ifd_off)
+    out += struct.pack("<H", ntags)
+    out += entry(256, 4, 1, struct.pack("<L", W))           # width
+    out += entry(257, 4, 1, struct.pack("<L", H))           # height
+    out += entry(258, 3, 1, struct.pack("<HH", 8, 0))       # bits
+    out += entry(259, 3, 1, struct.pack("<HH", 1, 0))       # compression
+    out += entry(262, 3, 1, struct.pack("<HH", 1, 0))       # photometric
+    out += entry(322, 4, 1, struct.pack("<L", TS))          # TileWidth
+    out += entry(323, 4, 1, struct.pack("<L", TS))          # TileLength
+    out += entry(324, 4, noff, struct.pack("<L", offsets_blob_off))
+    out += entry(325, 4, noff, struct.pack("<L", counts_blob_off))
+    out += struct.pack("<L", 0)
+    out += b"".join(struct.pack("<L", o) for o in offs)
+    out += b"".join(struct.pack("<L", len(t)) for t in tiles)
+    assert len(out) == data_off
+    for t in tiles:
+        out += t
+    fn = str(tmp_path / "tiled.tif")
+    open(fn, "wb").write(bytes(out))
+
+    from PIL import Image
+    np.testing.assert_array_equal(np.asarray(Image.open(fn)), a)  # sanity
+    X, _ = read_geotiff(fn)
+    np.testing.assert_array_equal(X, a)
