@@ -39,7 +39,6 @@ from jax import shard_map
 from .halo import halo_exchange_2d
 from .api import make_mesh, pad_to_mesh
 from ..ops.morphology import _disk_morph_padded
-from ..ops.pointgrid import bin_points
 from ..ops.spline import spline_coefficients_2d, spline_ev_2d
 from ..core.shift import gradient2d
 
@@ -281,17 +280,13 @@ def sharded_smrf(x, y, z, cellsize=1, windows=5, slope_threshold=.15,
         windows = np.arange(windows) + 1
     windows = np.atleast_1d(np.asarray(windows))
 
-    # --- gridding (host f64 binning; device scatter per shard would be
-    # the 50M pts/s path — grids here are modest, points dominate) ----
-    flat, valid, (gny, gnx), t = bin_points(x, y, cellsize=cellsize)
-    z64 = np.asarray(z, dtype=np.float64)
-    Zmin_raw = np.full(gny * gnx, np.inf, dtype=np.float32)
-    np.minimum.at(Zmin_raw, flat[valid], z64[valid].astype(np.float32))
-    Zmin_raw[np.isinf(Zmin_raw)] = np.nan
-    Zmin_raw = Zmin_raw.reshape(gny, gnx)
+    # --- gridding: exact host f64 binning + the tuned device
+    # scatter-min (same path as single-chip create_dem) ---------------
+    from ..ops.pointgrid import create_dem
+    Zmin_raw, t = create_dem(x, y, z, cellsize=cellsize, bin_type="min")
+    gshape = tuple(Zmin_raw.shape)
 
-    gshape = (gny, gnx)
-    Zp, orig = pad_to_mesh(jnp.asarray(Zmin_raw), mesh, axis_names)
+    Zp, orig = pad_to_mesh(Zmin_raw, mesh, axis_names)
     spec = P(*axis_names)
     Zs = jax.device_put(Zp, NamedSharding(mesh, spec))
 
@@ -312,6 +307,7 @@ def sharded_smrf(x, y, z, cellsize=1, windows=5, slope_threshold=.15,
 
     x64 = np.asarray(x, dtype=np.float64)
     y64 = np.asarray(y, dtype=np.float64)
+    z64 = np.asarray(z, dtype=np.float64)
     c, r = (~t) * (x64, y64)
     n = len(c)
     n_dev = int(np.prod([mesh.shape[a] for a in axis_names]))
