@@ -18,8 +18,11 @@ extern "C" {
 
 // Bin n points into an ny x nx grid anchored at (x0, y0) with cell
 // size cs (north-up: rows grow as y decreases).  Writes flat[i] and
-// valid[i]; out-of-grid points get flat = ny*nx (a sentinel bin) and
-// valid = 0.  Returns the number of valid points.
+// valid[i]; out-of-grid points get valid = 0 and — matching the numpy
+// path in ops/pointgrid.py (clip before ravel) — a flat index clipped
+// into [0, ny*nx), so both backends agree on every output value and
+// indexing flat is always in-bounds even without masking.
+// Returns the number of valid points.
 long bin_points_f64(const double* x, const double* y, long n,
                     double x0, double y0, double cs,
                     long ny, long nx,
@@ -29,7 +32,8 @@ long bin_points_f64(const double* x, const double* y, long n,
     if (n < 100000) nt = 1;
     std::atomic<long> total{0};
     const double inv = 1.0 / cs;
-    const int32_t sentinel = static_cast<int32_t>(ny * nx);
+    const double cmax = static_cast<double>(nx - 1);
+    const double rmax = static_cast<double>(ny - 1);
 
     auto work = [&](long lo, long hi) {
         long cnt = 0;
@@ -38,10 +42,11 @@ long bin_points_f64(const double* x, const double* y, long n,
             double r = std::floor((y0 - y[i]) * inv);
             bool ok = (c >= 0.0) && (c < static_cast<double>(nx)) &&
                       (r >= 0.0) && (r < static_cast<double>(ny));
-            flat[i] = ok ? static_cast<int32_t>(r) *
-                               static_cast<int32_t>(nx) +
-                               static_cast<int32_t>(c)
-                         : sentinel;
+            double ccl = c < 0.0 ? 0.0 : (c > cmax ? cmax : c);
+            double rcl = r < 0.0 ? 0.0 : (r > rmax ? rmax : r);
+            flat[i] = static_cast<int32_t>(rcl) *
+                          static_cast<int32_t>(nx) +
+                      static_cast<int32_t>(ccl);
             valid[i] = ok ? 1 : 0;
             cnt += ok;
         }

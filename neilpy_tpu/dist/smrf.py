@@ -295,7 +295,7 @@ def sharded_smrf(x, y, z, cellsize=1, windows=5, slope_threshold=.15,
     Zpro_s, objects_s = _sharded_raster(
         Zs, mesh, tuple(int(w) for w in windows), thresholds,
         jnp.float32(low_filter_slope * cellsize), gshape, axis_names,
-        bool(low_outlier_fill), maxiter=maxiter)
+        bool(low_outlier_fill), tol=tol, maxiter=maxiter)
     Zpro = Zpro_s[: orig[0], : orig[1]]
     object_cells = objects_s[: orig[0], : orig[1]]
 

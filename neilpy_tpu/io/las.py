@@ -219,7 +219,7 @@ def write_las(filename, x, y, z, intensity=None, classification=None,
     struct.pack_into("<H", hdr, 105, dt.itemsize)
     struct.pack_into("<L", hdr, 107, n)
     struct.pack_into("<5L", hdr, 111,
-                     *(np.bincount(np.minimum(nr, 5), minlength=6)[1:6]
+                     *(np.bincount(np.minimum(rn, 5), minlength=6)[1:6]
                        .astype(np.uint32)))
     struct.pack_into("<3d", hdr, 131, *scale)
     struct.pack_into("<3d", hdr, 155, *offset)

@@ -22,9 +22,19 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "_native",
                          "liblas_decoder.so")
 
 
+_LOAD_FAILED = False
+
+
 def _load():
-    global _LIB
-    if _LIB is None and os.path.exists(_LIB_PATH):
+    global _LIB, _LOAD_FAILED
+    if _LIB is not None or _LOAD_FAILED:
+        return _LIB
+    if not os.path.exists(_LIB_PATH):
+        from ..ops.binning_native import _try_build
+        if not _try_build():
+            _LOAD_FAILED = True
+            return None
+    try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.las_open_header.restype = ctypes.c_int
         lib.las_open_header.argtypes = [ctypes.c_char_p,
@@ -42,7 +52,11 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int,
         ]
-        _LIB = lib
+    except OSError:
+        # unloadable .so (foreign arch, missing deps): python fallback
+        _LOAD_FAILED = True
+        return None
+    _LIB = lib
     return _LIB
 
 

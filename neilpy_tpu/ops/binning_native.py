@@ -27,9 +27,36 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "_native",
                          "libbinning.so")
 
 
+_LOAD_FAILED = False
+
+
+def _try_build():
+    """Attempt a one-time local build of the library (portable flags).
+
+    The .so is not shipped with the repo (it would be arch-specific);
+    it is built on first use when a toolchain is present.
+    """
+    import subprocess
+    makefile_dir = os.path.join(os.path.dirname(__file__), "..", "..",
+                                "native")
+    if not os.path.exists(os.path.join(makefile_dir, "Makefile")):
+        return False
+    try:
+        subprocess.run(["make", "-C", makefile_dir], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
 def _load():
-    global _LIB
-    if _LIB is None and os.path.exists(_LIB_PATH):
+    global _LIB, _LOAD_FAILED
+    if _LIB is not None or _LOAD_FAILED:
+        return _LIB
+    if not os.path.exists(_LIB_PATH) and not _try_build():
+        _LOAD_FAILED = True
+        return None
+    try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.bin_points_f64.restype = ctypes.c_long
         lib.bin_points_f64.argtypes = [
@@ -40,7 +67,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8),
         ]
-        try:
+        if hasattr(lib, "origin_shift_f64"):
             lib.origin_shift_f64.restype = None
             lib.origin_shift_f64.argtypes = [
                 ctypes.POINTER(ctypes.c_double),
@@ -49,9 +76,11 @@ def _load():
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
             ]
-        except AttributeError:  # older .so without the symbol
-            pass
-        _LIB = lib
+    except OSError:
+        # unloadable .so (foreign arch, missing deps): numpy fallback
+        _LOAD_FAILED = True
+        return None
+    _LIB = lib
     return _LIB
 
 

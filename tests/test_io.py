@@ -347,3 +347,19 @@ def test_read_tiled_tiff(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(Image.open(fn)), a)  # sanity
     X, _ = read_geotiff(fn)
     np.testing.assert_array_equal(X, a)
+
+
+def test_write_las_points_by_return_histogram(tmp_path):
+    """Header 'number of points by return' must histogram the
+    return_number field (not num_returns) — LAS 1.4 spec §2.3."""
+    import struct
+    from neilpy_tpu.io.las import write_las
+    fn = str(tmp_path / "rn.las")
+    x = np.arange(6, dtype=float)
+    write_las(fn, x, x, x,
+              return_number=np.array([1, 1, 2, 2, 2, 3], np.uint8),
+              num_returns=np.array([3, 3, 3, 3, 3, 3], np.uint8))
+    with open(fn, "rb") as f:
+        hdr = f.read(227)
+    counts = struct.unpack_from("<5L", hdr, 111)
+    assert counts == (2, 3, 1, 0, 0)

@@ -116,3 +116,39 @@ class TestNativeBinning:
         xr, yr = origin_shift_native(x, y, 499999.5, 4200100.5)
         np.testing.assert_array_equal(xr, (x - 499999.5).astype(np.float32))
         np.testing.assert_array_equal(yr, (4200100.5 - y).astype(np.float32))
+
+
+def test_invalid_points_same_flat_as_numpy(rng):
+    """Out-of-grid points: both backends emit the same clipped flat
+    index (always in-bounds), per the bin_points contract."""
+    from neilpy_tpu.ops.binning_native import (native_available,
+                                               bin_points_native)
+    from neilpy_tpu.ops.pointgrid import bin_points
+    if not native_available():
+        pytest.skip("libbinning.so not built")
+    x = rng.uniform(-5, 35, 5000)
+    y = rng.uniform(-5, 25, 5000)
+    edges = (np.arange(0, 31.0), np.arange(20.0, -1, -1))
+    f1, v1, s1, _ = bin_points(x, y, edges=edges, native=False)
+    f2, v2, s2, _ = bin_points_native(x, y, edges=edges)
+    assert s1 == s2 and (~v1).sum() > 0
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(f1, f2.astype(np.int64))
+    assert f2.min() >= 0 and f2.max() < s2[0] * s2[1]
+
+
+def test_unloadable_library_falls_back(tmp_path, monkeypatch):
+    """A corrupt/foreign-arch .so must yield native_available()=False
+    (numpy fallback), not an OSError out of the default path."""
+    from neilpy_tpu.ops import binning_native as bn
+    bad = tmp_path / "libbad.so"
+    bad.write_bytes(b"\x7fELF garbage that cannot be dlopened")
+    monkeypatch.setattr(bn, "_LIB", None)
+    monkeypatch.setattr(bn, "_LOAD_FAILED", False)
+    monkeypatch.setattr(bn, "_LIB_PATH", str(bad))
+    assert bn._load() is None
+    assert not bn.native_available()
+    # and the high-level entry point still works via numpy
+    from neilpy_tpu.ops.pointgrid import bin_points
+    f, v, s, _ = bin_points(np.array([0.5]), np.array([0.5]), cellsize=1)
+    assert v.all()
