@@ -7,7 +7,7 @@ neilpy/neilpy.py:114-190) — array + metadata dict with ``transform``
 ``width``, ``height``, ``count``.
 
 Supported on read: baseline TIFF, little/big endian, strip or tile
-organisation, uncompressed / PackBits / Deflate, grayscale or
+organisation, uncompressed / PackBits / LZW / Deflate, grayscale or
 multi-band (contiguous or planar), uint8/16/32, int8/16/32,
 float32/64, plus the GeoTIFF ModelPixelScale/ModelTiepoint tags and
 GDAL's NODATA ascii tag.  This covers both reference golden rasters
@@ -118,22 +118,14 @@ def _decompress(raw, compression, expected, predictor, width, dtype,
                 samples):
     if compression == 1:
         out = raw
+    elif compression == 5:  # LZW (native kernel or python fallback)
+        from .tiff_codec import lzw_decode
+        out = lzw_decode(raw, expected)
     elif compression in (8, 32946):  # Deflate / zlib
         out = zlib.decompress(raw)
-    elif compression == 32773:  # PackBits
-        raw = bytes(raw)  # mmap-backed memoryview -> bytes for slicing math
-        out = bytearray()
-        i = 0
-        while i < len(raw) and len(out) < expected:
-            n = raw[i]
-            i += 1
-            if n < 128:
-                out += raw[i:i + n + 1]
-                i += n + 1
-            elif n > 128:
-                out += raw[i:i + 1] * (257 - n)
-                i += 1
-        out = bytes(out)
+    elif compression == 32773:  # PackBits (vectorised / native)
+        from .tiff_codec import packbits_decode
+        out = packbits_decode(raw, expected)
     else:
         raise ValueError(f"Unsupported TIFF compression {compression}")
     if predictor == 2:
@@ -285,13 +277,18 @@ def _np_to_sampleformat(dt):
     raise ValueError(f"Unsupported dtype {dt}")
 
 
+_COMPRESS_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+
+
 def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
-                  colormap=None, bigtiff=None):
-    """Write a strip-organised uncompressed GeoTIFF.
+                  colormap=None, bigtiff=None, compress="none"):
+    """Write a strip-organised GeoTIFF.
 
     ``im`` may be (H, W) or (H, W, bands) or (bands, H, W); uint8/16/32,
     int16/32, float32/64.  ``colormap`` is a {value: (r, g, b)} dict
-    producing a paletted single-band file.
+    producing a paletted single-band file.  ``compress`` is one of
+    'none' | 'deflate' | 'lzw' (per-strip, own encoders — the reference
+    delegates compressed writes to rasterio, neilpy.py:165-190).
 
     ``bigtiff=None`` auto-selects BigTIFF (version 43, 8-byte offsets)
     when the payload approaches the classic 4 GB limit — the 100k x
@@ -312,10 +309,12 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
     def tag(tid, typ, vals):
         tags.append((tid, typ, vals))
 
+    if compress not in ("none", "deflate", "lzw"):
+        raise ValueError("compress must be 'none', 'deflate' or 'lzw'")
     tag(_TAG_WIDTH, 4, [width])
     tag(_TAG_HEIGHT, 4, [height])
     tag(_TAG_BITSPERSAMPLE, 3, [dt.itemsize * 8] * bands)
-    tag(_TAG_COMPRESSION, 3, [1])
+    tag(_TAG_COMPRESSION, 3, [_COMPRESS_IDS[compress]])
     photometric = 1
     if colormap is not None:
         photometric = 3
@@ -352,10 +351,23 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
               else str(nodata)) + "\x00"
         tag(_TAG_GDAL_NODATA, 2, nd.encode())
 
-    # strip layout (strips are streamed from ``im`` at write time)
+    # strip layout; uncompressed strips are streamed from ``im`` at
+    # write time, compressed strips are encoded up front (their sizes
+    # feed StripByteCounts)
     row_bytes = width * bands * dt.itemsize
-    strip_counts = [min(rows_per_strip, height - s * rows_per_strip)
-                    * row_bytes for s in range(nstrips)]
+    strip_blobs = None
+    if compress == "none":
+        strip_counts = [min(rows_per_strip, height - s * rows_per_strip)
+                        * row_bytes for s in range(nstrips)]
+    else:
+        from .tiff_codec import lzw_encode
+        enc = (lzw_encode if compress == "lzw"
+               else lambda b: zlib.compress(b, 6))
+        strip_blobs = [
+            enc(np.ascontiguousarray(
+                im[s * rows_per_strip:(s + 1) * rows_per_strip]
+            ).tobytes()) for s in range(nstrips)]
+        strip_counts = [len(b) for b in strip_blobs]
     total_data = sum(strip_counts)
     if bigtiff is None:
         bigtiff = total_data > (2 ** 32 - 2 ** 26)  # 64 MB of headroom
@@ -426,10 +438,14 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
     assert len(head) == data_start, (len(head), data_start)
     with open(fn, "wb") as f:
         f.write(bytes(head))
-        for s in range(nstrips):
-            r0 = s * rows_per_strip
-            f.write(np.ascontiguousarray(
-                im[r0:r0 + rows_per_strip]).tobytes())
+        if strip_blobs is not None:
+            for b in strip_blobs:
+                f.write(b)
+        else:
+            for s in range(nstrips):
+                r0 = s * rows_per_strip
+                f.write(np.ascontiguousarray(
+                    im[r0:r0 + rows_per_strip]).tobytes())
 
 
 # ----------------------------------------------------------------------

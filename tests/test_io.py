@@ -274,7 +274,8 @@ class TestBigTiff:
 
 
 class TestCompressedTiff:
-    @pytest.mark.parametrize("comp", ["tiff_adobe_deflate", "packbits"])
+    @pytest.mark.parametrize("comp", ["tiff_adobe_deflate", "packbits",
+                                      "tiff_lzw"])
     def test_read_pil_compressed(self, tmp_path, rng, comp):
         from PIL import Image
         from neilpy_tpu.io.geotiff import read_geotiff
@@ -292,6 +293,226 @@ class TestCompressedTiff:
         Image.fromarray(a).save(fn, compression="tiff_adobe_deflate")
         X, _ = read_geotiff(fn)
         np.testing.assert_array_equal(X, a)
+
+    def test_read_pil_lzw_float_multistrip(self, tmp_path, rng):
+        """PIL-written LZW float32 with several strips (LZW state must
+        reset per strip)."""
+        from PIL import Image, TiffImagePlugin
+        from neilpy_tpu.io.geotiff import read_geotiff
+        a = rng.normal(size=(200, 120)).astype(np.float32).cumsum(0)
+        fn = str(tmp_path / "lzw_f32.tif")
+        TiffImagePlugin.STRIP_SIZE = 8192  # force multiple strips
+        try:
+            Image.fromarray(a).save(fn, compression="tiff_lzw")
+        finally:
+            TiffImagePlugin.STRIP_SIZE = 65536
+        X, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(X, a)
+
+
+class TestLZWCodec:
+    """Both decoder backends (native C++ and the python fallback) vs
+    the in-repo TIFF-flavour encoder, plus hand-built tile/predictor
+    fixtures PIL cannot write."""
+
+    @pytest.mark.parametrize("kind", ["random", "runs", "text"])
+    def test_roundtrip_both_backends(self, rng, kind):
+        from neilpy_tpu.io.tiff_codec import (
+            lzw_encode, lzw_decode, _lzw_decode_py,
+            codec_native_available)
+        if kind == "random":
+            # incompressible: ~1 table entry per emit -> crosses every
+            # width bump AND the 12-bit Clear/reset path
+            data = rng.integers(0, 256, 30000, dtype=np.uint8).tobytes()
+        elif kind == "runs":
+            data = np.repeat(rng.integers(0, 256, 4000, dtype=np.uint8),
+                             rng.integers(1, 30, 4000)).tobytes()
+        else:
+            data = b"to be or not to be, that is the question " * 500
+        enc = lzw_encode(data)
+        assert _lzw_decode_py(enc, len(data)) == data
+        if codec_native_available():
+            assert lzw_decode(enc, len(data)) == data
+
+    def test_lzw_tiled_fixture(self, tmp_path, rng):
+        """Hand-built tile-organised LZW TIFF (compression=5) — the
+        layout GDAL most commonly emits for DEM mosaics."""
+        import struct
+        from neilpy_tpu.io.tiff_codec import lzw_encode
+        from neilpy_tpu.io.geotiff import read_geotiff
+        H, W, TS = 48, 48, 16
+        a = (rng.random((H, W)) * 250).astype(np.uint8)
+        tiles = [lzw_encode(a[ty*TS:(ty+1)*TS, tx*TS:(tx+1)*TS].tobytes())
+                 for ty in range(H // TS) for tx in range(W // TS)]
+        fn = str(tmp_path / "tiled_lzw.tif")
+        open(fn, "wb").write(_build_tiled_tiff(a, tiles, TS, comp=5))
+        from PIL import Image
+        np.testing.assert_array_equal(np.asarray(Image.open(fn)), a)
+        X, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(X, a)
+
+    def test_lzw_predictor2_strips(self, tmp_path, rng):
+        """LZW + horizontal-differencing predictor (tag 317=2), the
+        GDAL default for integer DEMs; uint8, multi-strip."""
+        import struct
+        from neilpy_tpu.io.tiff_codec import lzw_encode
+        from neilpy_tpu.io.geotiff import read_geotiff
+        H, W, RPS = 40, 56, 16
+        a = (rng.random((H, W)) * 250).astype(np.uint8)
+        strips = []
+        for r0 in range(0, H, RPS):
+            block = a[r0:r0 + RPS].astype(np.uint8)
+            diff = block.copy()
+            diff[:, 1:] = block[:, 1:] - block[:, :-1]  # wraps mod 256
+            strips.append(lzw_encode(diff.tobytes()))
+        fn = str(tmp_path / "lzw_pred2.tif")
+        open(fn, "wb").write(
+            _build_strip_tiff(a, strips, RPS, comp=5, predictor=2))
+        from PIL import Image
+        np.testing.assert_array_equal(np.asarray(Image.open(fn)), a)
+        X, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(X, a)
+
+
+class TestCompressedWrite:
+    @pytest.mark.parametrize("compress", ["lzw", "deflate"])
+    @pytest.mark.parametrize("dtype", [np.uint8, np.float32])
+    def test_roundtrip_and_pil(self, tmp_path, rng, compress, dtype):
+        from PIL import Image
+        from neilpy_tpu.io.geotiff import write_geotiff, read_geotiff
+        a = (rng.random((90, 70)) * 200).astype(dtype)
+        fn = str(tmp_path / f"w_{compress}_{np.dtype(dtype).name}.tif")
+        write_geotiff(fn, a, compress=compress)
+        X, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(X, a)
+        np.testing.assert_array_equal(np.asarray(Image.open(fn)), a)
+
+
+class TestPackBitsVectorized:
+    def test_py_fallback_matches_pil(self, tmp_path, rng):
+        from PIL import Image
+        from neilpy_tpu.io import geotiff
+        from neilpy_tpu.io import tiff_codec
+        a = np.repeat(rng.integers(0, 250, (33, 17), dtype=np.uint8),
+                      3, axis=1)[:, :50]
+        fn = str(tmp_path / "pb.tif")
+        Image.fromarray(a).save(fn, compression="packbits")
+        # force the python fallback for this read
+        orig = tiff_codec._native_call
+        tiff_codec._native_call = lambda *args: None
+        try:
+            X, _ = geotiff.read_geotiff(fn)
+        finally:
+            tiff_codec._native_call = orig
+        np.testing.assert_array_equal(X, a)
+
+    def test_py_vs_native_random_runs(self, rng):
+        from neilpy_tpu.io.tiff_codec import (
+            packbits_decode, _packbits_decode_py, codec_native_available)
+        # build a valid packbits stream: mix of literal + replicate runs
+        chunks, expect = [], []
+        for _ in range(200):
+            if rng.random() < 0.5:
+                n = int(rng.integers(1, 120))
+                lit = rng.integers(0, 256, n, dtype=np.uint8)
+                chunks.append(bytes([n - 1]) + lit.tobytes())
+                expect.append(lit.tobytes())
+            else:
+                n = int(rng.integers(2, 120))
+                v = int(rng.integers(0, 256))
+                chunks.append(bytes([257 - n, v]))
+                expect.append(bytes([v]) * n)
+        raw = b"".join(chunks)
+        want = b"".join(expect)
+        assert _packbits_decode_py(raw, len(want)) == want
+        if codec_native_available():
+            assert packbits_decode(raw, len(want)) == want
+
+
+def _build_strip_tiff(a, strips, rps, comp=1, predictor=1):
+    """Minimal little-endian strip TIFF around pre-compressed strips."""
+    import struct
+    H, W = a.shape
+
+    def entry(tid, typ, n, val):
+        return struct.pack("<HHL", tid, typ, n) + val
+
+    tags = [
+        (256, 4, 1, struct.pack("<L", W)),
+        (257, 4, 1, struct.pack("<L", H)),
+        (258, 3, 1, struct.pack("<HH", a.itemsize * 8, 0)),
+        (259, 3, 1, struct.pack("<HH", comp, 0)),
+        (262, 3, 1, struct.pack("<HH", 1, 0)),
+        (278, 4, 1, struct.pack("<L", rps)),
+    ]
+    if predictor != 1:
+        tags.append((317, 3, 1, struct.pack("<HH", predictor, 0)))
+    noff = len(strips)
+    ntags = len(tags) + 2
+    ifd_off = 8
+    ifd_size = 2 + ntags * 12 + 4
+    offsets_blob_off = ifd_off + ifd_size
+    counts_blob_off = offsets_blob_off + 4 * noff
+    data_off = counts_blob_off + 4 * noff
+    offs, pos = [], data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    tags.append((273, 4, noff, struct.pack("<L", offsets_blob_off)))
+    tags.append((279, 4, noff, struct.pack("<L", counts_blob_off)))
+    tags.sort(key=lambda t: t[0])
+    out = bytearray()
+    out += b"II" + struct.pack("<HL", 42, ifd_off)
+    out += struct.pack("<H", ntags)
+    for t in tags:
+        out += entry(*t)
+    out += struct.pack("<L", 0)
+    out += b"".join(struct.pack("<L", o) for o in offs)
+    out += b"".join(struct.pack("<L", len(s)) for s in strips)
+    assert len(out) == data_off
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def _build_tiled_tiff(a, tiles, ts, comp=1):
+    """Minimal little-endian tiled TIFF around pre-compressed tiles."""
+    import struct
+    H, W = a.shape
+
+    def entry(tid, typ, n, val):
+        return struct.pack("<HHL", tid, typ, n) + val
+
+    noff = len(tiles)
+    ntags = 9
+    ifd_off = 8
+    ifd_size = 2 + ntags * 12 + 4
+    offsets_blob_off = ifd_off + ifd_size
+    counts_blob_off = offsets_blob_off + 4 * noff
+    data_off = counts_blob_off + 4 * noff
+    offs, pos = [], data_off
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    out = bytearray()
+    out += b"II" + struct.pack("<HL", 42, ifd_off)
+    out += struct.pack("<H", ntags)
+    out += entry(256, 4, 1, struct.pack("<L", W))
+    out += entry(257, 4, 1, struct.pack("<L", H))
+    out += entry(258, 3, 1, struct.pack("<HH", a.itemsize * 8, 0))
+    out += entry(259, 3, 1, struct.pack("<HH", comp, 0))
+    out += entry(262, 3, 1, struct.pack("<HH", 1, 0))
+    out += entry(322, 4, 1, struct.pack("<L", ts))
+    out += entry(323, 4, 1, struct.pack("<L", ts))
+    out += entry(324, 4, noff, struct.pack("<L", offsets_blob_off))
+    out += entry(325, 4, noff, struct.pack("<L", counts_blob_off))
+    out += struct.pack("<L", 0)
+    out += b"".join(struct.pack("<L", o) for o in offs)
+    out += b"".join(struct.pack("<L", len(t)) for t in tiles)
+    assert len(out) == data_off
+    for t in tiles:
+        out += t
+    return bytes(out)
 
 
 def test_read_tiled_tiff(tmp_path, rng):
