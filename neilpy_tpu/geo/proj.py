@@ -134,7 +134,11 @@ def _webmercator_inverse(x, y):
 
 def _parse_epsg(code):
     code = int(code)
-    if code == 4326:
+    if code in (4326, 4269):
+        # 4269 = NAD83 geographic.  GRS80 and WGS84 ellipsoids agree to
+        # <0.1 mm in the projection series and the NAD83<->WGS84 datum
+        # shift is ~1-2 m (below neilpy's DEM-cellsize accuracy class),
+        # so NAD83 coordinates ride the same machinery.
         return ("geographic", None, None)
     if code == 3857:
         return ("webmercator", None, None)
@@ -142,9 +146,14 @@ def _parse_epsg(code):
         return ("utm", code - 32600, True)
     if 32701 <= code <= 32760:
         return ("utm", code - 32700, False)
-    raise ValueError(f"EPSG:{code} not supported by the built-in "
-                     "transform engine (WGS84 geographic, UTM, and Web "
-                     "Mercator are)")
+    if 26901 <= code <= 26923:
+        # NAD83 / UTM zones 1N-23N (US lidar's most common CRS family)
+        return ("utm", code - 26900, True)
+    raise ValueError(
+        f"EPSG:{code} not supported by the built-in transform engine. "
+        "Supported families: 4326 (WGS84 geographic), 4269 (NAD83 "
+        "geographic), 326xx/327xx (WGS84 UTM north/south), 269xx "
+        "(NAD83 UTM), 3857 (Web Mercator)")
 
 
 def coord_transform(x, y, from_epsg, to_epsg):

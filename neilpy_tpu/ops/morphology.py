@@ -94,7 +94,9 @@ def _disk_morph_padded(P, radius, reduce_fn):
 
 
 def _disk_morph(Z, radius, reduce_fn):
-    Z = jnp.asarray(Z, dtype=jnp.float32)
+    Z = jnp.asarray(Z)
+    if Z.dtype not in (jnp.float32, jnp.float64):
+        Z = Z.astype(jnp.float32)  # f64 preserved for the exact path
     return _disk_morph_padded(pad_reflect(Z, int(radius)), radius,
                               reduce_fn)
 

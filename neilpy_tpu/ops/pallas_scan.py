@@ -53,10 +53,15 @@ __all__ = ["openness_counts_pallas", "openness_counts_pallas_block",
 
 
 def _extrema_ladder(win, core, rows, cols, d, *, TH, TW, R, RR, RC, H, W,
-                    cellsize):
+                    cellsize, nan_safe=False):
     """The chunked ladder for ONE direction (shared by the counts and
     extrema kernels): returns (mx, mn) running extrema of the slope
-    ratios with the reference's edge-replication correction applied."""
+    ratios with the reference's edge-replication correction applied.
+
+    ``nan_safe=True`` is the interior-tile fast path: the caller
+    guarantees every read of the window hits real in-bounds terrain, so
+    the per-step NaN select (3 VPU passes of the 8-pass step body) and
+    the edge-replication epilogue are skipped entirely."""
     neg_inf = jnp.float32(-jnp.inf)
     pos_inf = jnp.float32(jnp.inf)
     CH = 8
@@ -70,9 +75,13 @@ def _extrema_ladder(win, core, rows, cols, d, *, TH, TW, R, RR, RC, H, W,
                     RC + dc * l:RC + dc * l + TW]
         Lf = base + jnp.float32(l)
         ratio = (src - core) * (jnp.float32(inv_w) / Lf)
-        ok = ratio == ratio
-        mx = jnp.maximum(mx, jnp.where(ok, ratio, neg_inf))
-        mn = jnp.minimum(mn, jnp.where(ok, ratio, pos_inf))
+        if nan_safe:
+            mx = jnp.maximum(mx, ratio)
+            mn = jnp.minimum(mn, ratio)
+        else:
+            ok = ratio == ratio
+            mx = jnp.maximum(mx, jnp.where(ok, ratio, neg_inf))
+            mn = jnp.minimum(mn, jnp.where(ok, ratio, pos_inf))
         return mx, mn
 
     def roll_ch(win_d):
@@ -96,17 +105,39 @@ def _extrema_ladder(win, core, rows, cols, d, *, TH, TW, R, RR, RC, H, W,
     for l in range(1, tail + 1):
         mx, mn = accum(win_d, mx, mn, jnp.float32(n_full * CH), l)
 
-    # edge-replication correction: out-of-range steps contribute 0
-    sr = rows + dr * R
-    sc = cols + dc * R
-    oob = (sr < 0) | (sr >= H) | (sc < 0) | (sc >= W)
-    mx = jnp.where(oob, jnp.maximum(mx, 0.0), mx)
-    mn = jnp.where(oob, jnp.minimum(mn, 0.0), mn)
+    if not nan_safe:
+        # edge-replication correction: out-of-range steps contribute 0
+        sr = rows + dr * R
+        sc = cols + dc * R
+        oob = (sr < 0) | (sr >= H) | (sc < 0) | (sc >= W)
+        mx = jnp.where(oob, jnp.maximum(mx, 0.0), mx)
+        mn = jnp.where(oob, jnp.minimum(mn, 0.0), mn)
     return mx, mn
 
 
+def _tile_is_safe(i, j, org_ref, *, TH, TW, R, RR, RC, H, W, ext):
+    """Scalar predicate: does tile (i, j)'s full read window stay on
+    real in-bounds terrain?  ``ext`` = (row0, rows, col0, cols) is the
+    padded array's real-data extent in padded coordinates (single
+    device: (RR, H, RC, W); shard blocks: the R-haloed local block).
+    The window must also be globally in bounds (halo data next to the
+    raster edge is NaN)."""
+    er0, enr, ec0, enc = ext
+    wr0 = i * TH
+    wr1 = wr0 + TH + 2 * RR
+    wc0 = j * TW
+    wc1 = wc0 + TW + 2 * RC
+    org0 = org_ref[0]
+    org1 = org_ref[1]
+    # global coords of window row r (padded) = org0 + r - RR
+    return ((wr0 >= er0) & (wr1 <= er0 + enr)
+            & (wc0 >= ec0) & (wc1 <= ec0 + enc)
+            & (org0 + wr0 - RR >= 0) & (org0 + wr1 - RR <= H)
+            & (org1 + wc0 - RC >= 0) & (org1 + wc1 - RC <= W))
+
+
 def _extrema_kernel(org_ref, Z_hbm, mx_ref, mn_ref, win, sem, *, TH, TW,
-                    R, RR, RC, H, W, cellsize):
+                    R, RR, RC, H, W, cellsize, ext):
     i = pl.program_id(0)
     j = pl.program_id(1)
     dma = pltpu.make_async_copy(
@@ -119,12 +150,24 @@ def _extrema_kernel(org_ref, Z_hbm, mx_ref, mn_ref, win, sem, *, TH, TW,
             + org_ref[0])
     cols = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + j * TW
             + org_ref[1])
-    for d in range(8):
-        mx, mn = _extrema_ladder(win, core, rows, cols, d, TH=TH, TW=TW,
-                                 R=R, RR=RR, RC=RC, H=H, W=W,
-                                 cellsize=cellsize)
-        mx_ref[d, :, :] = mx
-        mn_ref[d, :, :] = mn
+    safe = _tile_is_safe(i, j, org_ref, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
+                         H=H, W=W, ext=ext)
+
+    def run(nan_safe):
+        for d in range(8):
+            mx, mn = _extrema_ladder(win, core, rows, cols, d, TH=TH,
+                                     TW=TW, R=R, RR=RR, RC=RC, H=H, W=W,
+                                     cellsize=cellsize, nan_safe=nan_safe)
+            mx_ref[d, :, :] = mx
+            mn_ref[d, :, :] = mn
+
+    @pl.when(safe)
+    def _():
+        run(True)
+
+    @pl.when(jnp.logical_not(safe))
+    def _():
+        run(False)
 
 
 @partial(jax.jit, static_argnames=("lookup_pixels", "tile", "interpret",
@@ -151,7 +194,8 @@ def directional_extrema_pallas(Z, cellsize=1.0, lookup_pixels=1,
         interpret = jax.default_backend() != "tpu"
     org = jnp.zeros((2,), dtype=jnp.int32)
     kernel = partial(_extrema_kernel, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
-                     H=H, W=W, cellsize=float(cellsize))
+                     H=H, W=W, cellsize=float(cellsize),
+                     ext=(RR, H, RC, W))
     mx, mn = pl.pallas_call(
         kernel,
         grid=(Hp // TH, Wp // TW),
@@ -179,7 +223,7 @@ def directional_extrema_pallas(Z, cellsize=1.0, lookup_pixels=1,
 
 
 def _counts_kernel(org_ref, Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW,
-                   R, RR, RC, H, W, cellsize, threshold_deg):
+                   R, RR, RC, H, W, cellsize, threshold_deg, ext):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -193,7 +237,6 @@ def _counts_kernel(org_ref, Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW,
 
     core = win[RR:RR + TH, RC:RC + TW]
     neg_inf = jnp.float32(-jnp.inf)
-    pos_inf = jnp.float32(jnp.inf)
 
     # org_ref (SMEM): global (row, col) of this array's core origin —
     # (0, 0) single-device; the device block's offset under shard_map.
@@ -202,6 +245,8 @@ def _counts_kernel(org_ref, Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW,
             + org_ref[0])
     cols = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + j * TW
             + org_ref[1])
+    safe = _tile_is_safe(i, j, org_ref, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
+                         H=H, W=W, ext=ext)
 
     # Direction is the OUTER loop so only one window copy and two
     # (TH, TW) accumulators are live at a time; the chunked ladder
@@ -210,35 +255,46 @@ def _counts_kernel(org_ref, Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW,
     T = jnp.float32(math.tan(math.radians(threshold_deg)))
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
-    num_pos = jnp.zeros((TH, TW), dtype=jnp.float32)
-    num_neg = jnp.zeros((TH, TW), dtype=jnp.float32)
-    for d in range(8):
-        mx, mn = _extrema_ladder(win, core, rows, cols, d, TH=TH, TW=TW,
-                                 R=R, RR=RR, RC=RC, H=H, W=W,
-                                 cellsize=cellsize)
 
-        # The openness difference is diff = atan(a) - atan(b) with
-        # a = -mn, b = mx.  Pallas TPU has no atan primitive; compare
-        # in tangent space instead — exactly, via the identity
-        #   diff > t  <=>  (1+ab > 0) ? (a-b)/(1+ab) > tan(t) : a > b
-        # (valid for 0 <= t < pi/2; |diff| > pi/2 iff 1+ab <= 0).
-        a = -mn
-        b = mx
-        denom = 1.0 + a * b
-        u = (a - b) / denom
-        wide = denom <= 0.0
-        narrow = denom > 0.0
-        # select-of-booleans is unsupported by Mosaic ("unsupported
-        # target bitwidth for truncation"); use i1 logic instead
-        gt = (wide & (a > b)) | (narrow & (u > T))
-        lt = (wide & (a < b)) | (narrow & (u < -T))
-        seen = mx > neg_inf          # unseen -> a,b infinite -> NaN u,
-        gt = gt & seen               # but keep the mask explicit
-        lt = lt & seen
-        num_pos = num_pos + jnp.where(gt, one, zero)
-        num_neg = num_neg + jnp.where(lt, one, zero)
-    np_ref[:, :] = num_pos
-    nn_ref[:, :] = num_neg
+    def run(nan_safe):
+        num_pos = jnp.zeros((TH, TW), dtype=jnp.float32)
+        num_neg = jnp.zeros((TH, TW), dtype=jnp.float32)
+        for d in range(8):
+            mx, mn = _extrema_ladder(win, core, rows, cols, d, TH=TH,
+                                     TW=TW, R=R, RR=RR, RC=RC, H=H, W=W,
+                                     cellsize=cellsize, nan_safe=nan_safe)
+
+            # The openness difference is diff = atan(a) - atan(b) with
+            # a = -mn, b = mx.  Pallas TPU has no atan primitive;
+            # compare in tangent space instead — exactly, via
+            #   diff > t  <=>  (1+ab > 0) ? (a-b)/(1+ab) > tan(t) : a > b
+            # (valid for 0 <= t < pi/2; |diff| > pi/2 iff 1+ab <= 0).
+            a = -mn
+            b = mx
+            denom = 1.0 + a * b
+            u = (a - b) / denom
+            wide = denom <= 0.0
+            narrow = denom > 0.0
+            # select-of-booleans is unsupported by Mosaic ("unsupported
+            # target bitwidth for truncation"); use i1 logic instead
+            gt = (wide & (a > b)) | (narrow & (u > T))
+            lt = (wide & (a < b)) | (narrow & (u < -T))
+            if not nan_safe:
+                seen = mx > neg_inf  # unseen -> a,b infinite -> NaN u,
+                gt = gt & seen       # but keep the mask explicit
+                lt = lt & seen
+            num_pos = num_pos + jnp.where(gt, one, zero)
+            num_neg = num_neg + jnp.where(lt, one, zero)
+        np_ref[:, :] = num_pos
+        nn_ref[:, :] = num_neg
+
+    @pl.when(safe)
+    def _():
+        run(True)
+
+    @pl.when(jnp.logical_not(safe))
+    def _():
+        run(False)
 
 
 @partial(jax.jit, static_argnames=("lookup_pixels", "tile", "interpret",
@@ -271,24 +327,29 @@ def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
     org = jnp.zeros((2,), dtype=jnp.int32)
     num_pos, num_neg = _counts_call(Zp, org, TH, TW, R, RR, RC, H, W,
                                     float(cellsize),
-                                    float(threshold_angle), interpret)
+                                    float(threshold_angle), interpret,
+                                    ext=(RR, H, RC, W))
     return (num_pos[:H, :W].astype(jnp.uint8),
             num_neg[:H, :W].astype(jnp.uint8))
 
 
 def _counts_call(Zp, org, TH, TW, R, RR, RC, H, W, cellsize,
-                 threshold_deg, interpret, vma=None):
+                 threshold_deg, interpret, vma=None, ext=None):
     """Shared pallas_call wrapper.  ``Zp`` carries an (RR, RC) aligned
     NaN halo around its core and tile-aligned bottom/right padding;
     ``org`` is the core's global (row, col) origin as a traced (2,)
     int32 (SMEM scalar input).  ``vma`` names the shard_map mesh axes
-    the outputs vary over when called per-shard."""
+    the outputs vary over when called per-shard.  ``ext`` is the
+    real-data extent of ``Zp`` in padded coordinates (see
+    ``_tile_is_safe``)."""
     Hp = Zp.shape[0] - 2 * RR
     Wp = Zp.shape[1] - 2 * RC
     grid = (Hp // TH, Wp // TW)
+    if ext is None:
+        ext = (RR, H, RC, W)
     kernel = partial(_counts_kernel, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
                      H=H, W=W, cellsize=cellsize,
-                     threshold_deg=threshold_deg)
+                     threshold_deg=threshold_deg, ext=ext)
     if vma is None:
         out_struct = lambda: jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
     else:
@@ -352,7 +413,9 @@ def openness_counts_pallas_block(block_haloed, origin, global_shape,
     num_pos, num_neg = _counts_call(Zp, org, TH, TW, R, RR, RC, H, W,
                                     float(cellsize),
                                     float(threshold_angle), interpret,
-                                    vma=vma)
+                                    vma=vma,
+                                    ext=(RR - R, bh + 2 * R,
+                                         RC - R, bw + 2 * R))
     return (num_pos[:bh, :bw].astype(jnp.uint8),
             num_neg[:bh, :bw].astype(jnp.uint8))
 

@@ -93,7 +93,7 @@ def _thomas(a, b, c, d):
 
     zeros_like_row = jnp.zeros_like(d[0])
     (_, _), (cps, dps) = lax.scan(
-        fwd, (jnp.zeros(()), zeros_like_row), (a, b, c, d))
+        fwd, (jnp.zeros((), dtype=d.dtype), zeros_like_row), (a, b, c, d))
 
     def bwd(x_next, inputs):
         cp, dp = inputs
@@ -109,7 +109,9 @@ def spline_coefficients_2d(Z):
     """Moments for tensor-product evaluation: returns (Z, Mx, My, Mxy)
     where Mx = column-direction... Mx are moments along axis 1 (x/cols),
     My along axis 0 (rows), Mxy both."""
-    Z = jnp.asarray(Z, dtype=jnp.float32)
+    Z = jnp.asarray(Z)
+    if Z.dtype not in (jnp.float32, jnp.float64):
+        Z = Z.astype(jnp.float32)
     Mx = _notaknot_moments(Z.T).T
     My = _notaknot_moments(Z)
     Mxy = _notaknot_moments(Mx)
@@ -131,16 +133,15 @@ def spline_ev_2d(coeffs, r, c, offset=0.5):
     both axes (pixel centres -> 0.5)."""
     Z, Mx, My, Mxy = coeffs
     H, W = Z.shape
+    dt = Z.dtype
     # FITPACK bispev clamps out-of-domain query coordinates to the
     # boundary knots (constant extrapolation); replicate that.
-    r = jnp.clip(jnp.asarray(r, dtype=jnp.float32) - offset, 0.0,
-                 jnp.float32(H - 1))
-    c = jnp.clip(jnp.asarray(c, dtype=jnp.float32) - offset, 0.0,
-                 jnp.float32(W - 1))
+    r = jnp.clip(jnp.asarray(r, dtype=dt) - offset, 0.0, H - 1)
+    c = jnp.clip(jnp.asarray(c, dtype=dt) - offset, 0.0, W - 1)
     i = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, H - 2)
     j = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, W - 2)
-    tr = r - i.astype(jnp.float32)
-    tc = c - j.astype(jnp.float32)
+    tr = r - i.astype(dt)
+    tc = c - j.astype(dt)
 
     def g(A, di, dj):
         return A[i + di, j + dj]

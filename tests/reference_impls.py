@@ -97,8 +97,16 @@ def np_progressive_filter(Z, windows, cellsize=1, slope_threshold=.15):
     return is_obj
 
 
-def np_spring_inpaint(A):
-    """D'Errico method-4 spring inpainting oracle via scipy lsqr."""
+def np_spring_inpaint(A, exact=True):
+    """D'Errico method-4 spring inpainting oracle.
+
+    ``exact=True`` (default) solves the spring least-squares problem's
+    normal equations with a DIRECT sparse factorisation — the unique
+    equilibrium, converged by construction, which is what bit-match
+    assertions compare against.  ``exact=False`` reproduces the
+    reference's literal solver call (``lsqr`` at scipy defaults,
+    neilpy.py:1264), which carries O(1e-3) truncation error on large
+    NaN regions — solver noise, not a different equilibrium."""
     from scipy import sparse
     m, n = A.shape
     nanmat = np.isnan(A)
@@ -117,21 +125,48 @@ def np_spring_inpaint(A):
     data = np.hstack((np.ones(ns), -np.ones(ns)))
     S = sparse.coo_matrix((data, (i, springs.T.ravel())),
                           (ns, m * n)).tocsr()
+    Su = S[:, nan_list]
     rhs = -S[:, known_list] * A[np.unravel_index(known_list, (m, n))]
-    res = sparse.linalg.lsqr(S[:, nan_list], rhs)[0]
+    if exact:
+        res = sparse.linalg.spsolve((Su.T @ Su).tocsc(), Su.T @ rhs)
+    else:
+        res = sparse.linalg.lsqr(Su, rhs)[0]
     B = A.copy()
     B[np.unravel_index(nan_list, (m, n))] = res
     return B
 
 
+def np_ladder_margin(Zi, windows, cellsize=1, slope_threshold=.15):
+    """Per-cell minimum |(last - opened) - threshold| across the
+    opening ladder: how close each cell's object decisions sit to the
+    thresholds.  Cells at ~0 margin are f64-degenerate ties (ISPRS z
+    has 2 decimals, thresholds are 2-decimal multiples) whose boolean
+    depends on the inpaint solver's last rounding bit."""
+    import scipy.ndimage as ndi
+    from neilpy_tpu.core.codes import disk
+    last = Zi.copy()
+    margin = np.full(Zi.shape, np.inf)
+    thresholds = slope_threshold * (np.asarray(windows) * cellsize)
+    for i, w in enumerate(np.atleast_1d(windows)):
+        opened = ndi.grey_erosion(last, footprint=disk(w))
+        opened = ndi.grey_dilation(opened, footprint=disk(w))
+        margin = np.minimum(margin,
+                            np.abs((last - opened) - thresholds[i]))
+        last = opened.copy()
+    return margin
+
+
 def np_smrf(x, y, z, cellsize, windows, slope_threshold,
-            elevation_threshold, elevation_scaler, low_filter_slope=5):
+            elevation_threshold, elevation_scaler, low_filter_slope=5,
+            return_margin=False):
     """Full f64 SMRF oracle composed from the scipy building blocks
-    (pandas-style groupby binning, lsqr spring inpaint, scipy disk
-    opening ladder, FITPACK RectBivariateSpline point lift) — the
+    (pandas-style groupby binning, direct-solve spring inpaint, scipy
+    disk opening ladder, FITPACK RectBivariateSpline point lift) — the
     reference pipeline's numerical behaviour end to end
     (neilpy.py:1685-1808).  Reproduces the published samp12 total
-    error of 3.091% exactly."""
+    error of 3.091% exactly.  ``return_margin=True`` additionally
+    returns the per-cell ladder decision margin (see
+    ``np_ladder_margin``)."""
     from scipy.interpolate import RectBivariateSpline
     from neilpy_tpu.ops.pointgrid import bin_points
 
@@ -147,6 +182,10 @@ def np_smrf(x, y, z, cellsize, windows, slope_threshold,
     low = np_progressive_filter(-Zmin, [1], cellsize, low_filter_slope)
     obj = np_progressive_filter(Zmin, windows, cellsize, slope_threshold)
     obj = obj | empty | low
+    if return_margin:
+        margin = np.minimum(
+            np_ladder_margin(Zmin, windows, cellsize, slope_threshold),
+            np_ladder_margin(-Zmin, [1], cellsize, low_filter_slope))
     Zpro = Zmin.copy()
     Zpro[obj] = np.nan
     Zpro = np_spring_inpaint(Zpro)
@@ -157,4 +196,6 @@ def np_smrf(x, y, z, cellsize, windows, slope_threshold,
     sv = RectBivariateSpline(np.arange(ny) + .5, np.arange(nx) + .5,
                              np.sqrt(gy ** 2 + gx ** 2)).ev(r, c)
     req = elevation_threshold + elevation_scaler * sv
+    if return_margin:
+        return np.abs(ev - z64) > req, obj, margin
     return np.abs(ev - z64) > req, obj

@@ -121,6 +121,48 @@ class TestInpaint:
         out = np.asarray(inpaint_nans_by_springs(A))
         np.testing.assert_allclose(out, 7.0, atol=1e-5)
 
+    def test_springs_return_info_and_convergence(self, rng):
+        A = rng.normal(size=(40, 50)).cumsum(axis=0)
+        A[10:20, 10:25] = np.nan
+        out, info = inpaint_nans_by_springs(A, return_info=True)
+        assert info["converged"] and 0 < info["iterations"] < info["maxiter"]
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_springs_maxiter_warns(self, rng):
+        import warnings as w
+        A = rng.normal(size=(40, 50)).cumsum(axis=0)
+        A[5:35, 5:45] = np.nan
+        with w.catch_warnings(record=True) as rec:
+            w.simplefilter("always")
+            _, info = inpaint_nans_by_springs(A, maxiter=3,
+                                              return_info=True)
+        assert not info["converged"]
+        assert any("maxiter" in str(r.message) for r in rec)
+
+    def test_springs_multiscale_same_equilibrium(self, rng):
+        """The coarse-to-fine warm start must converge to the same
+        equilibrium as the flat start (it only changes x0)."""
+        A = rng.normal(size=(96, 128)).cumsum(axis=0).cumsum(axis=1)
+        A[20:60, 30:90] = np.nan
+        a = np.asarray(inpaint_nans_by_springs(A, multiscale=True,
+                                               tol=1e-7))
+        b = np.asarray(inpaint_nans_by_springs(A, multiscale=False,
+                                               tol=1e-7, maxiter=20000))
+        ref = np_spring_inpaint(A.astype(np.float64))
+        assert np.abs(a - ref).max() < 5e-3
+        assert np.abs(a - b).max() < 1e-2
+
+    def test_springs_multiscale_fewer_iterations(self, rng):
+        """On a large contiguous NaN region the pyramid start must cut
+        the CG iteration count substantially."""
+        A = rng.normal(size=(256, 256)).cumsum(axis=0)
+        A[40:200, 40:200] = np.nan
+        _, flat = inpaint_nans_by_springs(A, multiscale=False,
+                                          maxiter=50000, return_info=True)
+        _, pyr = inpaint_nans_by_springs(A, multiscale=True,
+                                         maxiter=50000, return_info=True)
+        assert pyr["iterations"] < flat["iterations"] / 2
+
     def test_fda_smooth(self, rng):
         # fda reproduces a smooth (harmonic-ish) surface closely
         yy, xx = np.mgrid[0:30, 0:30]

@@ -197,6 +197,19 @@ class TestGeo:
         x, y = nt.coord_transform(173.0, -41.0, 4326, 32759)
         assert y > 5e6  # false northing applied
 
+    def test_nad83_utm_matches_wgs84_zone(self):
+        # NAD83/UTM 18N (26918) rides the same series as WGS84 zone 18
+        # (datum shift below neilpy's accuracy class)
+        x, y = nt.coord_transform(-74.0, 40.7, 4269, 26918)
+        xw, yw = nt.coord_transform(-74.0, 40.7, 4326, 32618)
+        np.testing.assert_allclose((x, y), (xw, yw), atol=1e-6)
+        lon, lat = nt.coord_transform(x, y, 26918, 4269)
+        np.testing.assert_allclose((lon, lat), (-74.0, 40.7), atol=1e-9)
+
+    def test_unsupported_epsg_lists_families(self):
+        with pytest.raises(ValueError, match="NAD83"):
+            nt.coord_transform(0.0, 0.0, 4326, 2263)  # NY state plane
+
     def test_great_circle(self):
         d = nt.great_circle_distance(0.0, 0.0, 0.0, 90.0)
         assert np.isclose(d, np.pi / 2 * 6372795, rtol=1e-6)
