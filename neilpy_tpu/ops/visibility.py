@@ -34,7 +34,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.shift import OFFSETS, STEP_LENGTH, shift_valid_mask
+from ..core.shift import OFFSETS, STEP_LENGTH
 from ..core.codes import (progressive_window, lowest_equivalent_table,
                           jasiewicz_stepinski_table)
 
@@ -183,39 +183,39 @@ def openness(Z, cellsize=1, lookup_pixels=1, neighbors=None, skyview=False,
     return jnp.rad2deg(jnp.mean(ang, axis=0))
 
 
-def skyview_factor(Z, cellsize=1, lookup_pixels=1):
+def skyview_factor(Z, cellsize=1, lookup_pixels=1, engine="auto"):
     """Skyview factor: 1 - mean(sin(max positive horizon angle))
     (neilpy.py:1360-1384).
 
-    The reference accumulates single-pixel ``ashift``s, so its boundary
-    behaviour is edge-propagating (the border value ripples inward) and
-    its diagonal distances use L * cellsize * sqrt(2) even though the
-    accumulated shift saturates at the border; both replicated here via
-    the same shift-with-fallback recurrence inside a scan.
+    Reformulated onto the directional ratio-extrema kernel: the
+    reference accumulates single-pixel ``ashift``s, so once a ray exits
+    the raster the shifted value FREEZES at the ray's exit elevation
+    while the distance keeps growing — every post-exit contribution
+    ``(Z[exit] - Z[p]) / (w L)`` is therefore dominated either by the
+    exit step itself (positive differences shrink with L) or by the 0
+    floor (the reference initialises max_angles at 0).  Hence exactly
+
+        SVF = 1 - mean_d sin(atan(max(mx_d, 0)))
+
+    with ``mx_d`` the valid-step ratio maximum — the quantity the
+    openness ladder already computes — and ``sin(atan(t)) =
+    t/sqrt(1+t^2)``.  ``engine='pallas'`` (auto on TPU) runs the blocked
+    VMEM ladder; 'xla' the roll scan.  Both reproduce the reference
+    loop's boundary quirk bit-for-bit at the max level (atan is
+    monotone, so maxing ratios == maxing angles).
     """
     Z = jnp.asarray(Z, dtype=jnp.float32)
-    H, W = Z.shape
-    total = jnp.zeros_like(Z)
-    for direction in range(8):
-        w = STEP_LENGTH[direction]
-        mask1 = shift_valid_mask((H, W), direction, 1)
-        dr, dc = OFFSETS[direction]
-
-        def body(carry, L):
-            z_shift, max_ang = carry
-            rz = jnp.roll(z_shift, (-dr, -dc), axis=(0, 1))
-            z_shift = jnp.where(mask1, rz, z_shift)
-            dist = cellsize * L.astype(jnp.float32) * w
-            ang = jnp.clip(jnp.arctan((z_shift - Z) / dist), 0.0, jnp.inf)
-            # nanmax semantics: NaN loses to any number
-            max_ang = jnp.where(jnp.isnan(ang), max_ang,
-                                jnp.maximum(max_ang, ang))
-            return (z_shift, max_ang), None
-
-        Ls = jnp.arange(1, lookup_pixels + 1, dtype=jnp.int32)
-        (_, max_angles), _ = lax.scan(body, (Z, jnp.zeros_like(Z)), Ls)
-        total = total + jnp.sin(max_angles)
-    return 1.0 - total / 8.0
+    if engine == "auto":
+        engine = ("pallas" if jax.default_backend() == "tpu" else "xla")
+    if engine == "pallas":
+        from .pallas_scan import directional_extrema_pallas
+        mx, _ = directional_extrema_pallas(
+            Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels))
+    else:
+        mx, _, _ = directional_ratio_extrema(
+            Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels))
+    t = jnp.maximum(mx, 0.0)  # also absorbs unseen rays (mx = -inf)
+    return 1.0 - jnp.mean(t / jnp.sqrt(1.0 + t * t), axis=0)
 
 
 def count_openness(Z, cellsize, lookup_pixels, threshold_angle, fast=False,

@@ -32,6 +32,25 @@ def np_ashift(surface, direction, n=1):
     return s
 
 
+def np_skyview_factor(Z, cellsize=1, lookup_pixels=1):
+    """Literal replication of the reference's skyview loop
+    (neilpy.py:1360-1384): INCREMENTAL single-pixel ashift accumulation
+    (the shifted value freezes at the ray's exit elevation while the
+    distance keeps growing) + nanmax + clip at 0."""
+    sum_matrix = np.zeros_like(Z, dtype=np.float64)
+    dlist = np.array([np.sqrt(2), 1.0])
+    for direction in range(8):
+        max_angles = np.zeros_like(Z, dtype=np.float64)
+        z_shift = Z.copy().astype(np.float64)
+        for L in range(1, lookup_pixels + 1):
+            dist = cellsize * L * dlist[direction % 2]
+            z_shift = np_ashift(z_shift, direction, 1)
+            these = np.clip(np.arctan((z_shift - Z) / dist), 0, np.inf)
+            max_angles = np.nanmax(np.stack((max_angles, these)), axis=0)
+        sum_matrix += np.sin(max_angles)
+    return 1 - sum_matrix / 8
+
+
 def np_openness(Z, cellsize=1, lookup_pixels=1, neighbors=range(8)):
     nb = list(neighbors)
     nr, nc = Z.shape
@@ -48,15 +67,83 @@ def np_openness(Z, cellsize=1, lookup_pixels=1, neighbors=range(8)):
     return np.rad2deg(np.mean(opn, 0))
 
 
-def np_count_openness(Z, cellsize, lookup_pixels, threshold_angle):
+def np_count_openness(Z, cellsize, lookup_pixels, threshold_angle,
+                      fast=False, how_fast=20, return_margin=False):
     num_pos = np.zeros(Z.shape, dtype=np.uint8)
     num_neg = np.zeros(Z.shape, dtype=np.uint8)
+    margin = np.full(Z.shape, np.inf)
+    ladder = (np_progressive_window(lookup_pixels, how_fast) if fast
+              else range(1, lookup_pixels + 1))
     for i in range(8):
-        O = np_openness(Z, cellsize, lookup_pixels, neighbors=[i])
-        O = O - np_openness(-Z, cellsize, lookup_pixels, neighbors=[i])
+        O = _np_openness_ladder(Z, cellsize, ladder, i)
+        O = O - _np_openness_ladder(-Z, cellsize, ladder, i)
         num_pos[O > threshold_angle] += 1
         num_neg[O < -threshold_angle] += 1
+        margin = np.minimum(margin, np.minimum(
+            np.abs(O - threshold_angle), np.abs(O + threshold_angle)))
+    if return_margin:
+        return num_pos, num_neg, margin
     return num_pos, num_neg
+
+
+def _np_openness_ladder(Z, cellsize, ladder, d):
+    """Single-direction openness over an explicit L ladder (degrees)."""
+    dlist = np.array([np.sqrt(2), 1])
+    opn = np.full(Z.shape, np.inf)
+    for L in ladder:
+        dist = cellsize * L * dlist[d % 2]
+        ang = (np.pi / 2) - np.arctan((np_ashift(Z, d, int(L)) - Z) / dist)
+        opn = np.minimum(opn, ang)
+    return np.rad2deg(opn)
+
+
+def np_progressive_window(lookup, how_fast=20):
+    """The reference's percent-growth L ladder (neilpy.py:1314-1321,
+    called as progressive_window(1, lookup_pixels, how_fast))."""
+    out, last = [1], 1
+    while last < lookup:
+        last = int(np.ceil(last * (100 + how_fast) / 100))
+        if last <= lookup:
+            out.append(last)
+    return out
+
+
+def np_geomorphons(Z, cellsize=1, lookup_pixels=1, threshold_angle=1,
+                   enhance=False, fast=False, how_fast=20,
+                   return_margin=False):
+    """f64 geomorphon oracle with the J&S table, the reference's
+    'enhance' correction pass (neilpy.py:1640-1649), and the 'fast'
+    progressive ladder.  ``return_margin=True`` also returns the
+    per-pixel minimum |openness-difference - (+/-)threshold| across
+    directions (and across both enhance scales): pixels at ~0 margin
+    are the only ones whose class may flip under f32 arithmetic."""
+    lut = np.zeros((9, 9), dtype=np.uint8)
+    lut[0, :] = [1, 1, 1, 8, 8, 9, 9, 9, 10]
+    lut[1, :8] = [1, 1, 8, 8, 8, 9, 9, 9]
+    lut[2, :7] = [1, 4, 6, 6, 7, 7, 9]
+    lut[3, :6] = [4, 4, 6, 6, 6, 7]
+    lut[4, :5] = [4, 4, 5, 6, 6]
+    lut[5, :4] = [3, 3, 5, 5]
+    lut[6, :3] = [3, 3, 3]
+    lut[7, :2] = [3, 3]
+    lut[8, :1] = [2]
+    npn, nng, margin = np_count_openness(
+        Z, cellsize, lookup_pixels, threshold_angle, fast, how_fast,
+        return_margin=True)
+    G = lut[npn.ravel(), nng.ravel()].reshape(Z.shape)
+    if enhance and lookup_pixels > 16:
+        lk = max(int(np.floor(lookup_pixels / 4)), 4)
+        ns, gs_n, margin_sm = np_count_openness(
+            Z, cellsize, lk, threshold_angle, return_margin=True)
+        Gs = lut[ns.ravel(), gs_n.ravel()].reshape(Z.shape)
+        G = G.copy()
+        G[(G == 4) & (Gs == 1)] = 1
+        G[(G == 8) & (Gs == 1)] = 1
+        G[(G == 2) | (G == 3)] = Gs[(G == 2) | (G == 3)]
+        margin = np.minimum(margin, margin_sm)
+    if return_margin:
+        return G, margin
+    return G
 
 
 def np_gradient_slope(Z, cellsize=1, z_factor=1, return_as="degrees"):

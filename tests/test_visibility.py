@@ -104,6 +104,39 @@ def test_ternary_pattern_oracles():
                                                     lowest=True))[1, 1] == 160
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("lookup,enhance,fast", [
+    (25, False, False), (25, False, True), (50, True, False),
+])
+def test_geomorphons_fullscale_golden_agreement(lookup, enhance, fast):
+    """Full-scale validation at the golden raster's dimensions
+    (sample_dem_geomorphons.tif is 1540x847; the DEM itself is absent
+    from the mount, so a synthetic DEM with the aux.xml's value range
+    stands in — VERDICT r1 item 5a).  Classes must equal the f64 numpy
+    oracle everywhere except pixels whose openness difference sits
+    within 2e-3 deg of the +/-threshold — the f32 noise floor of a
+    mean-of-atans quantity spanning ~90 deg (eps32 * 90 deg * ladder
+    accumulation), i.e. genuine decision ties."""
+    from .reference_impls import np_geomorphons
+    rng = np.random.default_rng(7)
+    H, W = 847, 1540
+    base = rng.normal(size=(H, W)).cumsum(axis=0).cumsum(axis=1)
+    base = (base - base.min()) / (base.max() - base.min())
+    Z64 = 243.43 + base * (1899.94 - 243.43)   # aux.xml min/max
+    ref, margin = np_geomorphons(Z64, cellsize=10, lookup_pixels=lookup,
+                                 threshold_angle=1, enhance=enhance,
+                                 fast=fast, return_margin=True)
+    ours = np.asarray(geomorphons(Z64.astype(np.float32), cellsize=10,
+                                  lookup_pixels=lookup, threshold_angle=1,
+                                  enhance=enhance, fast=fast))
+    diff = ours != ref
+    agree = 1 - diff.mean()
+    assert agree > 0.9995, f"agreement {agree}"
+    if diff.any():
+        assert margin[diff].max() < 2e-3, (
+            f"non-tie disagreement: margins {np.sort(margin[diff])[-5:]}")
+
+
 def test_skyview_factor_range(terrain):
     svf = np.asarray(skyview_factor(terrain, lookup_pixels=5))
     assert svf.shape == terrain.shape
@@ -112,6 +145,30 @@ def test_skyview_factor_range(terrain):
     flat = np.zeros((10, 12))
     np.testing.assert_allclose(np.asarray(skyview_factor(flat, lookup_pixels=4)),
                                1.0, atol=1e-6)
+
+
+def test_skyview_matches_reference_loop(rng):
+    """The extrema reformulation reproduces the reference's incremental
+    -shift loop INCLUDING its frozen-exit-value boundary quirk (post-
+    exit contributions are provably dominated by the exit step / the 0
+    floor, so maxing ratios == maxing angles)."""
+    from .reference_impls import np_skyview_factor
+    Z = rng.normal(size=(40, 50)).cumsum(axis=0).astype(np.float32)
+    for R in (1, 3, 13, 60):
+        ours = np.asarray(skyview_factor(Z, cellsize=2.0, lookup_pixels=R,
+                                         engine="xla"))
+        ref = np_skyview_factor(Z.astype(np.float64), cellsize=2.0,
+                                lookup_pixels=R)
+        np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+def test_skyview_pallas_interpret_matches_xla(rng):
+    Z = rng.normal(size=(48, 56)).cumsum(axis=0).astype(np.float32)
+    a = np.asarray(skyview_factor(Z, cellsize=2.0, lookup_pixels=9,
+                                  engine="xla"))
+    b = np.asarray(skyview_factor(Z, cellsize=2.0, lookup_pixels=9,
+                                  engine="pallas"))
+    np.testing.assert_allclose(a, b, atol=1e-6)
 
 
 def test_geomorphons2_equals_lut_pipeline(rng):
