@@ -208,6 +208,55 @@ def bench_gridding():
     return max(out.values()) if out else None
 
 
+def bench_inpaint():
+    """springs inpaint at mosaic scale: 4096^2, 30% contiguous NaN
+    (VERDICT r1 item 6).  Logs iterations + convergence + throughput."""
+    import jax
+    import jax.numpy as jnp
+    from neilpy_tpu.ops.inpaint import inpaint_nans_by_springs
+
+    H = W = 4096
+    rng = np.random.default_rng(2)
+    Z = rng.normal(size=(H, W)).astype(np.float32)
+    Z = np.cumsum(Z, axis=0) + np.cumsum(Z, axis=1)
+    Z[900:3200, 800:3000] = np.nan          # 30.2% contiguous hole
+    Zd = jax.device_put(jnp.asarray(Z))
+    out, info = inpaint_nans_by_springs(Zd, return_info=True)
+    np.asarray(out.ravel()[:1])             # warm + correctness sync
+    t0 = time.time()
+    out, info = inpaint_nans_by_springs(Zd, return_info=True)
+    np.asarray(out.ravel()[:1])
+    dt = time.time() - t0
+    log(f"inpaint springs 4096^2 / 30% contiguous NaN: "
+        f"{info['iterations']} CG iterations, converged="
+        f"{info['converged']}, {dt:.1f}s = {H*W/dt/1e6:.0f} Mpix/s")
+    return info
+
+
+def bench_sharded_overhead():
+    """sharded_geomorphons on a 1x1 mesh vs the direct kernel (VERDICT
+    r1 item 9): measures the per-shard overhead the README's xN
+    projection rests on."""
+    import jax
+    import jax.numpy as jnp
+    from neilpy_tpu.ops.visibility import geomorphons
+    from neilpy_tpu.dist import make_mesh, sharded_geomorphons
+
+    mesh = make_mesh(shape=(1, 1))
+    Zd = jax.device_put(jnp.asarray(_bench_input()))
+    kw = dict(cellsize=10, lookup_pixels=BENCH_LOOKUP, threshold_angle=1)
+    a = np.asarray(geomorphons(Zd, engine="xla", **kw))
+    b = np.asarray(sharded_geomorphons(Zd, mesh=mesh, engine="xla", **kw))
+    agree = float(np.mean(a == b))
+    dt_direct = _timeit(lambda: geomorphons(Zd, engine="xla", **kw), k=6)
+    dt_shard = _timeit(lambda: sharded_geomorphons(Zd, mesh=mesh,
+                                                   engine="xla", **kw), k=6)
+    log(f"sharded 1x1 mesh overhead: direct {dt_direct*1e3:.1f} ms vs "
+        f"sharded {dt_shard*1e3:.1f} ms "
+        f"({100*(dt_shard/dt_direct-1):+.1f}%), agreement {agree}")
+    return dt_shard / dt_direct - 1
+
+
 def bench_smrf():
     import pandas as pd
     from neilpy_tpu.pipelines.smrf import smrf
@@ -238,6 +287,14 @@ def main():
         bench_smrf()
     except Exception as e:
         log("smrf bench failed:", e)
+    try:
+        bench_inpaint()
+    except Exception as e:
+        log("inpaint bench failed:", e)
+    try:
+        bench_sharded_overhead()
+    except Exception as e:
+        log("sharded-overhead bench failed:", e)
     print(json.dumps({
         "metric": "geomorphons_throughput_lookup50",
         "value": round(mpix_s, 1),
