@@ -481,14 +481,28 @@ def imread(fn, return_metadata=True, fix_nodata=False, force_float=False):
 
 
 def imwrite(fn, im, metadata=None, colormap=None, overwrite_metadata=True):
-    """GeoTIFF / image write (parity: neilpy.py:165-190)."""
+    """GeoTIFF / image write (parity: neilpy.py:165-190).
+
+    Non-TIFF extensions take the reference's plain-image fallback
+    (imageio there, PIL here): georeferencing is NOT embedded — a
+    warning says so when metadata was supplied, mirroring the
+    reference's print at neilpy.py:189."""
     im = np.asarray(im)
-    if metadata is None and str(fn).lower().endswith((".tif", ".tiff")):
-        write_geotiff(fn, im, colormap=colormap)
+    if not str(fn).lower().endswith((".tif", ".tiff")):
+        if metadata is not None:
+            import warnings
+            warnings.warn("Writing image only; metadata will not be "
+                          "written. Use a .tif extension (or "
+                          "write_worldfile) to keep georeferencing.")
+        if colormap is not None and im.ndim == 2 and im.dtype == np.uint8:
+            from .png import write_paletted_png
+            write_paletted_png(fn, im, colormap)
+            return
+        from PIL import Image
+        Image.fromarray(im).save(fn)
         return
     if metadata is None:
-        import imageio
-        imageio.imwrite(fn, im)
+        write_geotiff(fn, im, colormap=colormap)
         return
     write_geotiff(fn, im, transform=metadata.get("transform"),
                   crs=metadata.get("crs"), nodata=metadata.get("nodata"),

@@ -27,29 +27,37 @@ margin < 6e-6 deg of the 1-deg threshold (the tangent-space vs
 atan-space rounding flips only true ties; both classes are defensible
 there).
 
-Measured on v5e (2048x4096, lookup=50, in-one-program timing): 23.5 ms
-= 357 Mpix/s at the default (256, 1024) tile with the interior fast
-path, ~1800x the reference CPU throughput; Mosaic compile ~60 s
-(persistent-cached).
+Measured on v5e (2048x4096, lookup=50, in-one-program timing): 23.1 ms
+= 363 Mpix/s at the default (256, 1024) tile, ~1800x the reference CPU
+throughput; Mosaic compile ~60 s (persistent-cached).
+
+Safety specialization: interior tiles whose full read window is real
+in-bounds terrain AND whose window is free of interior NaN (a per-tile
+NaN grid computed outside the kernel — nodata holes are common in real
+DEMs and the geometric test alone cannot see them) run one
+straight-line maskless body; boundary tiles take a per-direction
+``lax.cond``, so only the directions whose rays point off the raster
+pay the 3-extra-pass masked ladder.
 
 Roofline analysis (measured r2 on v5e; see VERDICT r1 item 3)
 -------------------------------------------------------------
 The exact ladder's inner step is irreducibly 5 VPU passes over the
 tile: shifted-slice read, subtract, scale, running-max, running-min
 (the 1/L weight varies per step, so neither van-Herk sharing nor
-prefix-scan composition applies to the exact J&S formulation).  A
-NaN-free variant of the full 8-direction kernel measures 18.4 ms for
-2048x4096 at R=50 — within ~5% of the 5-pass VPU roofline
-(50 steps x 8 dirs x 5 passes at the VPU's measured throughput) — so
-the single-chip exact-geomorphon ceiling on v5e is ~456 Mpix/s, below
-the 500 Mpix/s stretch target; production lands at 357 Mpix/s because
-tiles whose read window overlaps the NaN frame (62% of this raster's
-area at (256,1024) tiling) pay 3 extra passes/step for NaN masking.
-Sweeps confirmed the operating point: tiles (512,1024)/(256,2048)/
-(128,1024) and chunk sizes 16/25 are all equal or worse than
-(256,1024)xCH=8.  Throughput above the roofline needs either more
-chips (dist/halo.py shards this kernel bit-exactly) or the documented
-``fast`` progressive ladder (O(log R) steps).
+prefix-scan composition applies to the exact J&S formulation).
+Measured decomposition at R=50, (256,1024) tiles: all-directions-safe
+straight-line body ~21 ms-rate, fully masked ladder 28.4 ms-rate; the
+production mix lands at 23.1 ms.  A stripped NaN-free probe reached
+18.4 ms (~456 Mpix/s) — the approximate VPU floor — but the ~2.5 ms
+gap to the safe production body (boundary-correction epilogues,
+per-tile predicate plumbing, scf.if scheduling) resisted further
+squeezing: safety-specialization restructures (per-tile, per-direction,
+hybrid) all land within 0.4 ms of each other.  Sweeps confirmed the
+operating point: tiles (512,1024)/(256,2048)/(128,1024) and chunk
+sizes 16/25 are all equal or worse than (256,1024)xCH=8.  Throughput
+well above this needs either more chips (dist/halo.py shards this
+kernel bit-exactly) or the documented ``fast`` progressive ladder
+(O(log R) steps).
 """
 
 from __future__ import annotations
@@ -139,18 +147,24 @@ def _extrema_ladder(win, core, rows, cols, d, *, TH, TW, R, RR, RC, H, W,
     return mx, mn
 
 
-def _tile_is_safe(i, j, org_ref, *, TH, TW, R, RR, RC, H, W, ext):
-    """Scalar predicate: does tile (i, j)'s full read window stay on
-    real in-bounds terrain?  ``ext`` = (row0, rows, col0, cols) is the
-    padded array's real-data extent in padded coordinates (single
-    device: (RR, H, RC, W); shard blocks: the R-haloed local block).
-    The window must also be globally in bounds (halo data next to the
-    raster edge is NaN)."""
+def _dir_is_safe(i, j, d, org_ref, *, TH, TW, R, RR, RC, H, W, ext):
+    """Scalar predicate: do tile (i, j)'s reads FOR DIRECTION ``d``
+    (core plus the d*1..d*R shifted slices) stay on real in-bounds
+    terrain?  Per-direction because an edge tile is only unsafe for
+    the ~3 directions whose rays point off the raster — the other
+    directions still take the maskless fast ladder.  ``ext`` =
+    (row0, rows, col0, cols) is the padded array's real-data extent in
+    padded coordinates (single device: (RR, H, RC, W); shard blocks:
+    the R-haloed local block).  The reads must also be globally in
+    bounds (halo data next to the raster edge is NaN)."""
     er0, enr, ec0, enc = ext
-    wr0 = i * TH
-    wr1 = wr0 + TH + 2 * RR
-    wc0 = j * TW
-    wc1 = wc0 + TW + 2 * RC
+    dr, dc = OFFSETS[d]
+    r_lo, r_hi = min(0, dr * R), max(0, dr * R)
+    c_lo, c_hi = min(0, dc * R), max(0, dc * R)
+    wr0 = i * TH + RR + r_lo
+    wr1 = i * TH + RR + r_hi + TH
+    wc0 = j * TW + RC + c_lo
+    wc1 = j * TW + RC + c_hi + TW
     org0 = org_ref[0]
     org1 = org_ref[1]
     # global coords of window row r (padded) = org0 + r - RR
@@ -160,8 +174,42 @@ def _tile_is_safe(i, j, org_ref, *, TH, TW, R, RR, RC, H, W, ext):
             & (org1 + wc0 - RC >= 0) & (org1 + wc1 - RC <= W))
 
 
-def _extrema_kernel(org_ref, Z_hbm, mx_ref, mn_ref, win, sem, *, TH, TW,
-                    R, RR, RC, H, W, cellsize, ext):
+def _tile_nan_grid(Zp, TH, TW, RR, RC, ext):
+    """(grid_h, grid_w) int32 plane: 1 iff tile (i, j)'s full read
+    window contains an INTERIOR NaN — a nodata hole inside the
+    real-data extent.  The NaN padding frame is excluded (geometry
+    handles it); without this flag the maskless fast ladder would read
+    holes as terrain and misclassify every pixel whose ray crosses one
+    (caught by tests/test_pallas.py::test_nan_hole_in_safe_tile)."""
+    er0, enr, ec0, enc = ext
+    Hq, Wq = Zp.shape
+    rows = lax.broadcasted_iota(jnp.int32, (Hq, Wq), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (Hq, Wq), 1)
+    interior = ((rows >= er0) & (rows < er0 + enr)
+                & (cols >= ec0) & (cols < ec0 + enc))
+    m = (jnp.isnan(Zp) & interior).astype(jnp.int32)
+    # Two-stage: a single (TH+2RR, TW+2RC) reduce_window blows XLA's
+    # scoped-vmem stack on TPU; instead block-max over (TH, TW) blocks
+    # of the whole padded array (a reshape reduction), then max the
+    # blocks each window touches — conservative at block granularity,
+    # which only ever sends extra tiles down the masked path.
+    gh = (Hq - 2 * RR) // TH
+    gw = (Wq - 2 * RC) // TW
+    nbh = -(-Hq // TH)
+    nbw = -(-Wq // TW)
+    mp = jnp.pad(m, ((0, nbh * TH - Hq), (0, nbw * TW - Wq)))
+    coarse = mp.reshape(nbh, TH, nbw, TW).max(axis=(1, 3))
+    # tile (i, j)'s window [i*TH, i*TH + TH + 2*RR) touches blocks
+    # i .. i + ceil(2*RR/TH) (and likewise for columns)
+    nr = 1 + -(-2 * RR // TH)
+    nc = 1 + -(-2 * RC // TW)
+    windows = [coarse[dr:dr + gh, dc:dc + gw]
+               for dr in range(nr) for dc in range(nc)]
+    return jnp.stack(windows).max(axis=0)
+
+
+def _extrema_kernel(org_ref, nan_ref, Z_hbm, mx_ref, mn_ref, win, sem,
+                    *, TH, TW, R, RR, RC, H, W, cellsize, ext):
     i = pl.program_id(0)
     j = pl.program_id(1)
     dma = pltpu.make_async_copy(
@@ -174,24 +222,39 @@ def _extrema_kernel(org_ref, Z_hbm, mx_ref, mn_ref, win, sem, *, TH, TW,
             + org_ref[0])
     cols = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + j * TW
             + org_ref[1])
-    safe = _tile_is_safe(i, j, org_ref, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
-                         H=H, W=W, ext=ext)
+    no_nan = nan_ref[i, j] == 0
+    dir_safe = [no_nan & _dir_is_safe(i, j, d, org_ref, TH=TH, TW=TW,
+                                      R=R, RR=RR, RC=RC, H=H, W=W,
+                                      ext=ext)
+                for d in range(8)]
+    all_safe = dir_safe[0]
+    for d in range(1, 8):
+        all_safe = all_safe & dir_safe[d]
 
-    def run(nan_safe):
+    def ladder(d, nan_safe):
+        return _extrema_ladder(win, core, rows, cols, d, TH=TH, TW=TW,
+                               R=R, RR=RR, RC=RC, H=H, W=W,
+                               cellsize=cellsize, nan_safe=nan_safe)
+
+    # Interior tiles (the bulk of a big raster): one straight-line
+    # maskless body — measured ~15% faster than routing them through
+    # the per-direction conds (scf.if regions defeat cross-direction
+    # scheduling).  Boundary tiles: per-direction cond, so only the
+    # ~3 directions pointing off the raster pay the masked ladder.
+    @pl.when(all_safe)
+    def _():
         for d in range(8):
-            mx, mn = _extrema_ladder(win, core, rows, cols, d, TH=TH,
-                                     TW=TW, R=R, RR=RR, RC=RC, H=H, W=W,
-                                     cellsize=cellsize, nan_safe=nan_safe)
+            mx, mn = ladder(d, True)
             mx_ref[d, :, :] = mx
             mn_ref[d, :, :] = mn
 
-    @pl.when(safe)
+    @pl.when(jnp.logical_not(all_safe))
     def _():
-        run(True)
-
-    @pl.when(jnp.logical_not(safe))
-    def _():
-        run(False)
+        for d in range(8):
+            mx, mn = lax.cond(dir_safe[d], partial(ladder, d, True),
+                              partial(ladder, d, False))
+            mx_ref[d, :, :] = mx
+            mn_ref[d, :, :] = mn
 
 
 @partial(jax.jit, static_argnames=("lookup_pixels", "tile", "interpret",
@@ -217,13 +280,15 @@ def directional_extrema_pallas(Z, cellsize=1.0, lookup_pixels=1,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     org = jnp.zeros((2,), dtype=jnp.int32)
+    ext = (RR, H, RC, W)
+    nan_grid = _tile_nan_grid(Zp, TH, TW, RR, RC, ext)
     kernel = partial(_extrema_kernel, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
-                     H=H, W=W, cellsize=float(cellsize),
-                     ext=(RR, H, RC, W))
+                     H=H, W=W, cellsize=float(cellsize), ext=ext)
     mx, mn = pl.pallas_call(
         kernel,
         grid=(Hp // TH, Wp // TW),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((8, TH, TW), lambda i, j: (0, i, j),
@@ -242,12 +307,13 @@ def directional_extrema_pallas(Z, cellsize=1.0, lookup_pixels=1,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(org, Zp)
+    )(org, nan_grid, Zp)
     return mx[:, :H, :W], mn[:, :H, :W]
 
 
-def _counts_kernel(org_ref, Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW,
-                   R, RR, RC, H, W, cellsize, threshold_deg, ext):
+def _counts_kernel(org_ref, nan_ref, Z_hbm, np_ref, nn_ref, win, sem,
+                   *, TH, TW, R, RR, RC, H, W, cellsize, threshold_deg,
+                   ext):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -269,8 +335,7 @@ def _counts_kernel(org_ref, Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW,
             + org_ref[0])
     cols = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + j * TW
             + org_ref[1])
-    safe = _tile_is_safe(i, j, org_ref, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
-                         H=H, W=W, ext=ext)
+    no_nan = nan_ref[i, j] == 0
 
     # Direction is the OUTER loop so only one window copy and two
     # (TH, TW) accumulators are live at a time; the chunked ladder
@@ -280,45 +345,68 @@ def _counts_kernel(org_ref, Z_hbm, np_ref, nn_ref, win, sem, *, TH, TW,
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
 
-    def run(nan_safe):
+    dir_safe = [no_nan & _dir_is_safe(i, j, d, org_ref, TH=TH, TW=TW,
+                                      R=R, RR=RR, RC=RC, H=H, W=W,
+                                      ext=ext)
+                for d in range(8)]
+    all_safe = dir_safe[0]
+    for d in range(1, 8):
+        all_safe = all_safe & dir_safe[d]
+
+    def ladder(d, nan_safe):
+        return _extrema_ladder(win, core, rows, cols, d, TH=TH, TW=TW,
+                               R=R, RR=RR, RC=RC, H=H, W=W,
+                               cellsize=cellsize, nan_safe=nan_safe)
+
+    def classify(mx, mn, num_pos, num_neg):
+        # The openness difference is diff = atan(a) - atan(b) with
+        # a = -mn, b = mx.  Pallas TPU has no atan primitive;
+        # compare in tangent space instead — exactly, via
+        #   diff > t  <=>  (1+ab > 0) ? (a-b)/(1+ab) > tan(t) : a > b
+        # (valid for 0 <= t < pi/2; |diff| > pi/2 iff 1+ab <= 0).
+        a = -mn
+        b = mx
+        denom = 1.0 + a * b
+        u = (a - b) / denom
+        wide = denom <= 0.0
+        narrow = denom > 0.0
+        # select-of-booleans is unsupported by Mosaic ("unsupported
+        # target bitwidth for truncation"); use i1 logic instead
+        gt = (wide & (a > b)) | (narrow & (u > T))
+        lt = (wide & (a < b)) | (narrow & (u < -T))
+        # unseen -> a,b infinite -> NaN u -> both False already, but
+        # keep the mask explicit (2 ANDs per direction, not per step)
+        seen = mx > neg_inf
+        gt = gt & seen
+        lt = lt & seen
+        num_pos = num_pos + jnp.where(gt, one, zero)
+        num_neg = num_neg + jnp.where(lt, one, zero)
+        return num_pos, num_neg
+
+    # Interior tiles: one straight-line maskless body (no scf.if
+    # regions between directions — measurably faster); boundary
+    # tiles: per-direction cond, so only the ~3 directions pointing
+    # off the raster pay the masked ladder.
+    @pl.when(all_safe)
+    def _():
         num_pos = jnp.zeros((TH, TW), dtype=jnp.float32)
         num_neg = jnp.zeros((TH, TW), dtype=jnp.float32)
         for d in range(8):
-            mx, mn = _extrema_ladder(win, core, rows, cols, d, TH=TH,
-                                     TW=TW, R=R, RR=RR, RC=RC, H=H, W=W,
-                                     cellsize=cellsize, nan_safe=nan_safe)
-
-            # The openness difference is diff = atan(a) - atan(b) with
-            # a = -mn, b = mx.  Pallas TPU has no atan primitive;
-            # compare in tangent space instead — exactly, via
-            #   diff > t  <=>  (1+ab > 0) ? (a-b)/(1+ab) > tan(t) : a > b
-            # (valid for 0 <= t < pi/2; |diff| > pi/2 iff 1+ab <= 0).
-            a = -mn
-            b = mx
-            denom = 1.0 + a * b
-            u = (a - b) / denom
-            wide = denom <= 0.0
-            narrow = denom > 0.0
-            # select-of-booleans is unsupported by Mosaic ("unsupported
-            # target bitwidth for truncation"); use i1 logic instead
-            gt = (wide & (a > b)) | (narrow & (u > T))
-            lt = (wide & (a < b)) | (narrow & (u < -T))
-            if not nan_safe:
-                seen = mx > neg_inf  # unseen -> a,b infinite -> NaN u,
-                gt = gt & seen       # but keep the mask explicit
-                lt = lt & seen
-            num_pos = num_pos + jnp.where(gt, one, zero)
-            num_neg = num_neg + jnp.where(lt, one, zero)
+            mx, mn = ladder(d, True)
+            num_pos, num_neg = classify(mx, mn, num_pos, num_neg)
         np_ref[:, :] = num_pos
         nn_ref[:, :] = num_neg
 
-    @pl.when(safe)
+    @pl.when(jnp.logical_not(all_safe))
     def _():
-        run(True)
-
-    @pl.when(jnp.logical_not(safe))
-    def _():
-        run(False)
+        num_pos = jnp.zeros((TH, TW), dtype=jnp.float32)
+        num_neg = jnp.zeros((TH, TW), dtype=jnp.float32)
+        for d in range(8):
+            mx, mn = lax.cond(dir_safe[d], partial(ladder, d, True),
+                              partial(ladder, d, False))
+            num_pos, num_neg = classify(mx, mn, num_pos, num_neg)
+        np_ref[:, :] = num_pos
+        nn_ref[:, :] = num_neg
 
 
 @partial(jax.jit, static_argnames=("lookup_pixels", "tile", "interpret",
@@ -371,6 +459,7 @@ def _counts_call(Zp, org, TH, TW, R, RR, RC, H, W, cellsize,
     grid = (Hp // TH, Wp // TW)
     if ext is None:
         ext = (RR, H, RC, W)
+    nan_grid = _tile_nan_grid(Zp, TH, TW, RR, RC, ext)
     kernel = partial(_counts_kernel, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
                      H=H, W=W, cellsize=cellsize,
                      threshold_deg=threshold_deg, ext=ext)
@@ -383,6 +472,7 @@ def _counts_call(Zp, org, TH, TW, R, RR, RC, H, W, cellsize,
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((TH, TW), lambda i, j: (i, j),
@@ -401,7 +491,7 @@ def _counts_call(Zp, org, TH, TW, R, RR, RC, H, W, cellsize,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(org, Zp)
+    )(org, nan_grid, Zp)
 
 
 def openness_counts_pallas_block(block_haloed, origin, global_shape,

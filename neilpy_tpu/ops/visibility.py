@@ -374,14 +374,20 @@ def geomorphons2(Z, cellsize=1, lookup_pixels=5, threshold_angle=1,
                 Z, cellsize=float(cellsize),
                 lookup_pixels=int(lookup_pixels),
                 directions=tuple(range(8)))
-        pos = jnp.rad2deg(_angles_from_extrema(mx, seen))
         if use_negative_openness:
+            pos = jnp.rad2deg(_angles_from_extrema(mx, seen))
             O = pos - jnp.rad2deg(_angles_from_extrema(-mn, seen))
+            t = jnp.float32(threshold_angle)
+            num2 = jnp.sum(O > t, axis=0).astype(jnp.uint8)
+            num0 = jnp.sum(O < -t, axis=0).astype(jnp.uint8)
         else:
-            O = pos - 90.0
-        t = jnp.float32(threshold_angle)
-        num2 = jnp.sum(O > t, axis=0).astype(jnp.uint8)
-        num0 = jnp.sum(O < -t, axis=0).astype(jnp.uint8)
+            # O = pos - 90 = -atan(mx) deg, so threshold directly in
+            # tangent space (atan is monotone): O > t <=> mx < -tan(t);
+            # unseen directions give pos = +inf (digit '2'), as in the
+            # angle formulation
+            T = jnp.float32(np.tan(np.radians(float(threshold_angle))))
+            num2 = jnp.sum((mx < -T) | ~seen, axis=0).astype(jnp.uint8)
+            num0 = jnp.sum(seen & (mx > T), axis=0).astype(jnp.uint8)
         G = classes_from_counts(num2, num0)
     if outfile is not None:
         from ..io.png import write_paletted_png

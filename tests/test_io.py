@@ -91,6 +91,27 @@ class TestGeoTIFF:
         np.testing.assert_array_equal(X, Z)
         assert m2["crs"] == 4326
 
+    def test_imwrite_non_tiff_fallback(self, tmp_path):
+        """Non-TIFF extensions take the reference's plain-image path
+        (neilpy.py:188-190): image written, georeferencing dropped
+        with a warning."""
+        import warnings
+        from PIL import Image
+        from neilpy_tpu.core.codes import geomorphon_cmap
+        G = ((np.arange(120, dtype=np.uint8).reshape(10, 12) % 10) + 1)
+        fn = str(tmp_path / "g.png")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            imwrite(fn, G, metadata={"transform": None},
+                    colormap=geomorphon_cmap())
+        assert any("metadata" in str(x.message) for x in w)
+        im = Image.open(fn)
+        assert im.mode == "P"
+        np.testing.assert_array_equal(np.asarray(im), G)
+        fn2 = str(tmp_path / "plain.png")
+        imwrite(fn2, (G * 20).astype(np.uint8))
+        np.testing.assert_array_equal(np.asarray(Image.open(fn2)), G * 20)
+
 
 def _write_synthetic_las(fn, pdrf=3, n=100, seed=0):
     """Build a spec-conformant little LAS 1.2 file by hand."""

@@ -44,6 +44,23 @@ def test_nan_terrain(Z):
     np.testing.assert_array_equal(G_p, G_x)
 
 
+def test_nan_hole_in_safe_tile():
+    """A nodata hole deep in the raster interior, where the tile's read
+    window is geometrically clean: the maskless interior fast path must
+    still be bypassed (via the per-tile NaN grid) or every pixel whose
+    ray crosses the hole is misclassified.  Regression: the r2 interior
+    fast path shipped without the NaN grid and failed exactly here
+    (54 wrong pixels on this fixture)."""
+    rng = np.random.default_rng(5)
+    Z = rng.normal(size=(640, 640)).cumsum(axis=0).astype(np.float32)
+    Z[200:210, 300:320] = np.nan
+    G_p = np.asarray(geomorphons_pallas(Z, cellsize=2, lookup_pixels=2,
+                                        tile=(64, 128)))
+    G_x = np.asarray(geomorphons(Z, cellsize=2, lookup_pixels=2,
+                                 engine="xla"))
+    np.testing.assert_array_equal(G_p, G_x)
+
+
 def test_non_tile_aligned_shape():
     r = np.random.default_rng(3)
     Z = r.normal(size=(70, 90)).cumsum(axis=0).astype(np.float32)

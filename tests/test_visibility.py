@@ -186,3 +186,25 @@ def test_geomorphons2_equals_lut_pipeline(rng):
     ref = np.asarray(terrain_code_class_table("loose"))[tc.astype(np.int64)]
     ours = np.asarray(geomorphons2(Z, lookup_pixels=5, threshold_angle=1))
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_geomorphons2_positive_only_tangent_space(rng):
+    """use_negative_openness=False thresholds directly in tangent space
+    (O = pos - 90 = -atan(mx) deg); must equal the literal degree-space
+    formulation, both engines."""
+    import jax.numpy as jnp
+    from neilpy_tpu.ops.visibility import (
+        geomorphons2, directional_ratio_extrema, _angles_from_extrema,
+        classes_from_counts)
+    Z = rng.normal(size=(44, 60)).cumsum(axis=0).astype(np.float32)
+    mx, mn, seen = directional_ratio_extrema(
+        Z, cellsize=2.0, lookup_pixels=5, directions=tuple(range(8)))
+    O = np.rad2deg(np.asarray(_angles_from_extrema(mx, seen))) - 90.0
+    ref = np.asarray(classes_from_counts(
+        jnp.asarray((O > 1).sum(axis=0), dtype=jnp.uint8),
+        jnp.asarray((O < -1).sum(axis=0), dtype=jnp.uint8)))
+    for engine in ("xla", "pallas"):
+        ours = np.asarray(geomorphons2(Z, cellsize=2, lookup_pixels=5,
+                                       use_negative_openness=False,
+                                       engine=engine))
+        np.testing.assert_array_equal(ours, ref)
