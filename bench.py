@@ -113,6 +113,35 @@ def _pallas_probe():
     print(f"PALLAS_MPIX {H * W / dt / 1e6:.1f}", flush=True)
 
 
+def _pallas_fast_probe():
+    """Like _pallas_probe but for the 'fast' progressive ladder
+    (unrolled static slices; O(log R) steps).  Prints
+    'PALLAS_FAST_MPIX <value>'."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from neilpy_tpu.ops.pallas_scan import geomorphons_pallas
+
+    H, W = BENCH_SHAPE
+    N = 10
+    Zd = jax.device_put(jnp.asarray(_bench_input()))
+    rep = _repeat_in_one_program(
+        lambda z: geomorphons_pallas(z, cellsize=10,
+                                     lookup_pixels=BENCH_LOOKUP,
+                                     fast=True), N)
+    t0 = time.time()
+    np.asarray(rep(Zd).ravel()[:1])
+    log(f"pallas fast compile+first run (x{N} scan): "
+        f"{time.time() - t0:.1f}s")
+    dts = []
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(rep(Zd).ravel()[:1])
+        dts.append((time.time() - t0) / N)
+    dt = min(dts)
+    print(f"PALLAS_FAST_MPIX {H * W / dt / 1e6:.1f}", flush=True)
+
+
 def bench_geomorphons():
     import os
     import subprocess
@@ -158,6 +187,26 @@ def bench_geomorphons():
                 "using the XLA number")
         except Exception as e:
             log("pallas probe failed:", str(e)[:200])
+
+        # fast progressive ladder (secondary number, not the headline:
+        # the baseline comparison is against the reference's EXACT
+        # ladder throughput)
+        fbudget = int(os.environ.get("PALLAS_FAST_BENCH_TIMEOUT", "900"))
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import bench; bench._pallas_fast_probe()"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=fbudget)
+            for line in proc.stdout.splitlines():
+                if line.startswith("PALLAS_FAST_MPIX"):
+                    log(f"pallas geomorphons fast ladder: "
+                        f"{float(line.split()[1]):.0f} Mpix/s "
+                        "(secondary; headline is the exact ladder)")
+        except subprocess.TimeoutExpired:
+            log(f"pallas fast probe exceeded {fbudget}s (Mosaic compile)")
+        except Exception as e:
+            log("pallas fast probe failed:", str(e)[:200])
 
     return max(results.values())
 

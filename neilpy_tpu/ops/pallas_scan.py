@@ -29,7 +29,11 @@ there).
 
 Measured on v5e (2048x4096, lookup=50, in-one-program timing): 23.1 ms
 = 363 Mpix/s at the default (256, 1024) tile, ~1800x the reference CPU
-throughput; Mosaic compile ~60 s (persistent-cached).
+throughput; Mosaic compile ~60 s (persistent-cached).  The 'fast'
+progressive ladder (reference neilpy.py:1314-1321: ~16 geometric L
+levels instead of 50) runs as fully unrolled static slices with no
+chunk rolls: 11.3 ms = 745 Mpix/s, classes equal to the XLA fast scan
+except f32 ties (3/8.4M); its Mosaic compile is ~7 min cold.
 
 Safety specialization: interior tiles whose full read window is real
 in-bounds terrain AND whose window is free of interior NaN (a per-tile
@@ -56,8 +60,8 @@ hybrid) all land within 0.4 ms of each other.  Sweeps confirmed the
 operating point: tiles (512,1024)/(256,2048)/(128,1024) and chunk
 sizes 16/25 are all equal or worse than (256,1024)xCH=8.  Throughput
 well above this needs either more chips (dist/halo.py shards this
-kernel bit-exactly) or the documented ``fast`` progressive ladder
-(O(log R) steps).
+kernel bit-exactly) or the ``fast`` progressive ladder above (745
+Mpix/s measured).
 """
 
 from __future__ import annotations
@@ -84,8 +88,16 @@ __all__ = ["openness_counts_pallas", "openness_counts_pallas_block",
            "HAS_PALLAS"]
 
 
+def _fast_ladder(R, how_fast):
+    """Static tuple form of the reference's progressive window
+    (neilpy.py:1314-1321), shared with the XLA scan so both engines
+    visit identical L levels."""
+    from ..core.codes import progressive_window
+    return tuple(int(v) for v in progressive_window(1, R, how_fast))
+
+
 def _extrema_ladder(win, core, rows, cols, d, *, TH, TW, R, RR, RC, H, W,
-                    cellsize, nan_safe=False):
+                    cellsize, nan_safe=False, ladder=None):
     """The chunked ladder for ONE direction (shared by the counts and
     extrema kernels): returns (mx, mn) running extrema of the slope
     ratios with the reference's edge-replication correction applied.
@@ -93,14 +105,18 @@ def _extrema_ladder(win, core, rows, cols, d, *, TH, TW, R, RR, RC, H, W,
     ``nan_safe=True`` is the interior-tile fast path: the caller
     guarantees every read of the window hits real in-bounds terrain, so
     the per-step NaN select (3 VPU passes of the 8-pass step body) and
-    the edge-replication epilogue are skipped entirely."""
+    the edge-replication epilogue are skipped entirely.
+
+    ``ladder``: static tuple of L values for the 'fast' progressive
+    window (neilpy.py:1314-1321, 1341-1342).  The geometric ladder is
+    sparse (~16 steps at R=50 vs 50), so it is fully unrolled as
+    static shifted slices — no chunk rolls at all; ``None`` runs the
+    dense 1..R ladder via the chunked fori_loop."""
     neg_inf = jnp.float32(-jnp.inf)
     pos_inf = jnp.float32(jnp.inf)
-    CH = 8
-    n_full = R // CH
-    tail = R - n_full * CH
     dr, dc = OFFSETS[d]
     inv_w = float(1.0 / (float(cellsize) * STEP_LENGTH[d]))
+    Rmax = int(ladder[-1]) if ladder is not None else R
 
     def accum(win_d, mx, mn, base, l):
         src = win_d[RR + dr * l:RR + dr * l + TH,
@@ -116,31 +132,46 @@ def _extrema_ladder(win, core, rows, cols, d, *, TH, TW, R, RR, RC, H, W,
             mn = jnp.minimum(mn, jnp.where(ok, ratio, pos_inf))
         return mx, mn
 
-    def roll_ch(win_d):
-        if dr:
-            win_d = pltpu.roll(win_d, (-dr * CH) % win_d.shape[0], axis=0)
-        if dc:
-            win_d = pltpu.roll(win_d, (-dc * CH) % win_d.shape[1], axis=1)
-        return win_d
+    if ladder is not None:
+        win_d = win[:, :]
+        mx = jnp.full((TH, TW), neg_inf)
+        mn = jnp.full((TH, TW), pos_inf)
+        for L in ladder:
+            mx, mn = accum(win_d, mx, mn, jnp.float32(0.0), int(L))
+    else:
+        CH = 8
+        n_full = R // CH
+        tail = R - n_full * CH
 
-    def chunk_step(c, carry):
-        win_d, mx, mn = carry
-        base = c.astype(jnp.float32) * jnp.float32(CH)
-        for l in range(1, CH + 1):
-            mx, mn = accum(win_d, mx, mn, base, l)
-        return roll_ch(win_d), mx, mn
+        def roll_ch(win_d):
+            if dr:
+                win_d = pltpu.roll(win_d, (-dr * CH) % win_d.shape[0],
+                                   axis=0)
+            if dc:
+                win_d = pltpu.roll(win_d, (-dc * CH) % win_d.shape[1],
+                                   axis=1)
+            return win_d
 
-    win_d, mx, mn = lax.fori_loop(
-        0, n_full, chunk_step,
-        (win[:, :], jnp.full((TH, TW), neg_inf),
-         jnp.full((TH, TW), pos_inf)))
-    for l in range(1, tail + 1):
-        mx, mn = accum(win_d, mx, mn, jnp.float32(n_full * CH), l)
+        def chunk_step(c, carry):
+            win_d, mx, mn = carry
+            base = c.astype(jnp.float32) * jnp.float32(CH)
+            for l in range(1, CH + 1):
+                mx, mn = accum(win_d, mx, mn, base, l)
+            return roll_ch(win_d), mx, mn
+
+        win_d, mx, mn = lax.fori_loop(
+            0, n_full, chunk_step,
+            (win[:, :], jnp.full((TH, TW), neg_inf),
+             jnp.full((TH, TW), pos_inf)))
+        for l in range(1, tail + 1):
+            mx, mn = accum(win_d, mx, mn, jnp.float32(n_full * CH), l)
 
     if not nan_safe:
         # edge-replication correction: out-of-range steps contribute 0
-        sr = rows + dr * R
-        sc = cols + dc * R
+        # (oob is monotone in L, so testing the largest step covers
+        # every ladder level)
+        sr = rows + dr * Rmax
+        sc = cols + dc * Rmax
         oob = (sr < 0) | (sr >= H) | (sc < 0) | (sc >= W)
         mx = jnp.where(oob, jnp.maximum(mx, 0.0), mx)
         mn = jnp.where(oob, jnp.minimum(mn, 0.0), mn)
@@ -209,7 +240,8 @@ def _tile_nan_grid(Zp, TH, TW, RR, RC, ext):
 
 
 def _extrema_kernel(org_ref, nan_ref, Z_hbm, mx_ref, mn_ref, win, sem,
-                    *, TH, TW, R, RR, RC, H, W, cellsize, ext):
+                    *, TH, TW, R, RR, RC, H, W, cellsize, ext,
+                    ladder=None):
     i = pl.program_id(0)
     j = pl.program_id(1)
     dma = pltpu.make_async_copy(
@@ -223,18 +255,20 @@ def _extrema_kernel(org_ref, nan_ref, Z_hbm, mx_ref, mn_ref, win, sem,
     cols = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + j * TW
             + org_ref[1])
     no_nan = nan_ref[i, j] == 0
+    Rmax = int(ladder[-1]) if ladder is not None else R
     dir_safe = [no_nan & _dir_is_safe(i, j, d, org_ref, TH=TH, TW=TW,
-                                      R=R, RR=RR, RC=RC, H=H, W=W,
+                                      R=Rmax, RR=RR, RC=RC, H=H, W=W,
                                       ext=ext)
                 for d in range(8)]
     all_safe = dir_safe[0]
     for d in range(1, 8):
         all_safe = all_safe & dir_safe[d]
 
-    def ladder(d, nan_safe):
+    def run_ladder(d, nan_safe):
         return _extrema_ladder(win, core, rows, cols, d, TH=TH, TW=TW,
                                R=R, RR=RR, RC=RC, H=H, W=W,
-                               cellsize=cellsize, nan_safe=nan_safe)
+                               cellsize=cellsize, nan_safe=nan_safe,
+                               ladder=ladder)
 
     # Interior tiles (the bulk of a big raster): one straight-line
     # maskless body — measured ~15% faster than routing them through
@@ -244,23 +278,24 @@ def _extrema_kernel(org_ref, nan_ref, Z_hbm, mx_ref, mn_ref, win, sem,
     @pl.when(all_safe)
     def _():
         for d in range(8):
-            mx, mn = ladder(d, True)
+            mx, mn = run_ladder(d, True)
             mx_ref[d, :, :] = mx
             mn_ref[d, :, :] = mn
 
     @pl.when(jnp.logical_not(all_safe))
     def _():
         for d in range(8):
-            mx, mn = lax.cond(dir_safe[d], partial(ladder, d, True),
-                              partial(ladder, d, False))
+            mx, mn = lax.cond(dir_safe[d], partial(run_ladder, d, True),
+                              partial(run_ladder, d, False))
             mx_ref[d, :, :] = mx
             mn_ref[d, :, :] = mn
 
 
 @partial(jax.jit, static_argnames=("lookup_pixels", "tile", "interpret",
-                                   "cellsize"))
+                                   "cellsize", "fast", "how_fast"))
 def directional_extrema_pallas(Z, cellsize=1.0, lookup_pixels=1,
-                               tile=(256, 512), interpret=None):
+                               tile=(256, 512), interpret=None,
+                               fast=False, how_fast=20):
     """Per-direction (8, H, W) running max/min slope ratios from the
     blocked VMEM ladder — the Pallas fast path behind openness /
     ternary codes (equivalent to ``visibility.directional_ratio_extrema``
@@ -282,8 +317,10 @@ def directional_extrema_pallas(Z, cellsize=1.0, lookup_pixels=1,
     org = jnp.zeros((2,), dtype=jnp.int32)
     ext = (RR, H, RC, W)
     nan_grid = _tile_nan_grid(Zp, TH, TW, RR, RC, ext)
+    ladder = _fast_ladder(R, how_fast) if fast else None
     kernel = partial(_extrema_kernel, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
-                     H=H, W=W, cellsize=float(cellsize), ext=ext)
+                     H=H, W=W, cellsize=float(cellsize), ext=ext,
+                     ladder=ladder)
     mx, mn = pl.pallas_call(
         kernel,
         grid=(Hp // TH, Wp // TW),
@@ -313,7 +350,7 @@ def directional_extrema_pallas(Z, cellsize=1.0, lookup_pixels=1,
 
 def _counts_kernel(org_ref, nan_ref, Z_hbm, np_ref, nn_ref, win, sem,
                    *, TH, TW, R, RR, RC, H, W, cellsize, threshold_deg,
-                   ext):
+                   ext, ladder=None):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -345,18 +382,20 @@ def _counts_kernel(org_ref, nan_ref, Z_hbm, np_ref, nn_ref, win, sem,
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
 
+    Rmax = int(ladder[-1]) if ladder is not None else R
     dir_safe = [no_nan & _dir_is_safe(i, j, d, org_ref, TH=TH, TW=TW,
-                                      R=R, RR=RR, RC=RC, H=H, W=W,
+                                      R=Rmax, RR=RR, RC=RC, H=H, W=W,
                                       ext=ext)
                 for d in range(8)]
     all_safe = dir_safe[0]
     for d in range(1, 8):
         all_safe = all_safe & dir_safe[d]
 
-    def ladder(d, nan_safe):
+    def run_ladder(d, nan_safe):
         return _extrema_ladder(win, core, rows, cols, d, TH=TH, TW=TW,
                                R=R, RR=RR, RC=RC, H=H, W=W,
-                               cellsize=cellsize, nan_safe=nan_safe)
+                               cellsize=cellsize, nan_safe=nan_safe,
+                               ladder=ladder)
 
     def classify(mx, mn, num_pos, num_neg):
         # The openness difference is diff = atan(a) - atan(b) with
@@ -392,7 +431,7 @@ def _counts_kernel(org_ref, nan_ref, Z_hbm, np_ref, nn_ref, win, sem,
         num_pos = jnp.zeros((TH, TW), dtype=jnp.float32)
         num_neg = jnp.zeros((TH, TW), dtype=jnp.float32)
         for d in range(8):
-            mx, mn = ladder(d, True)
+            mx, mn = run_ladder(d, True)
             num_pos, num_neg = classify(mx, mn, num_pos, num_neg)
         np_ref[:, :] = num_pos
         nn_ref[:, :] = num_neg
@@ -402,18 +441,19 @@ def _counts_kernel(org_ref, nan_ref, Z_hbm, np_ref, nn_ref, win, sem,
         num_pos = jnp.zeros((TH, TW), dtype=jnp.float32)
         num_neg = jnp.zeros((TH, TW), dtype=jnp.float32)
         for d in range(8):
-            mx, mn = lax.cond(dir_safe[d], partial(ladder, d, True),
-                              partial(ladder, d, False))
+            mx, mn = lax.cond(dir_safe[d], partial(run_ladder, d, True),
+                              partial(run_ladder, d, False))
             num_pos, num_neg = classify(mx, mn, num_pos, num_neg)
         np_ref[:, :] = num_pos
         nn_ref[:, :] = num_neg
 
 
 @partial(jax.jit, static_argnames=("lookup_pixels", "tile", "interpret",
-                                   "cellsize", "threshold_angle"))
+                                   "cellsize", "threshold_angle",
+                                   "fast", "how_fast"))
 def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
                            threshold_angle=1.0, tile=(256, 1024),
-                           interpret=None):
+                           interpret=None, fast=False, how_fast=20):
     """(num_pos, num_neg) direction counts for geomorphons, computed by
     the blocked Pallas scan.  Equivalent to
     ``ops.visibility.count_openness`` (asserted in tests)."""
@@ -437,16 +477,18 @@ def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     org = jnp.zeros((2,), dtype=jnp.int32)
+    ladder = _fast_ladder(R, how_fast) if fast else None
     num_pos, num_neg = _counts_call(Zp, org, TH, TW, R, RR, RC, H, W,
                                     float(cellsize),
                                     float(threshold_angle), interpret,
-                                    ext=(RR, H, RC, W))
+                                    ext=(RR, H, RC, W), ladder=ladder)
     return (num_pos[:H, :W].astype(jnp.uint8),
             num_neg[:H, :W].astype(jnp.uint8))
 
 
 def _counts_call(Zp, org, TH, TW, R, RR, RC, H, W, cellsize,
-                 threshold_deg, interpret, vma=None, ext=None):
+                 threshold_deg, interpret, vma=None, ext=None,
+                 ladder=None):
     """Shared pallas_call wrapper.  ``Zp`` carries an (RR, RC) aligned
     NaN halo around its core and tile-aligned bottom/right padding;
     ``org`` is the core's global (row, col) origin as a traced (2,)
@@ -462,7 +504,7 @@ def _counts_call(Zp, org, TH, TW, R, RR, RC, H, W, cellsize,
     nan_grid = _tile_nan_grid(Zp, TH, TW, RR, RC, ext)
     kernel = partial(_counts_kernel, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
                      H=H, W=W, cellsize=cellsize,
-                     threshold_deg=threshold_deg, ext=ext)
+                     threshold_deg=threshold_deg, ext=ext, ladder=ladder)
     if vma is None:
         out_struct = lambda: jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
     else:
@@ -535,11 +577,13 @@ def openness_counts_pallas_block(block_haloed, origin, global_shape,
 
 
 def geomorphons_pallas(Z, cellsize=1, lookup_pixels=1, threshold_angle=1,
-                       tile=(256, 1024)):
+                       tile=(256, 1024), fast=False, how_fast=20):
     """Geomorphon classes from the Pallas scan (drop-in fast path for
-    ``ops.visibility.geomorphons`` without enhance/fast modes)."""
+    ``ops.visibility.geomorphons`` without the enhance mode; the
+    'fast' progressive ladder runs as unrolled static slices)."""
     from .visibility import classes_from_counts
     num_pos, num_neg = openness_counts_pallas(
         Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels),
-        threshold_angle=float(threshold_angle), tile=tile)
+        threshold_angle=float(threshold_angle), tile=tile,
+        fast=bool(fast), how_fast=int(how_fast))
     return classes_from_counts(num_pos, num_neg)

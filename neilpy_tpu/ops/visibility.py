@@ -166,12 +166,12 @@ def openness(Z, cellsize=1, lookup_pixels=1, neighbors=None, skyview=False,
         neighbors = range(8)
     dirs = tuple(int(d) for d in np.atleast_1d(np.asarray(neighbors)))
     if engine == "auto":
-        engine = ("pallas" if (jax.default_backend() == "tpu"
-                               and not fast) else "xla")
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     if engine == "pallas":
         from .pallas_scan import directional_extrema_pallas
         mx_all, _ = directional_extrema_pallas(
-            Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels))
+            Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels),
+            fast=bool(fast), how_fast=int(how_fast))
         mx = mx_all[jnp.asarray(dirs)] if dirs != tuple(range(8)) \
             else mx_all
         seen = mx > -jnp.inf
@@ -267,14 +267,14 @@ def geomorphons(Z, cellsize=1, lookup_pixels=1, threshold_angle=1,
     """
     if engine == "auto":
         import jax
-        engine = ("pallas" if (jax.default_backend() == "tpu"
-                               and not fast) else "xla")
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     if engine == "pallas":
         from .pallas_scan import openness_counts_pallas
-        counts = lambda lp: openness_counts_pallas(
+        counts = lambda lp, f=False: openness_counts_pallas(
             Z, cellsize=float(cellsize), lookup_pixels=int(lp),
-            threshold_angle=float(threshold_angle))
-        num_pos, num_neg = counts(lookup_pixels)
+            threshold_angle=float(threshold_angle), fast=f,
+            how_fast=int(how_fast))
+        num_pos, num_neg = counts(lookup_pixels, bool(fast))
         G = classes_from_counts(num_pos, num_neg)
         if enhance and lookup_pixels > 16:
             lookup_sm = max(int(np.floor(lookup_pixels / 4)), 4)

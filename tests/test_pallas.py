@@ -44,6 +44,29 @@ def test_nan_terrain(Z):
     np.testing.assert_array_equal(G_p, G_x)
 
 
+@pytest.mark.parametrize("lookup", [7, 23])
+def test_fast_ladder_matches_xla(Z, lookup):
+    """'fast' progressive ladder (unrolled static slices in Pallas)
+    visits the same L levels as the XLA scan -> identical classes."""
+    G_p = np.asarray(geomorphons_pallas(Z, cellsize=2.0,
+                                        lookup_pixels=lookup, fast=True,
+                                        tile=(64, 64)))
+    G_x = np.asarray(geomorphons(Z, cellsize=2.0, lookup_pixels=lookup,
+                                 fast=True, engine="xla"))
+    np.testing.assert_array_equal(G_p, G_x)
+
+
+def test_fast_ladder_nan_and_boundary():
+    rng = np.random.default_rng(9)
+    Z = rng.normal(size=(640, 640)).cumsum(axis=0).astype(np.float32)
+    Z[200:210, 300:320] = np.nan
+    G_p = np.asarray(geomorphons_pallas(Z, cellsize=2, lookup_pixels=23,
+                                        fast=True, tile=(64, 128)))
+    G_x = np.asarray(geomorphons(Z, cellsize=2, lookup_pixels=23,
+                                 fast=True, engine="xla"))
+    np.testing.assert_array_equal(G_p, G_x)
+
+
 def test_nan_hole_in_safe_tile():
     """A nodata hole deep in the raster interior, where the tile's read
     window is geometrically clean: the maskless interior fast path must
