@@ -7,10 +7,11 @@ neilpy/neilpy.py:114-190) — array + metadata dict with ``transform``
 ``width``, ``height``, ``count``.
 
 Supported on read: baseline TIFF, little/big endian, strip or tile
-organisation, uncompressed / PackBits / LZW / Deflate, grayscale or
-multi-band (contiguous or planar), uint8/16/32, int8/16/32,
-float32/64, plus the GeoTIFF ModelPixelScale/ModelTiepoint tags and
-GDAL's NODATA ascii tag.  This covers both reference golden rasters
+organisation, uncompressed / PackBits / LZW / Deflate / new-style
+JPEG (PIL as the entropy decoder, JPEGTables spliced per TechNote 2),
+grayscale or multi-band (contiguous or planar), uint8/16/32,
+int8/16/32, float32/64, plus the GeoTIFF
+ModelPixelScale/ModelTiepoint tags and GDAL's NODATA ascii tag.  This covers both reference golden rasters
 (verified uncompressed strips) and everything the framework writes.
 
 Written files: little-endian baseline TIFF, strip-organised,
@@ -47,6 +48,7 @@ _TAG_TILELENGTH = 323
 _TAG_TILEOFFSETS = 324
 _TAG_TILEBYTECOUNTS = 325
 _TAG_SAMPLEFORMAT = 339
+_TAG_JPEGTABLES = 347
 _TAG_MODELPIXELSCALE = 33550
 _TAG_MODELTIEPOINT = 33922
 _TAG_GEOKEYDIRECTORY = 34735
@@ -115,7 +117,7 @@ def _dtype_from(bits, sample_format, en):
 
 
 def _decompress(raw, compression, expected, predictor, width, dtype,
-                samples):
+                samples, jpeg_tables=None):
     if compression == 1:
         out = raw
     elif compression == 5:  # LZW (native kernel or python fallback)
@@ -126,6 +128,9 @@ def _decompress(raw, compression, expected, predictor, width, dtype,
     elif compression == 32773:  # PackBits (vectorised / native)
         from .tiff_codec import packbits_decode
         out = packbits_decode(raw, expected)
+    elif compression == 7:  # new-style JPEG (PIL as entropy decoder)
+        from .tiff_codec import jpeg_decode
+        out = jpeg_decode(bytes(raw), jpeg_tables)
     else:
         raise ValueError(f"Unsupported TIFF compression {compression}")
     if predictor == 2:
@@ -170,6 +175,8 @@ def read_geotiff(fn):
     sfmt = int(g(_TAG_SAMPLEFORMAT, (1,))[0])
     planar = int(g(_TAG_PLANARCONFIG, (1,))[0])
     predictor = int(g(_TAG_PREDICTOR, (1,))[0])
+    jpt = tags.get(_TAG_JPEGTABLES)
+    jpeg_tables = bytes(_values(jpt, en)) if jpt is not None else None
     dtype = _dtype_from(bits, sfmt, en)
 
     if _TAG_TILEOFFSETS in tags:
@@ -189,7 +196,7 @@ def read_geotiff(fn):
                     raw = data[offsets[idx]:offsets[idx] + counts[idx]]
                     expected = tw * th * chans * dtype.itemsize
                     buf = _decompress(raw, comp, expected, predictor, tw,
-                                      dtype, chans)
+                                      dtype, chans, jpeg_tables)
                     tile = np.frombuffer(buf, dtype=dtype).reshape(
                         th, tw, chans)
                     y0, x0 = ty * th, tx * tw
@@ -212,7 +219,7 @@ def read_geotiff(fn):
                 expected = nrows * width * chans * dtype.itemsize
                 raw = data[offsets[idx]:offsets[idx] + counts[idx]]
                 buf = _decompress(raw, comp, expected, predictor, width,
-                                  dtype, chans)
+                                  dtype, chans, jpeg_tables)
                 img[p, row:row + nrows] = np.frombuffer(
                     buf, dtype=dtype).reshape(nrows, width, chans)
                 row += nrows

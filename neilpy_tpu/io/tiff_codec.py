@@ -20,7 +20,7 @@ import os
 import numpy as np
 
 __all__ = ["lzw_decode", "lzw_encode", "packbits_decode",
-           "codec_native_available"]
+           "jpeg_decode", "codec_native_available"]
 
 _LIB = None
 _LOAD_FAILED = False
@@ -255,3 +255,30 @@ def lzw_encode(data):
         out.write(table[w], width)
     out.write(EOI, width)
     return out.getvalue()
+
+
+def jpeg_decode(stream, tables=None):
+    """Decode one new-style-JPEG (TIFF compression 7) strip/tile.
+
+    ``tables`` is the IFD's JPEGTables payload (tag 347): an
+    abbreviated JPEG stream (SOI .. tables .. EOI) holding the shared
+    quantisation/Huffman tables.  Per TIFF TechNote 2 the segment data
+    between the tables' SOI and EOI is spliced after the strip's SOI;
+    a strip that carries its own tables (no tag 347) decodes as-is.
+    PIL is the entropy decoder; YCbCr photometric streams come back
+    converted to RGB (libjpeg's default), grayscale stays single-band.
+    """
+    from io import BytesIO
+    from PIL import Image
+
+    stream = bytes(stream)
+    if tables:
+        t = bytes(tables)
+        if t[:2] == b"\xff\xd8":
+            body = t[2:]
+            if body[-2:] == b"\xff\xd9":
+                body = body[:-2]
+            if stream[:2] == b"\xff\xd8":
+                stream = b"\xff\xd8" + body + stream[2:]
+    arr = np.asarray(Image.open(BytesIO(stream)))
+    return arr.tobytes()

@@ -605,3 +605,27 @@ def test_write_las_points_by_return_histogram(tmp_path):
         hdr = f.read(227)
     counts = struct.unpack_from("<5L", hdr, 111)
     assert counts == (2, 3, 1, 0, 0)
+
+
+class TestJpegTiff:
+    """New-style JPEG (compression 7) read path: our container parsing
+    + JPEGTables splice, PIL as the entropy decoder.  Outputs must be
+    byte-identical to PIL's own decode of the same file."""
+
+    def test_rgb_single_strip(self, tmp_path, rng):
+        from PIL import Image
+        a = rng.integers(0, 255, (96, 120, 3)).astype(np.uint8)
+        fn = str(tmp_path / "j.tif")
+        Image.fromarray(a).save(fn, compression="jpeg", quality=95)
+        X, meta = read_geotiff(fn)
+        np.testing.assert_array_equal(X, np.asarray(Image.open(fn)))
+        assert X.shape == (96, 120, 3)
+
+    def test_gray_multi_strip(self, tmp_path, rng):
+        from PIL import Image
+        g = rng.integers(0, 255, (200, 310)).astype(np.uint8)
+        fn = str(tmp_path / "jg.tif")
+        Image.fromarray(g).save(fn, compression="jpeg", quality=90,
+                                tiffinfo={278: 64})
+        X, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(X, np.asarray(Image.open(fn)))
