@@ -60,10 +60,10 @@ def pad_to_mesh(Z, mesh, axis_names=("ty", "tx"), fill=jnp.nan):
 
 @partial(jax.jit, static_argnames=("mesh", "lookup_pixels", "axis_names",
                                    "global_shape", "engine", "cellsize",
-                                   "threshold_angle"))
+                                   "threshold_angle", "fast", "how_fast"))
 def _sharded_counts(Zs, mesh, cellsize, lookup_pixels, threshold_angle,
                     global_shape, axis_names=("ty", "tx"),
-                    engine="xla"):
+                    engine="xla", fast=False, how_fast=20):
     ny = mesh.shape[axis_names[0]]
     nx = mesh.shape[axis_names[1]]
     bh = global_shape[0] // ny
@@ -81,12 +81,14 @@ def _sharded_counts(Zs, mesh, cellsize, lookup_pixels, threshold_angle,
                                       mode="nan")
             return openness_counts_pallas_block(
                 padded, (oy, ox), global_shape, r, cellsize=cellsize,
-                threshold_angle=threshold_angle, vma=axis_names)
+                threshold_angle=threshold_angle, vma=axis_names,
+                fast=fast, how_fast=how_fast)
         padded = halo_exchange_2d(block, r, axis_names, (ny, nx),
                                   mode="zero")
         mx, mn, seen = directional_ratio_extrema(
             padded, cellsize=cellsize, lookup_pixels=r,
-            origin=(oy - r, ox - r), global_shape=global_shape)
+            origin=(oy - r, ox - r), global_shape=global_shape,
+            fast=fast, how_fast=how_fast)
         pos = jnp.rad2deg(_angles_from_extrema(mx, seen))
         neg = jnp.rad2deg(_angles_from_extrema(-mn, seen))
         diff = pos - neg
@@ -105,7 +107,7 @@ def _sharded_counts(Zs, mesh, cellsize, lookup_pixels, threshold_angle,
 
 def sharded_geomorphons(Z, mesh=None, cellsize=1, lookup_pixels=1,
                         threshold_angle=1, axis_names=("ty", "tx"),
-                        engine="auto"):
+                        engine="auto", fast=False, how_fast=20):
     """Geomorphon classification sharded over a device mesh — the
     multi-chip analog of ``geomorphons`` (bit-identical to the
     single-device kernel; asserted in tests).
@@ -124,7 +126,8 @@ def sharded_geomorphons(Z, mesh=None, cellsize=1, lookup_pixels=1,
     Zs = jax.device_put(Zp, NamedSharding(mesh, spec))
     num_pos, num_neg = _sharded_counts(
         Zs, mesh, float(cellsize), int(lookup_pixels),
-        float(threshold_angle), tuple(Zp.shape), axis_names, engine)
+        float(threshold_angle), tuple(Zp.shape), axis_names, engine,
+        fast=bool(fast), how_fast=int(how_fast))
     G = classes_from_counts(num_pos, num_neg)
     return G[: orig[0], : orig[1]]
 

@@ -539,7 +539,8 @@ def _counts_call(Zp, org, TH, TW, R, RR, RC, H, W, cellsize,
 def openness_counts_pallas_block(block_haloed, origin, global_shape,
                                  lookup_pixels, cellsize=1.0,
                                  threshold_angle=1.0, tile=None,
-                                 interpret=None, vma=None):
+                                 interpret=None, vma=None, fast=False,
+                                 how_fast=20):
     """Per-device entry for shard_map use: ``block_haloed`` is a local
     block already surrounded by an R-wide halo of *real neighbour
     data* (NaN beyond the mesh / raster); ``origin`` is the global
@@ -566,10 +567,11 @@ def openness_counts_pallas_block(block_haloed, origin, global_shape,
     org = jnp.stack([jnp.asarray(origin[0], dtype=jnp.int32),
                      jnp.asarray(origin[1], dtype=jnp.int32)])
     H, W = int(global_shape[0]), int(global_shape[1])
+    ladder = _fast_ladder(R, how_fast) if fast else None
     num_pos, num_neg = _counts_call(Zp, org, TH, TW, R, RR, RC, H, W,
                                     float(cellsize),
                                     float(threshold_angle), interpret,
-                                    vma=vma,
+                                    vma=vma, ladder=ladder,
                                     ext=(RR - R, bh + 2 * R,
                                          RC - R, bw + 2 * R))
     return (num_pos[:bh, :bw].astype(jnp.uint8),

@@ -168,6 +168,20 @@ def test_sharded_geomorphons_pallas_engine(mesh, big_terrain):
     np.testing.assert_array_equal(tiled, single)
 
 
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_sharded_geomorphons_fast_ladder(mesh, big_terrain, engine):
+    """'fast' progressive ladder through the sharded path (both
+    engines) == the single-device fast classifier."""
+    Z = big_terrain
+    single = np.asarray(geomorphons(Z, cellsize=2, lookup_pixels=9,
+                                    threshold_angle=1, fast=True,
+                                    engine="xla"))
+    tiled = np.asarray(sharded_geomorphons(Z, mesh, cellsize=2,
+                                           lookup_pixels=9, fast=True,
+                                           engine=engine))
+    np.testing.assert_array_equal(tiled, single)
+
+
 def test_sharded_geomorphons_pallas_non_divisible(mesh):
     rng = np.random.default_rng(7)
     Z = rng.normal(size=(45, 53)).cumsum(axis=0).astype(np.float32)
