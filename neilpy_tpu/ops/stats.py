@@ -9,10 +9,13 @@ convolution machinery.
 
 TPU-native design: the reference's per-pixel ``generic_filter``
 neighbourhood sums (its hottest statistical loop, neilpy.py:380-385)
-are *footprint sums*, mathematically identical to a convolution with
-the footprint — so they lower onto the MXU via ``lax.conv``.  The
-normal-distribution tail is evaluated with ``erfc``; significance
-binning is elementwise.
+are *footprint sums*.  Binary footprints (the Gi/Moran case) use the
+run-decomposed power-of-2 sliding-sum in
+``surface.binary_footprint_sum`` — O(rows·log width) whole-array adds;
+the single-channel conv lowering runs on the VPU and measured 170x
+slower at disk r=13 on v5e.  Weighted kernels fall back to
+``lax.conv``.  The normal-distribution tail is evaluated with
+``erfc``; significance binning is elementwise.
 """
 
 from __future__ import annotations
@@ -21,7 +24,8 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from .surface import convolve2d_nearest, evans_curvature
+from .surface import (convolve2d_nearest, binary_footprint_sum,
+                      evans_curvature)
 from ..core.codes import disk
 
 __all__ = ["gi_formula", "gistar_formula", "rasterGi", "morans_i",
@@ -46,6 +50,15 @@ def gistar_formula(x, n, m, v):
 def _norm_sf(z):
     """Standard normal survival function via erfc."""
     return 0.5 * jax.scipy.special.erfc(z / jnp.sqrt(2.0))
+
+
+def _is_binary(fp):
+    """Symmetric binary footprints take the fast run-decomposed sum
+    (correlation == convolution for them); asymmetric or weighted
+    kernels keep the conv path with ndi.convolve's flip semantics."""
+    f = np.asarray(fp)
+    return (np.isin(f, (0, 1)).all()
+            and np.array_equal(f, f[::-1, ::-1]))
 
 
 def rasterGi(X, footprint=1, mode="nearest", apply_correction=False,
@@ -87,12 +100,13 @@ def rasterGi(X, footprint=1, mode="nearest", apply_correction=False,
         gv = (jnp.nanstd(X) ** 2 if global_var is None
               else jnp.float32(global_var))
 
-    w_neighbors = convolve2d_nearest(finite.astype(jnp.float32), fp,
-                                     mode=mode)
+    fsum = (binary_footprint_sum if _is_binary(fp) else
+            convolve2d_nearest)
+    w_neighbors = fsum(finite.astype(jnp.float32), fp, mode=mode)
     w_neighbors = jnp.round(w_neighbors)
     w_neighbors = jnp.where(finite, w_neighbors, jnp.nan)
 
-    nansum_w = convolve2d_nearest(jnp.where(finite, X, 0.0), fp, mode=mode)
+    nansum_w = fsum(jnp.where(finite, X, 0.0), fp, mode=mode)
     a = nansum_w - w_neighbors * gm
     if star:
         b = jnp.sqrt((w_neighbors / (nf - 1)) * (nf - w_neighbors) * gv)
@@ -139,11 +153,13 @@ def morans_i(X, footprint=1, mode="nearest"):
     xbar = jnp.nanmean(X)
     zdev = jnp.where(finite, X - xbar, 0.0)
 
-    lag = convolve2d_nearest(zdev, fp, mode=mode)
+    fsum = (binary_footprint_sum if _is_binary(fp) else
+            convolve2d_nearest)
+    lag = fsum(zdev, fp, mode=mode)
     num = jnp.sum(zdev * lag)
     den = jnp.sum(zdev ** 2)
     # W = total weight: pairs of finite cells within the footprint
-    wsum_map = convolve2d_nearest(finite.astype(jnp.float32), fp, mode=mode)
+    wsum_map = fsum(finite.astype(jnp.float32), fp, mode=mode)
     W = jnp.sum(jnp.where(finite, wsum_map, 0.0))
     I = (nf / W) * (num / den)
     E_I = -1.0 / (nf - 1)
@@ -178,7 +194,9 @@ def local_morans_i(X, footprint=1, mode="nearest", mean=None, s2=None):
         s2 = jnp.sum(zdev ** 2) / nf
     else:
         s2 = jnp.float32(s2)
-    lag = convolve2d_nearest(zdev, fp, mode=mode)
+    fsum = (binary_footprint_sum if _is_binary(fp) else
+            convolve2d_nearest)
+    lag = fsum(zdev, fp, mode=mode)
     I = (zdev / s2) * lag
     return jnp.where(finite, I, jnp.nan)
 

@@ -33,7 +33,7 @@ __all__ = [
     "wilson_gallant_curvature", "hillshade", "multiple_illumination",
     "pssm", "z_factor", "triangle_height", "vip_score", "std",
     "reduce_peaks", "topographic_position_index", "scaled_morphometry",
-    "convolve2d_nearest",
+    "convolve2d_nearest", "binary_footprint_sum",
 ]
 
 
@@ -60,6 +60,72 @@ def convolve2d_nearest(X, kernel, mode="nearest"):
         window_strides=(1, 1), padding="VALID",
         preferred_element_type=jnp.float32)
     return out[0, 0]
+
+
+def binary_footprint_sum(X, footprint, mode="nearest"):
+    """Neighbourhood sum over a BINARY footprint with edge-replicate
+    (or reflect) padding — exact ``generic_filter``-style correlation
+    semantics (no kernel flip; footprints are taken as positioned).
+
+    Decomposes the footprint into horizontal runs per row and builds
+    each run's sliding sum from power-of-2 partials: O(rows * log
+    width) whole-array adds instead of the O(rows * width) MACs of
+    the conv lowering, which XLA executes on the VPU for single-
+    channel spatial kernels (measured 3 Mpix/s at disk r=13 on v5e vs
+    ~500 Mpix/s for this decomposition)."""
+    X = jnp.asarray(X, dtype=jnp.float32)
+    fp = np.asarray(footprint) != 0
+    kh, kw = fp.shape
+    ph, pw = kh // 2, kw // 2
+    H, W = X.shape
+    if mode == "nearest":
+        Xp = pad_edge(X, ((ph, kh - 1 - ph), (pw, kw - 1 - pw)))
+    elif mode == "reflect":
+        Xp = pad_reflect(X, ((ph, kh - 1 - ph), (pw, kw - 1 - pw)))
+    else:
+        raise ValueError(f"unsupported mode {mode}")
+
+    # runs per footprint row: [(dr, c0, width), ...]
+    runs = []
+    for dr in range(kh):
+        row = fp[dr]
+        c = 0
+        while c < kw:
+            if not row[c]:
+                c += 1
+                continue
+            c0 = c
+            while c < kw and row[c]:
+                c += 1
+            runs.append((dr, c0, c - c0))
+    if not runs:
+        return jnp.zeros((H, W), dtype=jnp.float32)
+
+    # power-of-2 column partial sums built ONCE on the full padded
+    # array and shared by every row's runs
+    wmax = max(w for _, _, w in runs)
+    partial = {1: Xp}
+    k = 1
+    while k * 2 <= wmax:
+        a = partial[k]
+        n = a.shape[1]
+        partial[2 * k] = a[:, : n - k] + a[:, k:]
+        k *= 2
+
+    out = jnp.zeros((H, W), dtype=jnp.float32)
+    for dr, c0, wlen in runs:
+        # combine the binary decomposition of wlen starting at col c0
+        off = c0
+        k = 1 << (wlen.bit_length() - 1)
+        acc = None
+        while k >= 1:
+            if wlen & k:
+                piece = partial[k][dr:dr + H, off:off + W]
+                acc = piece if acc is None else acc + piece
+                off += k
+            k //= 2
+        out = out + acc
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -398,14 +464,27 @@ def vip_score(Z, cellsize=1):
     return heights / 4.0
 
 
+def _uniform_correlate(X, kernel, mode="nearest"):
+    """Route a correlation through the fast run-decomposed sum when
+    the kernel is a uniformly-weighted symmetric footprint (c * binary
+    with point-symmetric support — then flip == identity); weighted
+    kernels keep the conv lowering."""
+    k = np.asarray(kernel, dtype=np.float64)
+    nz = k[k != 0]
+    if (nz.size and np.all(nz == nz[0])
+            and np.array_equal(k, k[::-1, ::-1])):
+        return binary_footprint_sum(X, k != 0, mode=mode) * float(nz[0])
+    return convolve2d_nearest(X, kernel, mode=mode)
+
+
 def std(X, strel):
     """Convolution-based windowed standard deviation
     (neilpy.py:2039-2047)."""
     X = jnp.asarray(X, dtype=jnp.float32)
     s = np.asarray(strel, dtype=np.float32)
     ssum = float(s.sum())
-    Xsum = convolve2d_nearest(X, s)
-    Xss = convolve2d_nearest(X ** 2, s)
+    Xsum = _uniform_correlate(X, s)
+    Xss = _uniform_correlate(X ** 2, s)
     Xm = Xsum / ssum
     V = (Xss - 2 * Xm * Xsum + ssum * Xm ** 2) / ssum
     V = jnp.where(V < 0, 0.0, V)
@@ -437,12 +516,12 @@ def topographic_position_index(X, radius=1, standardize=True):
         strel = disk(radius).astype(np.float64)
     strel[radius, radius] = 0
     strel = strel / strel.sum()
-    mean = convolve2d_nearest(X, strel)
+    mean = _uniform_correlate(X, strel)
     result = X - mean
     if standardize:
         # Reference formula replicated verbatim (flagged as suspect by
         # the author at neilpy.py:2118-2120).
-        sd = jnp.sqrt(jnp.mean(convolve2d_nearest(X ** 2, strel))
+        sd = jnp.sqrt(jnp.mean(_uniform_correlate(X ** 2, strel))
                       - jnp.mean(result) ** 2)
         result = result / sd
     return result
