@@ -46,6 +46,10 @@ long lzw_decode(const uint8_t* src, long src_len,
         bits -= width;
         int code = (int)((bitbuf >> bits) & ((1u << width) - 1));
         if (code == EOI) return di;
+        // Output already full: stop, tolerating whatever trails (a
+        // misaligned EOI from sloppy writers) — matches the Python
+        // fallback's while(out_len < expected) semantics and libtiff.
+        if (di >= dst_cap) return di;
         if (code == CLEAR) {
             next = 258; width = 9; prev = -1;
             continue;
@@ -68,8 +72,24 @@ long lzw_decode(const uint8_t* src, long src_len,
                 return -1;
             }
             long n = length[emit] + (code == next ? 1 : 0);
-            if (di + n > dst_cap) return -1;
             long end = di + n;
+            if (end > dst_cap) {
+                // final string truncated by a full output buffer:
+                // store only in-capacity bytes (the backward walk
+                // emits the tail first), then stop — matches the
+                // Python fallback's while(out_len < expected) and
+                // libtiff's tolerance of sloppy writers
+                if (code == next && end - 1 < dst_cap)
+                    dst[end - 1] = kfirst;
+                long w = di + length[emit];
+                int c = emit;
+                while (c >= 0) {
+                    --w;
+                    if (w < dst_cap) dst[w] = tail[c];
+                    c = prefix[c];
+                }
+                return dst_cap;
+            }
             if (code == next) dst[end - 1] = kfirst;
             long w = di + length[emit];
             int c = emit;

@@ -253,6 +253,14 @@ def lzw_encode(data):
         w = bytes([ch])
     if w:
         out.write(table[w], width)
+        # the decoder registers one more entry for this final code and
+        # applies the early-change bump BEFORE reading the next code,
+        # so when the count lands exactly on a width boundary the EOI
+        # must be written at the wider width (caught by a decoder that
+        # reads through to EOI; fuzzed against both of our decoders
+        # and PIL in tests)
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
     out.write(EOI, width)
     return out.getvalue()
 

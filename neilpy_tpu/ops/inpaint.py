@@ -228,9 +228,24 @@ def _springs_core(A, tol, maxiter, multiscale=True):
     return jnp.where(nanmask, x, A), it
 
 
+def _warn_exhausted(it, maxiter, tol):
+    if int(it) >= int(maxiter):
+        import warnings
+        warnings.warn(
+            f"inpaint_nans_by_springs: CG exhausted maxiter={maxiter} "
+            f"without reaching tol={tol}; result is the best iterate. "
+            "Raise maxiter or loosen tol.", RuntimeWarning)
+
+
 @partial(jax.jit, static_argnames=("tol", "maxiter", "multiscale"))
 def _springs_solve(A, tol=1e-7, maxiter=4000, multiscale=True):
-    return _springs_core(A, tol, maxiter, multiscale)
+    out, it = _springs_core(A, tol, maxiter, multiscale)
+    # async host callback: warns on exhaustion without forcing the
+    # caller to block on the solve (an eager int(it) here would
+    # serialize every pipeline that dispatches the fill asynchronously)
+    jax.debug.callback(partial(_warn_exhausted, maxiter=maxiter, tol=tol),
+                       it)
+    return out, it
 
 
 def inpaint_nans_by_springs(A, inplace=False, neighbors=4, tol=1e-7,
@@ -251,17 +266,12 @@ def inpaint_nans_by_springs(A, inplace=False, neighbors=4, tol=1e-7,
     del inplace  # functional API: always returns the filled array
     out, it = _springs_solve(A, tol=tol, maxiter=maxiter,
                              multiscale=multiscale)
-    it = int(it)
-    converged = it < maxiter
-    if not converged:
-        import warnings
-        warnings.warn(
-            f"inpaint_nans_by_springs: CG exhausted maxiter={maxiter} "
-            f"without reaching tol={tol}; result is the best iterate. "
-            "Raise maxiter or loosen tol.", RuntimeWarning)
     if return_info:
-        return out, {"iterations": it, "converged": converged,
+        it = int(it)
+        return out, {"iterations": it, "converged": it < maxiter,
                      "maxiter": maxiter}
+    # no sync here: the exhaustion warning fires from an async debug
+    # callback inside the solve, keeping the returned fill dispatchable
     return out
 
 

@@ -9,12 +9,12 @@ convolution machinery.
 
 TPU-native design: the reference's per-pixel ``generic_filter``
 neighbourhood sums (its hottest statistical loop, neilpy.py:380-385)
-are *footprint sums*.  Binary footprints (the Gi/Moran case) use the
-run-decomposed power-of-2 sliding-sum in
+are *footprint sums*.  Footprints are boolean
+masks (generic_filter semantics: no weights, no kernel flip), computed
+by the run-decomposed power-of-2 sliding-sum in
 ``surface.binary_footprint_sum`` — O(rows·log width) whole-array adds;
-the single-channel conv lowering runs on the VPU and measured 170x
-slower at disk r=13 on v5e.  Weighted kernels fall back to
-``lax.conv``.  The normal-distribution tail is evaluated with
+the single-channel conv lowering runs on the VPU and measured 222x
+slower at disk r=13 on v5e.  The normal-distribution tail is evaluated with
 ``erfc``; significance binning is elementwise.
 """
 
@@ -24,8 +24,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from .surface import (convolve2d_nearest, binary_footprint_sum,
-                      evans_curvature)
+from .surface import binary_footprint_sum, evans_curvature
 from ..core.codes import disk
 
 __all__ = ["gi_formula", "gistar_formula", "rasterGi", "morans_i",
@@ -50,15 +49,6 @@ def gistar_formula(x, n, m, v):
 def _norm_sf(z):
     """Standard normal survival function via erfc."""
     return 0.5 * jax.scipy.special.erfc(z / jnp.sqrt(2.0))
-
-
-def _is_binary(fp):
-    """Symmetric binary footprints take the fast run-decomposed sum
-    (correlation == convolution for them); asymmetric or weighted
-    kernels keep the conv path with ndi.convolve's flip semantics."""
-    f = np.asarray(fp)
-    return (np.isin(f, (0, 1)).all()
-            and np.array_equal(f, f[::-1, ::-1]))
 
 
 def rasterGi(X, footprint=1, mode="nearest", apply_correction=False,
@@ -100,13 +90,17 @@ def rasterGi(X, footprint=1, mode="nearest", apply_correction=False,
         gv = (jnp.nanstd(X) ** 2 if global_var is None
               else jnp.float32(global_var))
 
-    fsum = (binary_footprint_sum if _is_binary(fp) else
-            convolve2d_nearest)
-    w_neighbors = fsum(finite.astype(jnp.float32), fp, mode=mode)
+    # generic_filter's footprint= is a boolean MASK (no weights, no
+    # kernel flip — reference neilpy.py:380-385), so booleanize and
+    # use the run-decomposed sum unconditionally
+    fp = fp != 0
+    w_neighbors = binary_footprint_sum(finite.astype(jnp.float32), fp,
+                                       mode=mode)
     w_neighbors = jnp.round(w_neighbors)
     w_neighbors = jnp.where(finite, w_neighbors, jnp.nan)
 
-    nansum_w = fsum(jnp.where(finite, X, 0.0), fp, mode=mode)
+    nansum_w = binary_footprint_sum(jnp.where(finite, X, 0.0), fp,
+                                    mode=mode)
     a = nansum_w - w_neighbors * gm
     if star:
         b = jnp.sqrt((w_neighbors / (nf - 1)) * (nf - w_neighbors) * gv)
@@ -153,13 +147,13 @@ def morans_i(X, footprint=1, mode="nearest"):
     xbar = jnp.nanmean(X)
     zdev = jnp.where(finite, X - xbar, 0.0)
 
-    fsum = (binary_footprint_sum if _is_binary(fp) else
-            convolve2d_nearest)
-    lag = fsum(zdev, fp, mode=mode)
+    fp = fp != 0  # binary weight matrix by definition
+    lag = binary_footprint_sum(zdev, fp, mode=mode)
     num = jnp.sum(zdev * lag)
     den = jnp.sum(zdev ** 2)
     # W = total weight: pairs of finite cells within the footprint
-    wsum_map = fsum(finite.astype(jnp.float32), fp, mode=mode)
+    wsum_map = binary_footprint_sum(finite.astype(jnp.float32), fp,
+                                    mode=mode)
     W = jnp.sum(jnp.where(finite, wsum_map, 0.0))
     I = (nf / W) * (num / den)
     E_I = -1.0 / (nf - 1)
@@ -194,9 +188,8 @@ def local_morans_i(X, footprint=1, mode="nearest", mean=None, s2=None):
         s2 = jnp.sum(zdev ** 2) / nf
     else:
         s2 = jnp.float32(s2)
-    fsum = (binary_footprint_sum if _is_binary(fp) else
-            convolve2d_nearest)
-    lag = fsum(zdev, fp, mode=mode)
+    fp = fp != 0  # binary weight matrix by definition
+    lag = binary_footprint_sum(zdev, fp, mode=mode)
     I = (zdev / s2) * lag
     return jnp.where(finite, I, jnp.nan)
 

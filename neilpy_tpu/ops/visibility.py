@@ -159,6 +159,10 @@ def openness(Z, cellsize=1, lookup_pixels=1, neighbors=None, skyview=False,
     Mean over the requested directions of the minimum zenith angle along
     the scan ladder.  Negative openness = ``openness(-Z, ...)``.
 
+    ``skyview`` is accepted for signature parity but ignored — exactly
+    as in the reference, whose body never reads it (neilpy.py:1325);
+    use ``skyview_factor`` for SVF.
+
     ``engine='auto'`` runs the dense ladder through the Pallas VMEM
     kernel on TPU (same extrema as the XLA scan).
     """

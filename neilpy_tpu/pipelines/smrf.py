@@ -228,12 +228,17 @@ def _smrf_exact(x, y, z, cellsize, windows, slope_threshold,
             coeffs_Z, coeffs_S, jnp.asarray(r), jnp.asarray(c),
             jnp.asarray(z64), jnp.float64(elevation_threshold),
             jnp.float64(elevation_scaler))
+        # inside the x64 context: outside it jnp.asarray(z64) would
+        # silently downcast to f32 and above_ground_height would lose
+        # the exact-mode precision the caller asked for
+        if return_extras:
+            agh = jnp.asarray(z64) - elevation_values
 
     if return_extras:
         rr = np.clip(np.round(r).astype(int), 0, ny - 1)
         cc = np.clip(np.round(c).astype(int), 0, nx - 1)
         extras = {
-            "above_ground_height": jnp.asarray(z64) - elevation_values,
+            "above_ground_height": agh,
             "drop_raster": drop_raster,
             "when_dropped": np.asarray(drop_raster)[rr, cc],
         }

@@ -629,3 +629,51 @@ class TestJpegTiff:
                                 tiffinfo={278: 64})
         X, _ = read_geotiff(fn)
         np.testing.assert_array_equal(X, np.asarray(Image.open(fn)))
+
+
+class TestLzwBoundary:
+    """Regression: the encoder must apply the TIFF early-change width
+    bump before writing EOI — the decoder registers one more table
+    entry for the final data code and widens BEFORE reading the next
+    code, so an EOI written at the old width is misread whenever the
+    final table count lands exactly on a width boundary (~1/512
+    random strips)."""
+
+    # seeds found by simulating the encoder to land nxt == 2**width - 1
+    BOUNDARY_SEEDS = [742, 882, 1813, 2137, 2687]
+
+    @pytest.mark.parametrize("seed", BOUNDARY_SEEDS)
+    def test_eoi_at_width_boundary(self, seed):
+        from neilpy_tpu.io.tiff_codec import (lzw_encode, _lzw_decode_py,
+                                              _native_call)
+        r = np.random.default_rng(seed)
+        n = int(r.integers(500, 1100))
+        data = r.integers(0, 256, n).astype(np.uint8).tobytes()
+        enc = lzw_encode(data)
+        assert _lzw_decode_py(enc, n) == data
+        native = _native_call("lzw_decode", enc, n)
+        if native is not None:
+            assert native == data
+
+    @pytest.mark.parametrize("seed", BOUNDARY_SEEDS[:2])
+    def test_boundary_strip_roundtrip_pil(self, tmp_path, seed):
+        from PIL import Image
+        r = np.random.default_rng(seed)
+        n = int(r.integers(500, 1100))
+        Z = r.integers(0, 256, n).astype(np.uint8).reshape(1, n)
+        fn = str(tmp_path / "b.tif")
+        write_geotiff(fn, Z, compress="lzw")
+        np.testing.assert_array_equal(np.asarray(Image.open(fn)), Z)
+        np.testing.assert_array_equal(read_geotiff(fn)[0], Z)
+
+    def test_native_tolerates_trailing_garbage(self):
+        """Once the output is full the native decoder must stop (like
+        the Python fallback and libtiff), not reject the stream."""
+        from neilpy_tpu.io.tiff_codec import (lzw_encode, _native_call,
+                                              _lzw_decode_py)
+        data = bytes(range(256)) * 3
+        enc = lzw_encode(data) + b"\x55\xaa\x55\xaa"
+        assert _lzw_decode_py(enc, len(data)) == data
+        native = _native_call("lzw_decode", enc, len(data))
+        if native is not None:
+            assert native == data
