@@ -306,6 +306,39 @@ def bench_sharded_overhead():
     return dt_shard / dt_direct - 1
 
 
+def bench_stats():
+    """Getis-Ord Gi* + local Moran's I throughput (run-decomposed
+    sliding sums; the conv lowering measured 222x slower at r=13)."""
+    import jax
+    import jax.numpy as jnp
+    from neilpy_tpu.ops.stats import rasterGi, local_morans_i
+    from neilpy_tpu.core.codes import disk
+
+    H, W = BENCH_SHAPE
+    Zd = jax.device_put(jnp.asarray(_bench_input()))
+
+    def one_program_ms(kernel, n=10):
+        # these kernels run in single-digit ms: per-dispatch tunnel
+        # latency would dominate, so amortize inside one program
+        rep = _repeat_in_one_program(kernel, n)
+        np.asarray(rep(Zd).ravel()[:1])
+        dts = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(rep(Zd).ravel()[:1])
+            dts.append((time.time() - t0) / n)
+        return min(dts) * 1e3
+
+    for r in (5, 13):
+        fp = np.asarray(disk(r))
+        dt = one_program_ms(
+            lambda z, fp=fp: rasterGi(z, footprint=fp, star=True)[0])
+        log(f"rasterGi* disk r={r}: {dt:.1f} ms = "
+            f"{H*W/dt/1e3:.0f} Mpix/s")
+    dt = one_program_ms(lambda z: local_morans_i(z, footprint=3))
+    log(f"local Moran's I r=3: {dt:.1f} ms = {H*W/dt/1e3:.0f} Mpix/s")
+
+
 def bench_smrf():
     import pandas as pd
     from neilpy_tpu.pipelines.smrf import smrf
@@ -340,6 +373,10 @@ def main():
         bench_inpaint()
     except Exception as e:
         log("inpaint bench failed:", e)
+    try:
+        bench_stats()
+    except Exception as e:
+        log("stats bench failed:", e)
     try:
         bench_sharded_overhead()
     except Exception as e:
