@@ -409,3 +409,39 @@ def test_rastergi_matches_generic_filter_oracle(rng):
                                                   star=True)
     np.testing.assert_allclose(np.asarray(Z), Z_ref, atol=2e-4,
                                equal_nan=True)
+
+
+class TestBinaryFootprintSum:
+    """Direct oracle for the run-decomposed sliding-sum primitive:
+    must equal scipy generic_filter's masked neighbourhood sum
+    (correlation semantics, NO kernel flip) for symmetric AND
+    asymmetric footprints, both padding modes."""
+
+    @pytest.mark.parametrize("mode", ["nearest", "reflect"])
+    def test_disk_box_ring(self, rng, mode):
+        from scipy import ndimage as ndi
+        from neilpy_tpu.ops.surface import binary_footprint_sum
+        from neilpy_tpu.core.codes import disk
+        X = rng.normal(size=(41, 57)).astype(np.float32) * 50
+        ring = np.asarray(disk(4)) ^ np.pad(np.asarray(disk(2)), 2)
+        for fp in (np.asarray(disk(3)), np.ones((5, 7)), ring):
+            ours = np.asarray(binary_footprint_sum(X, fp, mode=mode))
+            ref = ndi.generic_filter(X.astype(np.float64), np.sum,
+                                     footprint=fp != 0, mode=mode)
+            np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+    def test_asymmetric_footprint_is_correlation(self, rng):
+        """An asymmetric footprint distinguishes correlation from
+        convolution — generic_filter does NOT flip, and neither do
+        we."""
+        from scipy import ndimage as ndi
+        from neilpy_tpu.ops.surface import binary_footprint_sum
+        X = rng.normal(size=(30, 40)).astype(np.float32) * 10
+        fp = np.zeros((3, 5), dtype=bool)
+        fp[0, 3:] = True
+        fp[2, 0] = True
+        fp[1, 1] = True
+        ours = np.asarray(binary_footprint_sum(X, fp))
+        ref = ndi.generic_filter(X.astype(np.float64), np.sum,
+                                 footprint=fp, mode="nearest")
+        np.testing.assert_allclose(ours, ref, atol=1e-3)
