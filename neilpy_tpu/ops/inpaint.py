@@ -237,14 +237,44 @@ def _warn_exhausted(it, maxiter, tol):
             "Raise maxiter or loosen tol.", RuntimeWarning)
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter", "multiscale"))
-def _springs_solve(A, tol=1e-7, maxiter=4000, multiscale=True):
+_CALLBACK_OK = None
+
+
+def _callbacks_supported():
+    """Host callbacks are UNIMPLEMENTED on some backends (the axon
+    TPU tunnel rejects them at execution time); probe once with a
+    trivial program so the big solve never has to find out the hard
+    way."""
+    global _CALLBACK_OK
+    if _CALLBACK_OK is None:
+        try:
+            def _noop(x):
+                pass
+
+            @jax.jit
+            def _probe(x):
+                jax.debug.callback(_noop, x)
+                return x + 1
+
+            jax.block_until_ready(_probe(jnp.float32(0)))
+            _CALLBACK_OK = True
+        except Exception:
+            _CALLBACK_OK = False
+    return _CALLBACK_OK
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter", "multiscale",
+                                   "warn_cb"))
+def _springs_solve(A, tol=1e-7, maxiter=4000, multiscale=True,
+                   warn_cb=False):
     out, it = _springs_core(A, tol, maxiter, multiscale)
-    # async host callback: warns on exhaustion without forcing the
-    # caller to block on the solve (an eager int(it) here would
-    # serialize every pipeline that dispatches the fill asynchronously)
-    jax.debug.callback(partial(_warn_exhausted, maxiter=maxiter, tol=tol),
-                       it)
+    if warn_cb:
+        # async host callback: warns on exhaustion without forcing the
+        # caller to block on the solve (an eager int(it) here would
+        # serialize every pipeline that dispatches the fill
+        # asynchronously)
+        jax.debug.callback(partial(_warn_exhausted, maxiter=maxiter,
+                                   tol=tol), it)
     return out, it
 
 
@@ -264,14 +294,21 @@ def inpaint_nans_by_springs(A, inplace=False, neighbors=4, tol=1e-7,
     if neighbors != 4:
         raise ValueError("At the moment, only 4 neighbors are supported.")
     del inplace  # functional API: always returns the filled array
+    warn_cb = not return_info and _callbacks_supported()
     out, it = _springs_solve(A, tol=tol, maxiter=maxiter,
-                             multiscale=multiscale)
+                             multiscale=multiscale, warn_cb=warn_cb)
     if return_info:
         it = int(it)
+        if it >= maxiter:
+            _warn_exhausted(it, maxiter, tol)
         return out, {"iterations": it, "converged": it < maxiter,
                      "maxiter": maxiter}
-    # no sync here: the exhaustion warning fires from an async debug
-    # callback inside the solve, keeping the returned fill dispatchable
+    if not warn_cb:
+        # backend without host callbacks: the only way to warn is to
+        # read the counter (costs a sync, as the pre-r2 code did)
+        _warn_exhausted(int(it), maxiter, tol)
+    # with the async callback active the returned fill stays
+    # dispatchable: no host sync on this path
     return out
 
 
