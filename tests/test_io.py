@@ -677,3 +677,68 @@ class TestLzwBoundary:
         native = _native_call("lzw_decode", enc, len(data))
         if native is not None:
             assert native == data
+
+
+def test_read_tiled_jpeg_tiff(tmp_path, rng):
+    """JPEG compression through the TILE branch: hand-built container
+    whose tile payloads are standalone JPEG streams (no JPEGTables
+    tag).  Lossy, so the oracle is PIL's decode of each tile stream."""
+    import io as _io
+    import struct
+    from PIL import Image
+    from neilpy_tpu.io.geotiff import read_geotiff
+    H = W = 64
+    TS = 32
+    a = (rng.random((H, W)) * 250).astype(np.uint8)
+    tiles, decoded = [], []
+    for ty in range(H // TS):
+        for tx in range(W // TS):
+            block = a[ty*TS:(ty+1)*TS, tx*TS:(tx+1)*TS]
+            buf = _io.BytesIO()
+            Image.fromarray(block).save(buf, format="JPEG", quality=92)
+            tiles.append(buf.getvalue())
+            decoded.append(np.asarray(Image.open(_io.BytesIO(
+                tiles[-1]))))
+
+    def entry(tid, typ, n, val):
+        return struct.pack("<HHL", tid, typ, n) + val
+
+    ntags = 9
+    ifd_off = 8
+    ifd_size = 2 + ntags * 12 + 4
+    noff = len(tiles)
+    offsets_blob_off = ifd_off + ifd_size
+    counts_blob_off = offsets_blob_off + 4 * noff
+    data_off = counts_blob_off + 4 * noff
+    offs, pos = [], data_off
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    out = bytearray()
+    out += b"II" + struct.pack("<HL", 42, ifd_off)
+    out += struct.pack("<H", ntags)
+    out += entry(256, 4, 1, struct.pack("<L", W))
+    out += entry(257, 4, 1, struct.pack("<L", H))
+    out += entry(258, 3, 1, struct.pack("<HH", 8, 0))
+    out += entry(259, 3, 1, struct.pack("<HH", 7, 0))   # JPEG
+    out += entry(262, 3, 1, struct.pack("<HH", 1, 0))
+    out += entry(322, 4, 1, struct.pack("<L", TS))
+    out += entry(323, 4, 1, struct.pack("<L", TS))
+    out += entry(324, 4, noff, struct.pack("<L", offsets_blob_off))
+    out += entry(325, 4, noff, struct.pack("<L", counts_blob_off))
+    out += struct.pack("<L", 0)
+    out += b"".join(struct.pack("<L", o) for o in offs)
+    out += b"".join(struct.pack("<L", len(t)) for t in tiles)
+    assert len(out) == data_off
+    for t in tiles:
+        out += t
+    fn = str(tmp_path / "jtiled.tif")
+    open(fn, "wb").write(bytes(out))
+
+    X, _ = read_geotiff(fn)
+    i = 0
+    for ty in range(H // TS):
+        for tx in range(W // TS):
+            np.testing.assert_array_equal(
+                X[ty*TS:(ty+1)*TS, tx*TS:(tx+1)*TS], decoded[i])
+            i += 1
