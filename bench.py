@@ -297,11 +297,25 @@ def bench_sharded_overhead():
     a = np.asarray(geomorphons(Zd, engine="xla", **kw))
     b = np.asarray(sharded_geomorphons(Zd, mesh=mesh, engine="xla", **kw))
     agree = float(np.mean(a == b))
-    dt_direct = _timeit(lambda: geomorphons(Zd, engine="xla", **kw), k=6)
-    dt_shard = _timeit(lambda: sharded_geomorphons(Zd, mesh=mesh,
-                                                   engine="xla", **kw), k=6)
-    log(f"sharded 1x1 mesh overhead: direct {dt_direct*1e3:.1f} ms vs "
-        f"sharded {dt_shard*1e3:.1f} ms "
+
+    # in-one-program timing for BOTH sides: per-dispatch tunnel noise
+    # swamped per-call deltas (measured anywhere from -34% to +1%)
+    def one_program_ms(kernel, n=6):
+        rep = _repeat_in_one_program(kernel, n)
+        np.asarray(rep(Zd).ravel()[:1])
+        dts = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(rep(Zd).ravel()[:1])
+            dts.append((time.time() - t0) / n)
+        return min(dts) * 1e3
+
+    dt_direct = one_program_ms(lambda z: geomorphons(z, engine="xla",
+                                                     **kw))
+    dt_shard = one_program_ms(lambda z: sharded_geomorphons(
+        z, mesh=mesh, engine="xla", **kw))
+    log(f"sharded 1x1 mesh overhead: direct {dt_direct:.1f} ms vs "
+        f"sharded {dt_shard:.1f} ms "
         f"({100*(dt_shard/dt_direct-1):+.1f}%), agreement {agree}")
     return dt_shard / dt_direct - 1
 
