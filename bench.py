@@ -85,6 +85,19 @@ def _repeat_in_one_program(kernel, n):
     return rep
 
 
+def _one_program_ms(Zd, kernel, n=8):
+    """min-of-3 amortized ms for kernel(Z), timed inside ONE jitted
+    program (see _repeat_in_one_program for why)."""
+    rep = _repeat_in_one_program(kernel, n)
+    np.asarray(rep(Zd).ravel()[:1])
+    dts = []
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(rep(Zd).ravel()[:1])
+        dts.append((time.time() - t0) / n)
+    return min(dts) * 1e3
+
+
 def _pallas_probe():
     """Entry point run in a SUBPROCESS: the Pallas kernel's Mosaic
     compile at lookup=50 can take tens of minutes on a cold cache, and
@@ -300,20 +313,10 @@ def bench_sharded_overhead():
 
     # in-one-program timing for BOTH sides: per-dispatch tunnel noise
     # swamped per-call deltas (measured anywhere from -34% to +1%)
-    def one_program_ms(kernel, n=6):
-        rep = _repeat_in_one_program(kernel, n)
-        np.asarray(rep(Zd).ravel()[:1])
-        dts = []
-        for _ in range(3):
-            t0 = time.time()
-            np.asarray(rep(Zd).ravel()[:1])
-            dts.append((time.time() - t0) / n)
-        return min(dts) * 1e3
-
-    dt_direct = one_program_ms(lambda z: geomorphons(z, engine="xla",
-                                                     **kw))
-    dt_shard = one_program_ms(lambda z: sharded_geomorphons(
-        z, mesh=mesh, engine="xla", **kw))
+    dt_direct = _one_program_ms(Zd, lambda z: geomorphons(
+        z, engine="xla", **kw), n=6)
+    dt_shard = _one_program_ms(Zd, lambda z: sharded_geomorphons(
+        z, mesh=mesh, engine="xla", **kw), n=6)
     log(f"sharded 1x1 mesh overhead: direct {dt_direct:.1f} ms vs "
         f"sharded {dt_shard:.1f} ms "
         f"({100*(dt_shard/dt_direct-1):+.1f}%), agreement {agree}")
@@ -331,25 +334,17 @@ def bench_stats():
     H, W = BENCH_SHAPE
     Zd = jax.device_put(jnp.asarray(_bench_input()))
 
-    def one_program_ms(kernel, n=10):
-        # these kernels run in single-digit ms: per-dispatch tunnel
-        # latency would dominate, so amortize inside one program
-        rep = _repeat_in_one_program(kernel, n)
-        np.asarray(rep(Zd).ravel()[:1])
-        dts = []
-        for _ in range(3):
-            t0 = time.time()
-            np.asarray(rep(Zd).ravel()[:1])
-            dts.append((time.time() - t0) / n)
-        return min(dts) * 1e3
-
+    # these kernels run in single-digit ms: per-dispatch tunnel
+    # latency would dominate, so amortize inside one program
     for r in (5, 13):
         fp = np.asarray(disk(r))
-        dt = one_program_ms(
-            lambda z, fp=fp: rasterGi(z, footprint=fp, star=True)[0])
+        dt = _one_program_ms(
+            Zd, lambda z, fp=fp: rasterGi(z, footprint=fp, star=True)[0],
+            n=10)
         log(f"rasterGi* disk r={r}: {dt:.1f} ms = "
             f"{H*W/dt/1e3:.0f} Mpix/s")
-    dt = one_program_ms(lambda z: local_morans_i(z, footprint=3))
+    dt = _one_program_ms(Zd, lambda z: local_morans_i(z, footprint=3),
+                         n=10)
     log(f"local Moran's I r=3: {dt:.1f} ms = {H*W/dt/1e3:.0f} Mpix/s")
 
 

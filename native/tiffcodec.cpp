@@ -76,11 +76,11 @@ long lzw_decode(const uint8_t* src, long src_len,
             if (end > dst_cap) {
                 // final string truncated by a full output buffer:
                 // store only in-capacity bytes (the backward walk
-                // emits the tail first), then stop — matches the
-                // Python fallback's while(out_len < expected) and
-                // libtiff's tolerance of sloppy writers
-                if (code == next && end - 1 < dst_cap)
-                    dst[end - 1] = kfirst;
+                // emits the tail first; the KwKwK tail byte at end-1
+                // is always beyond capacity here), then stop —
+                // matches the Python fallback's
+                // while(out_len < expected) and libtiff's tolerance
+                // of sloppy writers
                 long w = di + length[emit];
                 int c = emit;
                 while (c >= 0) {

@@ -237,16 +237,17 @@ def _warn_exhausted(it, maxiter, tol):
             "Raise maxiter or loosen tol.", RuntimeWarning)
 
 
-_CALLBACK_OK = None
+_CALLBACK_OK = {}
 
 
-def _callbacks_supported():
+def _callbacks_supported(dev):
     """Host callbacks are UNIMPLEMENTED on some backends (the axon
-    TPU tunnel rejects them at execution time); probe once with a
-    trivial program so the big solve never has to find out the hard
-    way."""
-    global _CALLBACK_OK
-    if _CALLBACK_OK is None:
+    TPU tunnel rejects them at execution time); probe once PER
+    PLATFORM with a trivial program run on ``dev`` — a process-global
+    boolean would let a CPU-context probe bless a later TPU solve
+    (and vice versa)."""
+    key = getattr(dev, "platform", str(dev))
+    if key not in _CALLBACK_OK:
         try:
             def _noop(x):
                 pass
@@ -256,11 +257,12 @@ def _callbacks_supported():
                 jax.debug.callback(_noop, x)
                 return x + 1
 
-            jax.block_until_ready(_probe(jnp.float32(0)))
-            _CALLBACK_OK = True
+            with jax.default_device(dev):
+                jax.block_until_ready(_probe(jnp.float32(0)))
+            _CALLBACK_OK[key] = True
         except Exception:
-            _CALLBACK_OK = False
-    return _CALLBACK_OK
+            _CALLBACK_OK[key] = False
+    return _CALLBACK_OK[key]
 
 
 @partial(jax.jit, static_argnames=("tol", "maxiter", "multiscale",
@@ -294,12 +296,17 @@ def inpaint_nans_by_springs(A, inplace=False, neighbors=4, tol=1e-7,
     if neighbors != 4:
         raise ValueError("At the moment, only 4 neighbors are supported.")
     del inplace  # functional API: always returns the filled array
-    warn_cb = not return_info and _callbacks_supported()
-    out, it = _springs_solve(A, tol=tol, maxiter=maxiter,
+    arr = jnp.asarray(A)
+    devs = arr.devices() if hasattr(arr, "devices") else None
+    dev = next(iter(devs)) if devs else jax.devices()[0]
+    # warn_cb is independent of return_info so mixed call styles share
+    # ONE compiled program per shape
+    warn_cb = _callbacks_supported(dev)
+    out, it = _springs_solve(arr, tol=tol, maxiter=maxiter,
                              multiscale=multiscale, warn_cb=warn_cb)
     if return_info:
         it = int(it)
-        if it >= maxiter:
+        if it >= maxiter and not warn_cb:
             _warn_exhausted(it, maxiter, tol)
         return out, {"iterations": it, "converged": it < maxiter,
                      "maxiter": maxiter}

@@ -73,8 +73,7 @@ def rasterGi(X, footprint=1, mode="nearest", apply_correction=False,
             fp[m, m] = 0
     else:
         fp = np.asarray(footprint).astype(np.float32)
-        m = int(np.floor(fp.shape[0] / 2))
-        star = bool(fp[m, m] != 0)
+        star = bool(fp[fp.shape[0] // 2, fp.shape[1] // 2] != 0)
 
     finite = jnp.isfinite(X)
     n = jnp.sum(finite)
