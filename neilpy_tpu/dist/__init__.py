@@ -7,7 +7,7 @@ The reference's only scaling mechanism was tile-with-overlap
 """
 
 from .api import (make_mesh, pad_to_mesh, sharded_apply,
-                  sharded_geomorphons, sharded_openness,
+                  sharded_geomorphons, sharded_openness, sharded_skyview,
                   sharded_hillshade)
 from .halo import halo_exchange_2d, block_origin
 from .smrf import (sharded_smrf, sharded_springs_fill,
@@ -16,6 +16,7 @@ from .tiling import tiled_apply, TileCheckpoint
 
 __all__ = [
     "make_mesh", "pad_to_mesh", "sharded_apply", "sharded_geomorphons",
+    "sharded_skyview",
     "sharded_openness", "sharded_hillshade", "halo_exchange_2d",
     "block_origin", "sharded_smrf", "sharded_springs_fill",
     "sharded_progressive_filter", "tiled_apply", "TileCheckpoint",

@@ -24,6 +24,7 @@ from ..ops.visibility import (directional_ratio_extrema,
                               _angles_from_extrema, classes_from_counts)
 
 __all__ = ["make_mesh", "sharded_geomorphons", "sharded_openness",
+           "sharded_skyview",
            "sharded_hillshade", "pad_to_mesh", "sharded_apply"]
 
 from .halo import sharded_apply  # re-export
@@ -155,6 +156,41 @@ def sharded_openness(Z, mesh=None, cellsize=1, lookup_pixels=1,
         ang = jnp.rad2deg(jnp.mean(_angles_from_extrema(mx, seen),
                                    axis=0))
         return ang[r:r + bh, r:r + bw]
+
+    spec = P(*axis_names)
+    Zs = jax.device_put(Zp, NamedSharding(mesh, spec))
+    out = shard_map(local, mesh=mesh, in_specs=(spec,),
+                    out_specs=spec)(Zs)
+    return out[: orig[0], : orig[1]]
+
+
+def sharded_skyview(Z, mesh=None, cellsize=1, lookup_pixels=1,
+                    axis_names=("ty", "tx")):
+    """Skyview factor sharded over a device mesh — the same
+    ratio-extrema reformulation as ``skyview_factor`` (reference
+    neilpy.py:1360-1384), halo-exchanged per shard.  The clip at 0
+    absorbs both boundary-zero and never-seen contributions, so the
+    sharded result equals the single-device kernel."""
+    if mesh is None:
+        mesh = make_mesh()
+    Zp, orig = pad_to_mesh(jnp.asarray(Z, dtype=jnp.float32), mesh,
+                           axis_names)
+    ny = mesh.shape[axis_names[0]]
+    nx = mesh.shape[axis_names[1]]
+    bh, bw = Zp.shape[0] // ny, Zp.shape[1] // nx
+    r = int(lookup_pixels)
+    gshape = tuple(Zp.shape)
+
+    def local(block):
+        oy, ox = block_origin((bh, bw), axis_names)
+        padded = halo_exchange_2d(block, r, axis_names, (ny, nx),
+                                  mode="zero")
+        mx, _, _ = directional_ratio_extrema(
+            padded, cellsize=jnp.float32(cellsize), lookup_pixels=r,
+            origin=(oy - r, ox - r), global_shape=gshape)
+        t = jnp.maximum(mx, 0.0)
+        svf = 1.0 - jnp.mean(t / jnp.sqrt(1.0 + t * t), axis=0)
+        return svf[r:r + bh, r:r + bw]
 
     spec = P(*axis_names)
     Zs = jax.device_put(Zp, NamedSharding(mesh, spec))

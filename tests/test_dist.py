@@ -224,3 +224,19 @@ def test_multihop_one_shard_axis():
     single = np.asarray(geomorphons(Z, lookup_pixels=20))
     tiled = np.asarray(sharded_geomorphons(Z, m, lookup_pixels=20))
     np.testing.assert_array_equal(tiled, single)
+
+
+def test_sharded_skyview_matches_single(mesh):
+    """Sharded SVF == single-device skyview_factor, including a
+    non-divisible shape (NaN mesh padding) and a lookup spanning
+    shards."""
+    from neilpy_tpu.dist.api import sharded_skyview
+    from neilpy_tpu.ops.visibility import skyview_factor
+    rng = np.random.default_rng(11)
+    Z = rng.normal(size=(45, 67)).cumsum(axis=0).astype(np.float32)
+    for R in (3, 14):
+        single = np.asarray(skyview_factor(Z, cellsize=2.0,
+                                           lookup_pixels=R, engine="xla"))
+        tiled = np.asarray(sharded_skyview(Z, mesh, cellsize=2.0,
+                                           lookup_pixels=R))
+        np.testing.assert_allclose(tiled, single, atol=1e-6)
