@@ -58,6 +58,7 @@ from .ops.morphology import (grey_erosion_disk, grey_dilation_disk,
                              opening_disk, opening, erosion, dilation)
 from .ops.spline import interp_spline_2d
 from .pipelines.smrf import smrf, progressive_filter
+from .dist.tiling import tiled_apply, apply_parallel, TileCheckpoint
 
 # ----- statistics -----------------------------------------------------
 from .ops.stats import (gi_formula, gistar_formula, rasterGi, morans_i,

@@ -116,3 +116,29 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
             "given to resume into — pass the previous outputs via "
             "`out=` or delete the checkpoint file to recompute")
     return out if multi else out[0]
+
+
+def apply_parallel(function, array, chunks=None, depth=0,
+                   extra_arguments=(), extra_keywords=None):
+    """Drop-in for ``skimage.util.apply_parallel(function, array,
+    chunks, depth)`` as the reference notebooks use it
+    (test_neilpy.py:45, 92): overlapping-tile map with the overlap
+    cropped.  Backed by ``tiled_apply``, so every tile runs the same
+    compiled kernel on the accelerator; pass ``chunks=None`` to run
+    the function on the whole array.
+
+    Exactness contract (same as skimage's): with ``depth`` >= the
+    stencil radius, every pixel farther than ``depth`` from the
+    GLOBAL raster edge equals the untiled result; inside that border
+    band the tile kernel sees replicated padding instead of the true
+    edge, exactly as skimage's depth-padding does.  For bit-exact
+    boundaries use ``dist.sharded_apply`` / the sharded kernels, which
+    carry the global origin."""
+    if extra_keywords is None:
+        extra_keywords = {}
+    fn = lambda Z: function(Z, *extra_arguments, **extra_keywords)
+    if chunks is None:
+        return np.asarray(fn(np.asarray(array)))
+    if isinstance(chunks, (tuple, list)):
+        chunks = int(chunks[0])
+    return tiled_apply(fn, array, int(chunks), int(depth))

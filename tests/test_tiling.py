@@ -122,3 +122,32 @@ def test_completed_checkpoint_without_out_raises(tmp_path):
     with pytest.raises(ValueError, match="every tile done"):
         tiled_apply(lambda b: b, Z, tile_size=20, overlap=0,
                     checkpoint=ck)
+
+
+def test_apply_parallel_reference_signature():
+    """skimage.util.apply_parallel drop-in (the reference notebooks
+    call it directly): interior pixels (> depth from the global edge)
+    must equal the untiled result; only the depth-wide border band may
+    feel the padded boundary, exactly like skimage."""
+    import jax
+    import numpy as np
+    import neilpy_tpu as nt
+    rng = np.random.default_rng(0)
+    Z = rng.normal(size=(120, 150)).cumsum(axis=0).astype(np.float32)
+    fn = lambda b: np.asarray(nt.geomorphons(b, cellsize=2,
+                                             lookup_pixels=5))
+    full = fn(Z)
+    tiled = nt.apply_parallel(fn, Z, 64, 5)
+    d = tiled != full
+    band = np.zeros_like(d)
+    band[:5, :] = band[-5:, :] = True
+    band[:, :5] = band[:, -5:] = True
+    assert not (d & ~band).any(), "interior must be exact"
+    # chunks=None runs the whole array through fn
+    np.testing.assert_array_equal(nt.apply_parallel(fn, Z), full)
+    # extra_arguments/extra_keywords pass through
+    fn2 = lambda b, cs, lookup_pixels=1: np.asarray(
+        nt.geomorphons(b, cellsize=cs, lookup_pixels=lookup_pixels))
+    t2 = nt.apply_parallel(fn2, Z, 64, 5, extra_arguments=(2,),
+                           extra_keywords={"lookup_pixels": 5})
+    np.testing.assert_array_equal(t2, tiled)
