@@ -51,7 +51,8 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                             threshold_angle=1, windows=5,
                             slope_threshold=.15, gi_radius=3,
                             tile_size=2048, checkpoint=None,
-                            out=None, progress=False, use_pallas=None):
+                            out=None, progress=False, use_pallas=None,
+                            fast=False, how_fast=20):
     """Stream a (possibly memory-mapped) mosaic through one fused tile
     kernel computing geomorphon classes, SMRF object cells, and local
     Moran's I; resumable at tile granularity via ``checkpoint``.
@@ -96,11 +97,15 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
         from ..ops.pallas_scan import geomorphons_pallas as _geo
         geo = lambda b: _geo(b, cellsize=cellsize,
                              lookup_pixels=lookup_pixels,
-                             threshold_angle=threshold_angle)
+                             threshold_angle=threshold_angle,
+                             fast=bool(fast), how_fast=int(how_fast))
     else:
         geo = lambda b: geomorphons(b, cellsize=cellsize,
                                     lookup_pixels=lookup_pixels,
-                                    threshold_angle=threshold_angle)
+                                    threshold_angle=threshold_angle,
+                                    fast=bool(fast),
+                                    how_fast=int(how_fast),
+                                    engine="xla")
 
     @jax.jit
     def tile_kernel(block):
