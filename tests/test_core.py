@@ -117,3 +117,63 @@ def test_edges_from_it():
     xe, ye = edges_from_IT(img, t)
     assert xe[0] == 10.0 and xe[-1] == 16.0
     assert ye[0] == 20.0 and ye[-1] == 16.0
+
+
+def test_remaining_public_exports_smoke(tmp_path):
+    """Every public export exercised at least once: the aliases,
+    convenience wrappers, and submodule utilities not covered by the
+    focused suites."""
+    import pandas as pd
+    from scipy import ndimage as ndi
+    import neilpy_tpu as nt
+
+    rng = np.random.default_rng(0)
+    Z = rng.normal(size=(32, 40)).cumsum(axis=0).astype(np.float32)
+
+    # Raster pytree carries data + static georeferencing through jit
+    import jax
+    R = nt.Raster(Z, transform=nt.from_origin(0, 32, 1, 1), crs=32617)
+    R2 = jax.jit(lambda r: r)(R)
+    np.testing.assert_array_equal(np.asarray(R2.data), Z)
+    assert R2.crs == 32617
+
+    # morphology aliases == scipy grey ops
+    fp = np.ones((3, 3), dtype=bool)
+    np.testing.assert_allclose(np.asarray(nt.erosion(Z, fp)),
+                               ndi.grey_erosion(Z, footprint=fp))
+    np.testing.assert_allclose(np.asarray(nt.dilation(Z, fp)),
+                               ndi.grey_dilation(Z, footprint=fp))
+
+    # geomorphon aliases used by the reference notebooks
+    assert nt.get_geomorphons is nt.geomorphons
+    assert nt.get_geomorphon_from_openness is nt.geomorphons
+
+    # keep_xyz bbox filter
+    df = pd.DataFrame({"x": [0, 5, 9.0], "y": [0, 5, 9.0],
+                       "z": [1, 2, 3.0]})
+    assert list(nt.keep_xyz(df, x=(1, 8)).x) == [5]
+
+    # read_xyz generic loader
+    fn = str(tmp_path / "p.xyz")
+    open(fn, "w").write("1 2 3\n4 5 6\n")
+    d = nt.read_xyz(fn)
+    assert list(d.columns) == ["x", "y", "z"] and len(d) == 2
+
+    # lut_shade: 256x256x3 LUT gather
+    lut = rng.integers(0, 255, (256, 256, 3)).astype(np.uint8)
+    rgb = np.asarray(nt.lut_shade(Z, lut, cellsize=2))
+    assert rgb.shape == (32, 40, 3) and rgb.dtype == np.uint8
+
+    # utm forward/inverse roundtrip (geo submodule surface)
+    from neilpy_tpu.geo.proj import utm_forward, utm_inverse
+    x, y = utm_forward(-71.3, 44.27, 19)
+    lon, lat = utm_inverse(x, y, 19)
+    assert abs(lon - -71.3) < 1e-9 and abs(lat - 44.27) < 1e-9
+
+    # trace context manager produces a trace directory
+    from neilpy_tpu.profiling import trace
+    tdir = str(tmp_path / "tr")
+    with trace(tdir):
+        np.asarray(nt.hillshade(Z, cellsize=2))
+    import os
+    assert os.path.isdir(tdir) and os.listdir(tdir)
