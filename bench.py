@@ -7,8 +7,10 @@ EU-DEM at lookup=50 took ~26-42 min for ~1e8 px on CPU, i.e.
 ~0.2 Mpix/s; BASELINE.md).  Runs on whatever jax.devices() provides
 (the real TPU chip under the driver).
 
-Secondary numbers (printed as comments on stderr): point-gridding
-throughput and SMRF wall time on ISPRS samp12.
+Secondary numbers (printed as comments on stderr): the fast
+progressive ladder, point-gridding throughput, SMRF wall time on
+ISPRS samp12, springs-inpaint convergence at 4096^2, Gi*/Moran
+statistics throughput, and the 1x1-mesh sharding overhead.
 """
 
 import json
