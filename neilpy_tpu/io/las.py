@@ -159,14 +159,16 @@ def write_las(filename, x, y, z, intensity=None, classification=None,
               gpstime=None, rgb=None, return_number=None,
               num_returns=None, point_source_id=None, pdrf=None,
               scale=(0.001, 0.001, 0.001), offset=None):
-    """Write a LAS 1.2 file (legacy PDRF 0-3).
+    """Write a LAS file: 1.2 for legacy PDRF 0-3, 1.4 for PDRF 6-8.
 
     Beyond the reference's surface (it only reads LAS); the writer
     makes lidar pipelines round-trippable and produces files the
     reader (and the native decoder) consume bit-exactly.
 
-    ``pdrf`` defaults to the smallest format holding the supplied
-    optional columns (gpstime -> +1, rgb -> +2).  ``offset`` defaults
+    ``pdrf`` defaults to the smallest legacy format holding the
+    supplied optional columns (gpstime -> +1, rgb -> +2); pass
+    ``pdrf=6/7/8`` explicitly for a LAS 1.4 file (gpstime always
+    stored; 7 adds rgb, 8 adds rgb+nir slots).  ``offset`` defaults
     to the floor of the coordinate minima.
     """
     x = np.asarray(x, dtype=np.float64)
@@ -176,8 +178,9 @@ def write_las(filename, x, y, z, intensity=None, classification=None,
     if pdrf is None:
         pdrf = (1 if gpstime is not None else 0) | \
                (2 if rgb is not None else 0)
-    if pdrf not in (0, 1, 2, 3):
-        raise ValueError("write_las supports legacy PDRF 0-3.")
+    if pdrf not in (0, 1, 2, 3, 6, 7, 8):
+        raise ValueError("write_las supports PDRF 0-3 (LAS 1.2) and "
+                         "6-8 (LAS 1.4).")
     if offset is None:
         offset = (np.floor(x.min()), np.floor(y.min()), np.floor(z.min()))
     scale = tuple(float(s) for s in scale)
@@ -196,7 +199,11 @@ def write_las(filename, x, y, z, intensity=None, classification=None,
           else np.asarray(return_number, dtype=np.uint8))
     nr = (np.ones(n, dtype=np.uint8) if num_returns is None
           else np.asarray(num_returns, dtype=np.uint8))
-    rec["return_byte"] = (rn & 0b111) | ((nr & 0b111) << 3)
+    if pdrf >= 6:
+        # LAS 1.4 packs return/count in 4+4 bits
+        rec["return_byte"] = (rn & 0b1111) | ((nr & 0b1111) << 4)
+    else:
+        rec["return_byte"] = (rn & 0b111) | ((nr & 0b111) << 3)
     if point_source_id is not None:
         rec["point_source_id"] = np.asarray(point_source_id,
                                             dtype=np.uint16)
@@ -208,19 +215,28 @@ def write_las(filename, x, y, z, intensity=None, classification=None,
         rec["green"] = np.asarray(g, dtype=np.uint16)
         rec["blue"] = np.asarray(b, dtype=np.uint16)
 
-    hdr = bytearray(227)
+    las14 = pdrf >= 6
+    hsize = 375 if las14 else 227
+    hdr = bytearray(hsize)
     struct.pack_into("<4s", hdr, 0, b"LASF")
-    struct.pack_into("<BB", hdr, 24, 1, 2)            # version 1.2
+    struct.pack_into("<BB", hdr, 24, 1, 4 if las14 else 2)
     struct.pack_into("<32s", hdr, 26, b"neilpy_tpu")
     struct.pack_into("<32s", hdr, 58, b"neilpy_tpu write_las")
-    struct.pack_into("<H", hdr, 94, 227)              # header size
-    struct.pack_into("<L", hdr, 96, 227)              # point data offset
+    struct.pack_into("<H", hdr, 94, hsize)            # header size
+    struct.pack_into("<L", hdr, 96, hsize)            # point data offset
     struct.pack_into("<B", hdr, 104, pdrf)
     struct.pack_into("<H", hdr, 105, dt.itemsize)
-    struct.pack_into("<L", hdr, 107, n)
-    struct.pack_into("<5L", hdr, 111,
-                     *(np.bincount(np.minimum(rn, 5), minlength=6)[1:6]
-                       .astype(np.uint32)))
+    by_return = np.bincount(np.minimum(rn, 15), minlength=16)
+    if las14:
+        # legacy count fields MUST be zero for PDRF >= 6 (spec 1.4
+        # §2.2); the real counts live in the 1.4 block at offset 247
+        struct.pack_into("<Q", hdr, 247, n)
+        struct.pack_into("<15Q", hdr, 255,
+                         *by_return[1:16].astype(np.uint64))
+    else:
+        struct.pack_into("<L", hdr, 107, n)
+        struct.pack_into("<5L", hdr, 111,
+                         *by_return[1:6].astype(np.uint32))
     struct.pack_into("<3d", hdr, 131, *scale)
     struct.pack_into("<3d", hdr, 155, *offset)
     struct.pack_into("<6d", hdr, 179, x.max(), x.min(), y.max(),

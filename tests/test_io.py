@@ -742,3 +742,57 @@ def test_read_tiled_jpeg_tiff(tmp_path, rng):
             np.testing.assert_array_equal(
                 X[ty*TS:(ty+1)*TS, tx*TS:(tx+1)*TS], decoded[i])
             i += 1
+
+
+class TestLas14Writer:
+    """write_las with pdrf 6-8 emits a LAS 1.4 file (375-byte header,
+    64-bit counts at offset 247, zeroed legacy count fields per spec
+    §2.2, 4+4-bit return packing) that both readers consume."""
+
+    @pytest.mark.parametrize("pdrf", [6, 7, 8])
+    def test_roundtrip(self, tmp_path, rng, pdrf):
+        from neilpy_tpu.io.las import write_las
+        n = 300
+        x = rng.uniform(5e5, 5e5 + 100, n)
+        y = rng.uniform(4.2e6, 4.2e6 + 100, n)
+        z = rng.uniform(100, 150, n)
+        rn = rng.integers(1, 10, n)          # needs the 4-bit field
+        kw = {}
+        if pdrf >= 7:
+            kw["rgb"] = (rng.integers(0, 65535, n),
+                         rng.integers(0, 65535, n),
+                         rng.integers(0, 65535, n))
+        fn = str(tmp_path / f"v14_{pdrf}.las")
+        write_las(fn, x, y, z, gpstime=rng.uniform(0, 1e6, n),
+                  classification=rng.integers(0, 20, n),
+                  return_number=rn, num_returns=np.full(n, 10),
+                  pdrf=pdrf)
+        header, df = read_las(fn)
+        assert header["point_data_format_id"] == pdrf
+        assert header["version_minor"] == 4
+        assert len(df) == n
+        np.testing.assert_allclose(df.x, x, atol=0.001)
+        np.testing.assert_allclose(df.z, z, atol=0.001)
+        np.testing.assert_array_equal(df.return_number, rn)
+        np.testing.assert_array_equal(df.return_max, 10)
+        # legacy 32-bit count must be zero (spec) yet reading works
+        raw = open(fn, "rb").read()
+        import struct as _s
+        assert _s.unpack_from("<L", raw, 107)[0] == 0
+        assert _s.unpack_from("<Q", raw, 247)[0] == n
+
+    def test_native_reads_14(self, tmp_path, rng):
+        from neilpy_tpu.io.las import write_las
+        from neilpy_tpu.io.las_native import (native_available,
+                                              read_las_arrays)
+        if not native_available():
+            pytest.skip("native decoder unavailable")
+        n = 200
+        x = rng.uniform(0, 100, n)
+        y = rng.uniform(0, 100, n)
+        z = rng.uniform(0, 50, n)
+        fn = str(tmp_path / "v14.las")
+        write_las(fn, x, y, z, gpstime=rng.uniform(0, 1e6, n), pdrf=6)
+        arr = read_las_arrays(fn)
+        np.testing.assert_allclose(arr["x"], x, atol=0.001)
+        np.testing.assert_allclose(arr["z"], z, atol=0.001)
