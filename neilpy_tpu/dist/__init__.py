@@ -12,7 +12,7 @@ from .api import (make_mesh, pad_to_mesh, sharded_apply,
 from .halo import halo_exchange_2d, block_origin
 from .smrf import (sharded_smrf, sharded_springs_fill,
                    sharded_progressive_filter)
-from .tiling import tiled_apply, TileCheckpoint
+from .tiling import tiled_apply, apply_parallel, TileCheckpoint
 
 __all__ = [
     "make_mesh", "pad_to_mesh", "sharded_apply", "sharded_geomorphons",

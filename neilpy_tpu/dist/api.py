@@ -133,9 +133,12 @@ def sharded_geomorphons(Z, mesh=None, cellsize=1, lookup_pixels=1,
     return G[: orig[0], : orig[1]]
 
 
-def sharded_openness(Z, mesh=None, cellsize=1, lookup_pixels=1,
-                     axis_names=("ty", "tx")):
-    """Positive openness sharded over a device mesh."""
+def _sharded_extrema_map(Z, mesh, cellsize, lookup_pixels, axis_names,
+                         epilogue):
+    """Shared scaffold for mesh-sharded extrema consumers: pad to the
+    mesh, halo-exchange each block, run the ratio-extrema scan with a
+    global origin, and crop ``epilogue(mx, seen) -> (H, W)`` back to
+    the original shape."""
     if mesh is None:
         mesh = make_mesh()
     Zp, orig = pad_to_mesh(jnp.asarray(Z, dtype=jnp.float32), mesh,
@@ -153,50 +156,36 @@ def sharded_openness(Z, mesh=None, cellsize=1, lookup_pixels=1,
         mx, _, seen = directional_ratio_extrema(
             padded, cellsize=jnp.float32(cellsize), lookup_pixels=r,
             origin=(oy - r, ox - r), global_shape=gshape)
-        ang = jnp.rad2deg(jnp.mean(_angles_from_extrema(mx, seen),
-                                   axis=0))
-        return ang[r:r + bh, r:r + bw]
+        out = epilogue(mx, seen)
+        return out[r:r + bh, r:r + bw]
 
     spec = P(*axis_names)
     Zs = jax.device_put(Zp, NamedSharding(mesh, spec))
     out = shard_map(local, mesh=mesh, in_specs=(spec,),
                     out_specs=spec)(Zs)
     return out[: orig[0], : orig[1]]
+
+
+def sharded_openness(Z, mesh=None, cellsize=1, lookup_pixels=1,
+                     axis_names=("ty", "tx")):
+    """Positive openness sharded over a device mesh."""
+    return _sharded_extrema_map(
+        Z, mesh, cellsize, lookup_pixels, axis_names,
+        lambda mx, seen: jnp.rad2deg(
+            jnp.mean(_angles_from_extrema(mx, seen), axis=0)))
 
 
 def sharded_skyview(Z, mesh=None, cellsize=1, lookup_pixels=1,
                     axis_names=("ty", "tx")):
     """Skyview factor sharded over a device mesh — the same
     ratio-extrema reformulation as ``skyview_factor`` (reference
-    neilpy.py:1360-1384), halo-exchanged per shard.  The clip at 0
-    absorbs both boundary-zero and never-seen contributions, so the
-    sharded result equals the single-device kernel."""
-    if mesh is None:
-        mesh = make_mesh()
-    Zp, orig = pad_to_mesh(jnp.asarray(Z, dtype=jnp.float32), mesh,
-                           axis_names)
-    ny = mesh.shape[axis_names[0]]
-    nx = mesh.shape[axis_names[1]]
-    bh, bw = Zp.shape[0] // ny, Zp.shape[1] // nx
-    r = int(lookup_pixels)
-    gshape = tuple(Zp.shape)
-
-    def local(block):
-        oy, ox = block_origin((bh, bw), axis_names)
-        padded = halo_exchange_2d(block, r, axis_names, (ny, nx),
-                                  mode="zero")
-        mx, _, _ = directional_ratio_extrema(
-            padded, cellsize=jnp.float32(cellsize), lookup_pixels=r,
-            origin=(oy - r, ox - r), global_shape=gshape)
-        t = jnp.maximum(mx, 0.0)
-        svf = 1.0 - jnp.mean(t / jnp.sqrt(1.0 + t * t), axis=0)
-        return svf[r:r + bh, r:r + bw]
-
-    spec = P(*axis_names)
-    Zs = jax.device_put(Zp, NamedSharding(mesh, spec))
-    out = shard_map(local, mesh=mesh, in_specs=(spec,),
-                    out_specs=spec)(Zs)
-    return out[: orig[0], : orig[1]]
+    neilpy.py:1360-1384).  The clip at 0 absorbs both boundary-zero
+    and never-seen contributions, so the sharded result equals the
+    single-device kernel."""
+    from ..ops.visibility import svf_from_extrema
+    return _sharded_extrema_map(Z, mesh, cellsize, lookup_pixels,
+                                axis_names,
+                                lambda mx, seen: svf_from_extrema(mx))
 
 
 def sharded_hillshade(Z, mesh=None, cellsize=1, z_factor=1, zenith=45,

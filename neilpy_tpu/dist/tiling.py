@@ -18,7 +18,7 @@ import os
 
 import numpy as np
 
-__all__ = ["tiled_apply", "TileCheckpoint"]
+__all__ = ["tiled_apply", "apply_parallel", "TileCheckpoint"]
 
 
 class TileCheckpoint:
@@ -127,11 +127,12 @@ def apply_parallel(function, array, chunks=None, depth=0,
     compiled kernel on the accelerator; pass ``chunks=None`` to run
     the function on the whole array.
 
-    Exactness contract (same as skimage's): with ``depth`` >= the
-    stencil radius, every pixel farther than ``depth`` from the
+    Exactness contract (same CLASS as skimage's): with ``depth`` >=
+    the stencil radius, every pixel farther than ``depth`` from the
     GLOBAL raster edge equals the untiled result; inside that border
-    band the tile kernel sees replicated padding instead of the true
-    edge, exactly as skimage's depth-padding does.  For bit-exact
+    band the tile kernel sees padding instead of the true edge
+    (edge-replicate here; skimage's default depth padding is reflect,
+    so the two disagree only inside that band).  For bit-exact
     boundaries use ``dist.sharded_apply`` / the sharded kernels, which
     carry the global origin."""
     if extra_keywords is None:
@@ -140,5 +141,10 @@ def apply_parallel(function, array, chunks=None, depth=0,
     if chunks is None:
         return np.asarray(fn(np.asarray(array)))
     if isinstance(chunks, (tuple, list)):
+        if len(set(int(c) for c in chunks)) != 1:
+            raise ValueError(
+                "apply_parallel here supports square tiles only; got "
+                f"chunks={chunks} (pass a scalar or equal per-dim "
+                "chunks)")
         chunks = int(chunks[0])
     return tiled_apply(fn, array, int(chunks), int(depth))

@@ -181,6 +181,10 @@ def write_las(filename, x, y, z, intensity=None, classification=None,
     if pdrf not in (0, 1, 2, 3, 6, 7, 8):
         raise ValueError("write_las supports PDRF 0-3 (LAS 1.2) and "
                          "6-8 (LAS 1.4).")
+    if rgb is not None and pdrf not in (2, 3, 7, 8):
+        raise ValueError(f"rgb requires PDRF 2/3/7/8, got {pdrf}")
+    if gpstime is not None and pdrf in (0, 2):
+        raise ValueError(f"gpstime requires PDRF 1/3/6-8, got {pdrf}")
     if offset is None:
         offset = (np.floor(x.min()), np.floor(y.min()), np.floor(z.min()))
     scale = tuple(float(s) for s in scale)
@@ -219,6 +223,10 @@ def write_las(filename, x, y, z, intensity=None, classification=None,
     hsize = 375 if las14 else 227
     hdr = bytearray(hsize)
     struct.pack_into("<4s", hdr, 0, b"LASF")
+    if las14:
+        # the WKT global-encoding bit is mandatory for PDRF >= 6
+        # (LAS 1.4 R15 table 4)
+        struct.pack_into("<H", hdr, 6, 0x10)
     struct.pack_into("<BB", hdr, 24, 1, 4 if las14 else 2)
     struct.pack_into("<32s", hdr, 26, b"neilpy_tpu")
     struct.pack_into("<32s", hdr, 58, b"neilpy_tpu write_las")
@@ -226,14 +234,17 @@ def write_las(filename, x, y, z, intensity=None, classification=None,
     struct.pack_into("<L", hdr, 96, hsize)            # point data offset
     struct.pack_into("<B", hdr, 104, pdrf)
     struct.pack_into("<H", hdr, 105, dt.itemsize)
-    by_return = np.bincount(np.minimum(rn, 15), minlength=16)
     if las14:
         # legacy count fields MUST be zero for PDRF >= 6 (spec 1.4
         # §2.2); the real counts live in the 1.4 block at offset 247
+        by_return = np.bincount(np.minimum(rn, 15), minlength=16)
         struct.pack_into("<Q", hdr, 247, n)
         struct.pack_into("<15Q", hdr, 255,
                          *by_return[1:16].astype(np.uint64))
     else:
+        # legacy histogram clips returns > 5 into bucket 5 so the
+        # counts still sum to the point count
+        by_return = np.bincount(np.minimum(rn, 5), minlength=6)
         struct.pack_into("<L", hdr, 107, n)
         struct.pack_into("<5L", hdr, 111,
                          *by_return[1:6].astype(np.uint32))

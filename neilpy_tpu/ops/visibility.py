@@ -218,7 +218,15 @@ def skyview_factor(Z, cellsize=1, lookup_pixels=1, engine="auto"):
     else:
         mx, _, _ = directional_ratio_extrema(
             Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels))
-    t = jnp.maximum(mx, 0.0)  # also absorbs unseen rays (mx = -inf)
+    return svf_from_extrema(mx)
+
+
+def svf_from_extrema(mx):
+    """SVF from per-direction max ratios: 1 - mean sin(atan(max(t,0)))
+    with sin(atan(t)) = t/sqrt(1+t^2); the clip at 0 also absorbs
+    unseen rays (mx = -inf).  Shared by the single-device and sharded
+    skyview paths."""
+    t = jnp.maximum(mx, 0.0)
     return 1.0 - jnp.mean(t / jnp.sqrt(1.0 + t * t), axis=0)
 
 

@@ -796,3 +796,31 @@ class TestLas14Writer:
         arr = read_las_arrays(fn)
         np.testing.assert_allclose(arr["x"], x, atol=0.001)
         np.testing.assert_allclose(arr["z"], z, atol=0.001)
+
+
+def test_write_las_validation_and_legacy_histogram(tmp_path, rng):
+    """rgb/gpstime vs pdrf combinations fail fast with clear errors;
+    the legacy by-return histogram clips returns > 5 into bucket 5 so
+    counts still sum to the point count; 1.4 files set the WKT bit."""
+    import struct as _s
+    from neilpy_tpu.io.las import write_las
+    n = 10
+    x = rng.uniform(0, 10, n)
+    y = rng.uniform(0, 10, n)
+    z = rng.uniform(0, 5, n)
+    with pytest.raises(ValueError, match="rgb requires"):
+        write_las(str(tmp_path / "a.las"), x, y, z,
+                  rgb=(x, y, z), pdrf=6)
+    with pytest.raises(ValueError, match="gpstime requires"):
+        write_las(str(tmp_path / "b.las"), x, y, z, gpstime=x, pdrf=0)
+    fn = str(tmp_path / "c.las")
+    write_las(fn, x, y, z,
+              return_number=np.array([1, 2, 3, 4, 5, 6, 7, 7, 7, 7]),
+              num_returns=np.full(n, 7), pdrf=0)
+    raw = open(fn, "rb").read()
+    counts = _s.unpack_from("<5L", raw, 111)
+    assert sum(counts) == n and counts == (1, 1, 1, 1, 6)
+    fn14 = str(tmp_path / "d.las")
+    write_las(fn14, x, y, z, pdrf=6)
+    raw = open(fn14, "rb").read()
+    assert _s.unpack_from("<H", raw, 6)[0] & 0x10  # WKT bit
