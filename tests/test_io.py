@@ -824,3 +824,25 @@ def test_write_las_validation_and_legacy_histogram(tmp_path, rng):
     write_las(fn14, x, y, z, pdrf=6)
     raw = open(fn14, "rb").read()
     assert _s.unpack_from("<H", raw, 6)[0] & 0x10  # WKT bit
+
+
+def test_lzw_table_rollover_large_strip(tmp_path, rng):
+    """Strips large enough to fill the 12-bit LZW table and emit
+    mid-stream Clear codes (the short-strip tests never reach the
+    rollover); both decoders + PIL cross-checks."""
+    from PIL import Image
+    from neilpy_tpu.io.tiff_codec import (lzw_encode, _lzw_decode_py,
+                                          _native_call)
+    data = rng.integers(0, 256, 60_000).astype(np.uint8).tobytes()
+    enc = lzw_encode(data)
+    assert _lzw_decode_py(enc, len(data)) == data
+    native = _native_call("lzw_decode", enc, len(data))
+    if native is not None:
+        assert native == data
+    Z = rng.integers(0, 256, (64, 2048)).astype(np.uint8)
+    fn = str(tmp_path / "big.tif")
+    write_geotiff(fn, Z, compress="lzw")
+    np.testing.assert_array_equal(np.asarray(Image.open(fn)), Z)
+    fn2 = str(tmp_path / "pilbig.tif")
+    Image.fromarray(Z).save(fn2, compression="tiff_lzw")
+    np.testing.assert_array_equal(read_geotiff(fn2)[0], Z)
