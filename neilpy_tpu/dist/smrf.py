@@ -13,9 +13,12 @@ ICI halo exchanges sized per stage:
   already inside the window), so out-of-domain cells are simply routed
   to the reduction identity (+/-inf) and each opening stage exchanges a
   radius-w halo — bit-identical to the single-device kernel;
-* spring inpaint: matrix-free CG whose operator exchanges a 1-px halo
-  per iteration and whose inner products are ``psum`` tree-reductions
-  over the mesh; node degrees come from *global* coordinates so mesh
+* spring inpaint: matrix-free flexible CG whose operator exchanges a
+  1-px halo per iteration, whose inner products are ``psum``
+  tree-reductions over the mesh, and whose preconditioner is the
+  Galerkin multigrid K-cycle with sharded fine levels (halo-exchanged
+  smoothing, exact local 2x2 aggregation) handed off to a replicated
+  coarse hierarchy; node degrees come from *global* coordinates so mesh
   seams and the true raster boundary are handled exactly;
 * the block padding needed to make the raster mesh-divisible is
   masked out of the domain by global coordinates (never reflected or
@@ -40,6 +43,8 @@ from .halo import halo_exchange_2d
 from .api import make_mesh, pad_to_mesh
 from ..ops.morphology import _disk_morph_padded
 from ..ops.spline import spline_coefficients_2d, spline_ev_2d
+from ..ops.inpaint import (_coarsen_level, _kcycle, _blocksum2,
+                           _prolong2)
 from ..core.shift import gradient2d
 
 __all__ = ["sharded_smrf", "sharded_springs_fill",
@@ -84,11 +89,146 @@ def _halo_opening(block, radius, origin, global_shape, axis_names,
     return stage(eroded, jnp.maximum, -_INF)
 
 
+def _gather_global(x, axis_names):
+    """All-gather a sharded 2-D block into the full (replicated) global
+    array on every device (two tiled all_gathers over the mesh axes)."""
+    g = lax.all_gather(x, axis_names[0], axis=0, tiled=True)
+    return lax.all_gather(g, axis_names[1], axis=1, tiled=True)
+
+
+def _slice_block(g, block_shape, axis_names):
+    """Slice this device's block back out of a replicated global
+    array."""
+    iy = lax.axis_index(axis_names[0])
+    ix = lax.axis_index(axis_names[1])
+    return lax.dynamic_slice(
+        g, (iy * block_shape[0], ix * block_shape[1]), block_shape)
+
+
+def _apply_sh(x, diag, Ep, Sp, axis_names, mesh_shape):
+    """Sharded 5-point coefficient-array apply (the per-level operator
+    of ``ops.inpaint._apply_level``): one 1-px halo exchange of ``x``;
+    the coupling arrays arrive pre-padded."""
+    xp = halo_exchange_2d(x, 1, axis_names, mesh_shape, mode="zero")
+    return (diag * x
+            - Ep[1:-1, 1:-1] * xp[1:-1, 2:] - Ep[1:-1, :-2] * xp[1:-1, :-2]
+            - Sp[1:-1, 1:-1] * xp[2:, 1:-1] - Sp[:-2, 1:-1] * xp[:-2, 1:-1])
+
+
+def _sharded_mg_levels(unknown, deg, axis_names, mesh_shape,
+                       min_block=256):
+    """Galerkin hierarchy for the sharded spring solve.
+
+    The finest levels stay SHARDED: each device coarsens its own block
+    (exact, because block extents are kept even so 2x2 aggregates never
+    straddle a device boundary) and per-level halo-padded coupling
+    arrays feed ``_apply_sh``.  Once the local block reaches
+    ``min_block`` (or an odd extent), that level is all-gathered and
+    the hierarchy continues REPLICATED — every device runs the
+    identical coarse cycle, so no further communication below the
+    handoff.  Returns ``(sharded_levels, replicated_levels)`` where
+    ``sharded_levels[-1]`` is the handoff level (its gathered twin is
+    ``replicated_levels[0]``).
+    """
+    up = halo_exchange_2d(unknown, 1, axis_names, mesh_shape,
+                          mode="zero")
+    u = unknown
+    diag = deg * u
+    E = up[1:-1, 1:-1] * up[1:-1, 2:]
+    S = up[1:-1, 1:-1] * up[2:, 1:-1]
+
+    def pad_es(E, S):
+        return (halo_exchange_2d(E, 1, axis_names, mesh_shape,
+                                 mode="zero"),
+                halo_exchange_2d(S, 1, axis_names, mesh_shape,
+                                 mode="zero"))
+
+    slevels = [(diag, E, S, u, *pad_es(E, S))]
+    while (max(mesh_shape) > 1 and min(u.shape) > min_block
+           and u.shape[0] % 2 == 0 and u.shape[1] % 2 == 0):
+        diag, E, S, u = _coarsen_level(diag, E, S, u)
+        slevels.append((diag, E, S, u, *pad_es(E, S)))
+
+    rfine = tuple(_gather_global(a, axis_names)
+                  for a in slevels[-1][:4])
+    rlevels = [rfine]
+    while min(rlevels[-1][3].shape) > 4:
+        rlevels.append(_coarsen_level(*rlevels[-1]))
+    return slevels, rlevels
+
+
+def _kcycle_sh(r, slevels, rlevels, l, axis_names, mesh_shape,
+               omega=0.9, nsmooth=2, kdepth=2):
+    """Sharded multigrid K-cycle: the distributed twin of
+    ``ops.inpaint._kcycle``.  Sharded levels smooth with halo-exchanged
+    applies and psum inner products; at the handoff level the residual
+    is gathered and the single-device cycle finishes the recursion
+    replicated."""
+    def dot(a, b):
+        return lax.psum(jnp.sum(a * b), axis_names)
+
+    m = len(slevels) - 1
+    if l == m:
+        rg = _gather_global(r, axis_names)
+        xg = _kcycle(rg, rlevels, 0, omega, nsmooth, kdepth)
+        return _slice_block(xg, r.shape, axis_names)
+
+    diag, E, S, u, Ep, Sp = slevels[l]
+    bh, bw = u.shape
+    invD = jnp.where(diag > 0, omega / diag, 0.0) * u
+
+    def A(x):
+        return _apply_sh(x * u, diag, Ep, Sp, axis_names, mesh_shape) * u
+
+    def smooth(_, x):
+        return x + invD * (r - A(x))
+
+    x = lax.fori_loop(0, nsmooth, smooth, jnp.zeros_like(r))
+    rc = _blocksum2(r - A(x)) * slevels[l + 1][3]
+
+    if kdepth > 0 and l + 1 < m:
+        dc, Ec, Sc, uc, Epc, Spc = slevels[l + 1]
+
+        def Ac(xx):
+            return _apply_sh(xx * uc, dc, Epc, Spc, axis_names,
+                             mesh_shape) * uc
+
+        def _safe(num, den):
+            return jnp.where(den != 0,
+                             num / jnp.where(den != 0, den, 1.0), 0.0)
+
+        xc = jnp.zeros_like(rc)
+        rr = rc
+        z = _kcycle_sh(rr, slevels, rlevels, l + 1, axis_names,
+                       mesh_shape, omega, nsmooth, kdepth - 1)
+        p = z
+        rz = dot(rr, z)
+        for _ in range(2):
+            Ap = Ac(p)
+            alpha = _safe(rz, dot(p, Ap))
+            xc = xc + alpha * p
+            r_new = rr - alpha * Ap
+            z_new = _kcycle_sh(r_new, slevels, rlevels, l + 1,
+                               axis_names, mesh_shape, omega, nsmooth,
+                               kdepth - 1)
+            rz_new = dot(r_new, z_new)
+            beta = _safe(rz_new - dot(rr, z_new), rz)
+            p = z_new + beta * p
+            rr, z, rz = r_new, z_new, rz_new
+    else:
+        xc = _kcycle_sh(rc, slevels, rlevels, l + 1, axis_names,
+                        mesh_shape, omega, nsmooth,
+                        kdepth if l + 1 == m else 0)
+    x = x + _prolong2(xc, bh, bw) * u
+    return lax.fori_loop(0, nsmooth, smooth, x)
+
+
 def _springs_fill_local(block, origin, global_shape, axis_names,
-                        mesh_shape, tol, maxiter):
-    """Spring-graph inpaint of the local block: CG on the masked graph
-    Laplacian with a 1-px halo exchange inside the operator and psum
-    inner products (parity: ops/inpaint.py single-device solver)."""
+                        mesh_shape, tol, maxiter, mg_min_block=256):
+    """Spring-graph inpaint of the local block: flexible CG on the
+    masked graph Laplacian with a 1-px halo exchange inside the
+    operator, psum inner products, and the sharded Galerkin K-cycle as
+    preconditioner (parity: ops/inpaint.py single-device solver)."""
     dom = _domain_mask(block.shape, origin, global_shape)
     nanmask = jnp.isnan(block) & dom
     unknown = nanmask.astype(jnp.float32)
@@ -116,8 +256,11 @@ def _springs_fill_local(block, origin, global_shape, axis_names,
 
     b = nbr_sum(known_vals, known_mask) * unknown
 
-    inv_deg = jnp.where(deg > 0, 1.0 / deg, 0.0)
-    precond = lambda r_: r_ * inv_deg * unknown
+    slevels, rlevels = _sharded_mg_levels(unknown, deg, axis_names,
+                                          mesh_shape,
+                                          min_block=mg_min_block)
+    precond = lambda r_: _kcycle_sh(r_, slevels, rlevels, 0,
+                                    axis_names, mesh_shape)
 
     total_known = lax.psum(jnp.sum(known_mask), axis_names)
     mean = (lax.psum(jnp.sum(known_vals), axis_names)
@@ -132,32 +275,34 @@ def _springs_fill_local(block, origin, global_shape, axis_names,
     rz0 = dot(r0, z0)
 
     def cond(state):
-        x, r_, p_, rz, it = state
+        x, r_, p_, z_, rz, it = state
         return (dot(r_, r_) > atol2) & (it < maxiter)
 
     def body(state):
-        x, r_, p_, rz, it = state
+        # flexible (Polak–Ribière) CG: robust to the nonlinear K-cycle
+        x, r_, p_, z_, rz, it = state
         Ap = apply_fn(p_)
         alpha = rz / dot(p_, Ap)
         x = x + alpha * p_
-        r_ = r_ - alpha * Ap
-        z = precond(r_)
-        rz_new = dot(r_, z)
-        beta = rz_new / rz
-        p_ = z + beta * p_
-        return x, r_, p_, rz_new, it + 1
+        r_new = r_ - alpha * Ap
+        z_new = precond(r_new)
+        rz_new = dot(r_new, z_new)
+        beta = (rz_new - dot(r_, z_new)) / rz
+        p_ = z_new + beta * p_
+        return x, r_new, p_, z_new, rz_new, it + 1
 
-    x, _, _, _, _ = lax.while_loop(cond, body,
-                                   (x0, r0, z0, rz0, jnp.int32(0)))
+    x, _, _, _, _, _ = lax.while_loop(
+        cond, body, (x0, r0, z0, z0, rz0, jnp.int32(0)))
     return jnp.where(nanmask, x, block)
 
 
 @partial(jax.jit, static_argnames=("mesh", "windows", "global_shape",
                                    "axis_names", "low_outlier_fill",
-                                   "maxiter"))
+                                   "maxiter", "mg_min_block"))
 def _sharded_raster(Zs, mesh, windows, thresholds, low_threshold,
                     global_shape, axis_names=("ty", "tx"),
-                    low_outlier_fill=False, tol=1e-7, maxiter=4000):
+                    low_outlier_fill=False, tol=1e-7, maxiter=4000,
+                    mg_min_block=256):
     ny = mesh.shape[axis_names[0]]
     nx = mesh.shape[axis_names[1]]
     mesh_shape = (ny, nx)
@@ -168,7 +313,8 @@ def _sharded_raster(Zs, mesh, windows, thresholds, low_threshold,
 
         is_empty = jnp.isnan(block) & dom
         Zmin = _springs_fill_local(block, origin, global_shape,
-                                   axis_names, mesh_shape, tol, maxiter)
+                                   axis_names, mesh_shape, tol, maxiter,
+                                   mg_min_block)
 
         opened = _halo_opening(-Zmin, 1, origin, global_shape,
                                axis_names, mesh_shape)
@@ -177,7 +323,8 @@ def _sharded_raster(Zs, mesh, windows, thresholds, low_threshold,
         if low_outlier_fill:
             Zmin = _springs_fill_local(
                 jnp.where(low_outliers, jnp.nan, Zmin), origin,
-                global_shape, axis_names, mesh_shape, tol, maxiter)
+                global_shape, axis_names, mesh_shape, tol, maxiter,
+                mg_min_block)
 
         last = Zmin
         objects = jnp.zeros(block.shape, dtype=bool)
@@ -190,7 +337,8 @@ def _sharded_raster(Zs, mesh, windows, thresholds, low_threshold,
 
         Zpro = _springs_fill_local(jnp.where(objects, jnp.nan, Zmin),
                                    origin, global_shape, axis_names,
-                                   mesh_shape, tol, maxiter)
+                                   mesh_shape, tol, maxiter,
+                                   mg_min_block)
         return Zpro, objects
 
     spec = P(*axis_names)
@@ -199,10 +347,13 @@ def _sharded_raster(Zs, mesh, windows, thresholds, low_threshold,
 
 
 def sharded_springs_fill(A, mesh=None, axis_names=("ty", "tx"),
-                         tol=1e-7, maxiter=4000):
+                         tol=1e-7, maxiter=4000, mg_min_block=256):
     """Spring inpaint over a device mesh (multi-chip
-    ``inpaint_nans_by_springs``): halo-exchanged CG, exact global
-    boundary handling."""
+    ``inpaint_nans_by_springs``): halo-exchanged flexible CG with the
+    sharded Galerkin K-cycle preconditioner, exact global boundary
+    handling.  ``mg_min_block`` sets the block size below which the
+    multigrid hierarchy switches from sharded (halo-exchanged) levels
+    to a replicated coarse solve."""
     if mesh is None:
         mesh = make_mesh()
     A = jnp.asarray(A, dtype=jnp.float32)
@@ -219,7 +370,7 @@ def sharded_springs_fill(A, mesh=None, axis_names=("ty", "tx"),
             origin = _block_origin(block.shape, axis_names)
             return _springs_fill_local(block, origin, gshape,
                                        axis_names, (ny, nx), tol,
-                                       maxiter)
+                                       maxiter, mg_min_block)
         return shard_map(local, mesh=mesh, in_specs=(spec,),
                          out_specs=spec)(Zs)
 
@@ -267,7 +418,8 @@ def sharded_progressive_filter(Z, windows, mesh=None, cellsize=1,
 def sharded_smrf(x, y, z, cellsize=1, windows=5, slope_threshold=.15,
                  elevation_threshold=.5, elevation_scaler=1.25,
                  low_filter_slope=5, low_outlier_fill=False, mesh=None,
-                 axis_names=("ty", "tx"), tol=1e-7, maxiter=4000):
+                 axis_names=("ty", "tx"), tol=1e-7, maxiter=4000,
+                 mg_min_block=256):
     """Multi-chip SMRF (same signature/semantics as
     ``pipelines.smrf.smrf``): spatially-sharded raster phase +
     data-parallel point phase.
@@ -295,7 +447,8 @@ def sharded_smrf(x, y, z, cellsize=1, windows=5, slope_threshold=.15,
     Zpro_s, objects_s = _sharded_raster(
         Zs, mesh, tuple(int(w) for w in windows), thresholds,
         jnp.float32(low_filter_slope * cellsize), gshape, axis_names,
-        bool(low_outlier_fill), tol=tol, maxiter=maxiter)
+        bool(low_outlier_fill), tol=tol, maxiter=maxiter,
+        mg_min_block=mg_min_block)
     Zpro = Zpro_s[: orig[0], : orig[1]]
     object_cells = objects_s[: orig[0], : orig[1]]
 

@@ -106,6 +106,22 @@ class TestShardedSmrf:
         sharded = np.asarray(sharded_springs_fill(A, mesh))
         np.testing.assert_allclose(sharded, single, atol=1e-4)
 
+    def test_springs_fill_sharded_mg_levels(self, mesh):
+        """Force the multigrid hierarchy to keep several SHARDED levels
+        (mg_min_block small, mesh-divisible power-of-two extents) so
+        the halo-exchanged coarse applies and the handoff gather are
+        exercised, not just the replicated path."""
+        from neilpy_tpu.dist.smrf import sharded_springs_fill
+        from neilpy_tpu.ops.inpaint import inpaint_nans_by_springs
+        rng = np.random.default_rng(9)
+        A = rng.normal(size=(128, 128)).astype(np.float32).cumsum(axis=0)
+        A[20:90, 35:100] = np.nan  # one large contiguous hole
+        A[5, 5] = np.nan
+        single = np.asarray(inpaint_nans_by_springs(A))
+        sharded = np.asarray(sharded_springs_fill(A, mesh,
+                                                  mg_min_block=8))
+        np.testing.assert_allclose(sharded, single, atol=1e-4)
+
     def test_progressive_filter(self, mesh):
         from neilpy_tpu.dist.smrf import sharded_progressive_filter
         from neilpy_tpu.pipelines.smrf import progressive_filter

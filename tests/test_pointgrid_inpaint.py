@@ -140,8 +140,9 @@ class TestInpaint:
         assert any("maxiter" in str(r.message) for r in rec)
 
     def test_springs_multiscale_same_equilibrium(self, rng):
-        """The coarse-to-fine warm start must converge to the same
-        equilibrium as the flat start (it only changes x0)."""
+        """The multigrid-preconditioned solve must converge to the same
+        equilibrium as the unpreconditioned one (the preconditioner
+        only changes the search directions, not the fixed point)."""
         A = rng.normal(size=(96, 128)).cumsum(axis=0).cumsum(axis=1)
         A[20:60, 30:90] = np.nan
         a = np.asarray(inpaint_nans_by_springs(A, multiscale=True,
