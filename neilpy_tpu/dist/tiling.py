@@ -42,8 +42,76 @@ class TileCheckpoint:
             os.replace(tmp, self.path)
 
 
+def _is_device_array(a):
+    import jax
+    return isinstance(a, jax.Array)
+
+
+def _pack_device(res):
+    """Byte-pack cropped device products into ONE uint8 buffer so the
+    tile needs a single device->host transfer (the tunneled runtime
+    pays a per-transfer latency that dwarfs its bandwidth for
+    tile-sized arrays).  Returns (packed, specs) where specs drives
+    ``_unpack_host``."""
+    import jax.numpy as jnp
+    from jax import lax
+    parts = []
+    specs = []
+    for a in res:
+        if a.dtype == jnp.bool_ or a.dtype.itemsize == 1:
+            b = a.astype(jnp.uint8)[..., None]
+        else:
+            b = lax.bitcast_convert_type(a, jnp.uint8)
+        specs.append((np.dtype(a.dtype), b.shape[-1]))
+        parts.append(b)
+    return jnp.concatenate(parts, axis=-1), specs
+
+
+def _unpack_host(buf, specs):
+    """Invert ``_pack_device`` on the host copy."""
+    out = []
+    ofs = 0
+    for dt, nb in specs:
+        chunk = buf[..., ofs:ofs + nb]
+        ofs += nb
+        if nb == 1:
+            out.append(chunk[..., 0].astype(dt))
+        else:
+            out.append(np.ascontiguousarray(chunk).view(dt)[..., 0])
+    return tuple(out)
+
+
+def _stage_readback(a, chunk_bytes=6 << 20):
+    """Split a device array into row chunks and start their host
+    copies immediately (``copy_to_host_async``).  The tunneled runtime
+    moves several in-flight medium transfers ~2-5x faster than one
+    monolithic ``np.asarray`` (measured 52 vs 11-24 MB/s), and firing
+    the copies at dispatch time overlaps them with later tiles'
+    uploads and compute."""
+    if not _is_device_array(a):
+        return [a]
+    n = max(1, min(a.shape[0], -(-a.nbytes // chunk_bytes)))
+    step = -(-a.shape[0] // n)
+    chunks = [a[i:i + step] for i in range(0, a.shape[0], step)]
+    for c in chunks:
+        try:
+            c.copy_to_host_async()
+        except Exception:
+            pass  # backend without async host copies: asarray later
+    return chunks
+
+
+def _collect_readback(chunks):
+    if len(chunks) == 1:
+        return np.asarray(chunks[0])
+    return np.concatenate([np.asarray(c) for c in chunks], axis=0)
+
+
 def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
-                checkpoint=None, progress=False):
+                checkpoint=None, progress=False, pipeline_depth=2,
+                decode=None, device_input="auto",
+                device_input_budget=4 << 30, wire_fn=None,
+                wire_specs=None):
     """Apply ``fn`` (array -> array, same HxW) to overlapping tiles of
     ``Z``, cropping the overlap — semantics of
     ``skimage.util.apply_parallel(fn, Z, tile_size, overlap)``
@@ -57,7 +125,37 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
     ``fn`` may return a tuple of same-shaped rasters (a fused
     multi-product tile kernel); the return value is then a tuple of
     output arrays (and ``out``/``out_dtype``, if given, tuples too).
+
+    The tile stream is PIPELINED: up to ``pipeline_depth`` tiles stay
+    in flight (JAX dispatch is asynchronous, so tile N+1's host pad,
+    upload and compute overlap tile N's readback), overlap crops run
+    on device before transfer, multi-product tiles are byte-packed
+    into one buffer, and readbacks are chunked with async host copies
+    started at dispatch time.  ``decode`` (host tuple -> tuple) maps a
+    wire encoding back to the caller's products per tile, before
+    storing into ``out``.  Results are stored and checkpoint-marked
+    only after their readback completes, so kill-and-resume semantics
+    are unchanged.
+
+    When the whole input fits in the device budget
+    (``device_input='auto'``), it is uploaded ONCE, edge-padded on
+    device, and every tile window is a device-side ``dynamic_slice`` —
+    no per-tile host->device transfer at all.  Inputs over the budget
+    (the true out-of-core case) stream tile-by-tile as before.
+
+    ``wire_fn`` is the minimum-dispatch fast path for tunneled/remote
+    devices, where EVERY eager op costs a round-trip (measured ~1 s
+    per dispatch in bad weather — the crop/pack/chunk epilogue done
+    eagerly was 90% of mosaic wall-clock): a single jitted callable
+    ``wire_fn(block) -> tuple of row-chunk arrays`` that crops the
+    overlap, byte-packs the products, and splits the wire buffer
+    internally, so each tile costs ONE dispatch.  ``wire_specs`` (the
+    ``_unpack_host`` spec list) describes the packing; ``decode`` maps
+    unpacked wire products back to caller products.  ``fn`` is ignored
+    when ``wire_fn`` is given.
     """
+    from collections import deque
+
     Z = np.asarray(Z)
     H, W = Z.shape
     ts = int(tile_size)
@@ -74,6 +172,54 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
 
     n_ty = -(-H // ts)
     n_tx = -(-W // ts)
+    inflight = deque()
+
+    if device_input == "auto":
+        device_input = Z.nbytes <= int(device_input_budget)
+    dev_state = {}
+
+    def _device_block(r0, c0):
+        """Uniform (ts+2ov)^2 tile window sliced from the device-
+        resident, device-edge-padded raster (lazily uploaded on the
+        first computed tile, so a fully-checkpointed resume never pays
+        the upload)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        if "Zpad" not in dev_state:
+            pb = n_ty * ts - H + ov
+            pr = n_tx * ts - W + ov
+            dev_state["Zpad"] = jax.jit(
+                lambda a: jnp.pad(a, ((ov, pb), (ov, pr)), mode="edge")
+            )(jnp.asarray(Z))
+            dev_state["slicer"] = jax.jit(
+                lambda a, r, c: lax.dynamic_slice(
+                    a, (r, c), (ts + 2 * ov, ts + 2 * ov)))
+        return dev_state["slicer"](dev_state["Zpad"], np.int32(r0),
+                                   np.int32(c0))
+
+    def flush_one():
+        nonlocal out
+        key, (r0, r1, c0, c1), payload, specs = inflight.popleft()
+        if specs is not None:
+            res = _unpack_host(_collect_readback(payload[0]), specs)
+        else:
+            res = tuple(_collect_readback(ch) for ch in payload)
+        if decode is not None:
+            res = decode(res)
+        res = tuple(a[: r1 - r0, : c1 - c0] for a in res)
+        if out is None:
+            dts = (out_dtype if isinstance(out_dtype, (tuple, list))
+                   else (out_dtype,) * len(res))
+            out = tuple(np.empty((H, W), dtype=dt or a.dtype)
+                        for dt, a in zip(dts, res))
+        for o, a in zip(out, res):
+            o[r0:r1, c0:c1] = a
+        if ckpt:
+            ckpt.mark(key)
+        if progress:
+            print(f"tile {key} / ({n_ty},{n_tx})", flush=True)
+
     for ty in range(n_ty):
         for tx in range(n_tx):
             key = (ty, tx)
@@ -81,35 +227,54 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
                 continue
             r0, c0 = ty * ts, tx * ts
             r1, c1 = min(r0 + ts, H), min(c0 + ts, W)
-            # overlapped read window, clipped to the raster
-            rr0, cc0 = max(r0 - ov, 0), max(c0 - ov, 0)
-            rr1, cc1 = min(r1 + ov, H), min(c1 + ov, W)
-            block = Z[rr0:rr1, cc0:cc1]
-            # pad to the uniform (ts + 2 ov) shape so jit reuses one
-            # compilation; edge replication preserves local stencils
-            ph = (ov - (r0 - rr0), ov - (rr1 - r1))
-            pw = (ov - (c0 - cc0), ov - (cc1 - c1))
-            fh = ts - (r1 - r0)
-            fw = ts - (c1 - c0)
-            block = np.pad(block, ((ph[0], ph[1] + fh),
-                                   (pw[0], pw[1] + fw)), mode="edge")
-            res = fn(block)
-            if multi is None:
-                multi = isinstance(res, (tuple, list))
-            res = res if isinstance(res, (tuple, list)) else (res,)
-            res = tuple(np.asarray(a)[ov:ov + (r1 - r0),
-                                      ov:ov + (c1 - c0)] for a in res)
-            if out is None:
-                dts = (out_dtype if isinstance(out_dtype, (tuple, list))
-                       else (out_dtype,) * len(res))
-                out = tuple(np.empty((H, W), dtype=dt or a.dtype)
-                            for dt, a in zip(dts, res))
-            for o, a in zip(out, res):
-                o[r0:r1, c0:c1] = a
-            if ckpt:
-                ckpt.mark(key)
-            if progress:
-                print(f"tile {key} / ({n_ty},{n_tx})", flush=True)
+            if device_input:
+                block = _device_block(r0, c0)
+            else:
+                # overlapped read window, clipped to the raster
+                rr0, cc0 = max(r0 - ov, 0), max(c0 - ov, 0)
+                rr1, cc1 = min(r1 + ov, H), min(c1 + ov, W)
+                block = Z[rr0:rr1, cc0:cc1]
+                # pad to the uniform (ts + 2 ov) shape so jit reuses
+                # one compilation; edge replication preserves local
+                # stencils
+                ph = (ov - (r0 - rr0), ov - (rr1 - r1))
+                pw = (ov - (c0 - cc0), ov - (cc1 - c1))
+                fh = ts - (r1 - r0)
+                fw = ts - (c1 - c0)
+                block = np.pad(block, ((ph[0], ph[1] + fh),
+                                       (pw[0], pw[1] + fw)),
+                               mode="edge")
+            if wire_fn is not None:
+                chunks = list(wire_fn(block))
+                for c in chunks:
+                    try:
+                        c.copy_to_host_async()
+                    except Exception:
+                        pass
+                if multi is None:
+                    multi = True
+                payload, specs = [chunks], wire_specs
+            else:
+                res = fn(block)
+                if multi is None:
+                    multi = isinstance(res, (tuple, list))
+                res = res if isinstance(res, (tuple, list)) else (res,)
+                # crop the overlap ON DEVICE so only the tile core
+                # crosses the wire (edge tiles keep their uniform
+                # ts x ts shape here; the valid sub-rectangle is cut
+                # on the host)
+                res = tuple(a[ov:ov + ts, ov:ov + ts] for a in res)
+                specs = None
+                if len(res) > 1 and all(_is_device_array(a) for a in res):
+                    packed, specs = _pack_device(res)
+                    payload = [_stage_readback(packed)]
+                else:
+                    payload = [_stage_readback(a) for a in res]
+            inflight.append((key, (r0, r1, c0, c1), payload, specs))
+            while len(inflight) > max(int(pipeline_depth), 0):
+                flush_one()
+    while inflight:
+        flush_one()
     if out is None:
         raise ValueError(
             "checkpoint marks every tile done but no `out` arrays were "

@@ -28,6 +28,8 @@ in tests, same contract the reference accepted from apply_parallel).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 import jax
@@ -47,12 +49,93 @@ def required_overlap(lookup_pixels=0, windows=(), gi_radius=0):
     return max(int(lookup_pixels), ladder, gi)
 
 
+@lru_cache(maxsize=16)
+def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
+                      gi_radius, use_pallas, fast, how_fast, compact,
+                      tile_size, overlap, n_chunks):
+    """Build (and cache) the fused jitted tile WIRE kernel: products,
+    overlap crop, byte-packing, and readback chunking all inside one
+    program, so a tile costs ONE dispatch (the tunneled runtime pays
+    up to ~1 s of latency per eager dispatch — an eager epilogue was
+    90% of mosaic wall-clock).
+
+    Caching by static parameters keeps the compiled program alive
+    across ``mosaic_terrain_products`` calls — a fresh closure per call
+    would recompile the (expensive, server-side for Pallas) program
+    inside every mosaic run.  The global Moran moments and the ladder
+    thresholds are traced arguments for the same reason.
+
+    ``compact`` selects the wire encoding: geomorphon class and object
+    bit share one uint8 (class 1-10 needs 7 bits; bit 7 carries the
+    object flag — lossless) and Moran's I travels as bfloat16 (~3
+    significant digits; the only lossy leg).  That is 3 B/px on the
+    wire instead of 6 — the device->host link is the mosaic
+    bottleneck, not the kernel.
+    """
+    from ..ops.morphology import _disk_morph
+    from ..dist.tiling import _pack_device
+
+    if use_pallas:
+        from ..ops.pallas_scan import geomorphons_pallas as _geo
+        geo = lambda b: _geo(b, cellsize=cellsize,
+                             lookup_pixels=lookup_pixels,
+                             threshold_angle=threshold_angle,
+                             fast=fast, how_fast=how_fast)
+    else:
+        geo = lambda b: geomorphons(b, cellsize=cellsize,
+                                    lookup_pixels=lookup_pixels,
+                                    threshold_angle=threshold_angle,
+                                    fast=fast, how_fast=how_fast,
+                                    engine="xla")
+
+    ts, ov = tile_size, overlap
+
+    @jax.jit
+    def tile_kernel(block, thresholds, mean, s2):
+        g = geo(block)
+        mi = local_morans_i(block, footprint=gi_radius, mean=mean,
+                            s2=s2)
+        last = block
+        objects = jnp.zeros(block.shape, dtype=bool)
+        for i, w in enumerate(win):
+            opened = _disk_morph(_disk_morph(last, w, jnp.minimum), w,
+                                 jnp.maximum)
+            objects = objects | ((last - opened) > thresholds[i])
+            last = opened
+        if compact:
+            res = ((g.astype(jnp.uint8)
+                    | (objects.astype(jnp.uint8) << 7)),
+                   mi.astype(jnp.bfloat16))
+        else:
+            res = (g.astype(jnp.uint8), objects, mi)
+        res = tuple(a[ov:ov + ts, ov:ov + ts] for a in res)
+        packed, _ = _pack_device(res)
+        step = -(-ts // n_chunks)
+        return tuple(packed[i:i + step] for i in range(0, ts, step))
+
+    return tile_kernel
+
+
+def _wire_specs(compact):
+    if compact:
+        return [(np.dtype(np.uint8), 1), (np.dtype(jnp.bfloat16), 2)]
+    return [(np.dtype(np.uint8), 1), (np.dtype(bool), 1),
+            (np.dtype(np.float32), 4)]
+
+
+def _decode_compact(res):
+    combo, mi = res
+    return (combo & 0x7F, combo >= 128,
+            np.asarray(mi).astype(np.float32))
+
+
 def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                             threshold_angle=1, windows=5,
                             slope_threshold=.15, gi_radius=3,
                             tile_size=2048, checkpoint=None,
                             out=None, progress=False, use_pallas=None,
-                            fast=False, how_fast=20):
+                            fast=False, how_fast=20, wire="auto",
+                            pipeline_depth=2, wire_chunks=None):
     """Stream a (possibly memory-mapped) mosaic through one fused tile
     kernel computing geomorphon classes, SMRF object cells, and local
     Moran's I; resumable at tile granularity via ``checkpoint``.
@@ -60,6 +143,14 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
     Returns ``(geomorphons uint8, object_cells bool, morans_i f32)``.
     ``out`` may be a tuple of three preallocated (memory-mapped)
     arrays for mosaics that do not fit in RAM.
+
+    ``wire`` controls the device->host encoding of each tile:
+    ``'exact'`` sends uint8 + bool + float32 products; ``'compact'``
+    halves the wire (class+object share a byte, Moran's I as bfloat16
+    — classes and object cells stay EXACT, Moran values round to ~3
+    significant digits).  ``'auto'`` picks compact on the TPU backend,
+    where the tunnel/PCIe link — not the kernel — bounds mosaic
+    throughput, and exact elsewhere.
     """
     if np.isscalar(windows):
         windows = np.arange(windows) + 1
@@ -86,41 +177,32 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                              dtype=jnp.float32)
     win = tuple(int(w) for w in windows)
 
-    from ..ops.morphology import _disk_morph
-
     # On TPU the Pallas VMEM-ladder kernel classifies ~10x faster than
     # the XLA scan and treats tile edges with the same edge-replication
     # convention, so the overlap crop keeps tiled == untiled either way.
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        from ..ops.pallas_scan import geomorphons_pallas as _geo
-        geo = lambda b: _geo(b, cellsize=cellsize,
-                             lookup_pixels=lookup_pixels,
-                             threshold_angle=threshold_angle,
-                             fast=bool(fast), how_fast=int(how_fast))
-    else:
-        geo = lambda b: geomorphons(b, cellsize=cellsize,
-                                    lookup_pixels=lookup_pixels,
-                                    threshold_angle=threshold_angle,
-                                    fast=bool(fast),
-                                    how_fast=int(how_fast),
-                                    engine="xla")
+    if wire == "auto":
+        wire = "compact" if jax.default_backend() == "tpu" else "exact"
+    compact = wire == "compact"
 
-    @jax.jit
-    def tile_kernel(block):
-        g = geo(block)
-        mi = local_morans_i(block, footprint=gi_radius, mean=mean,
-                            s2=s2)
-        last = block
-        objects = jnp.zeros(block.shape, dtype=bool)
-        for i, w in enumerate(win):
-            opened = _disk_morph(_disk_morph(last, w, jnp.minimum), w,
-                                 jnp.maximum)
-            objects = objects | ((last - opened) > thresholds[i])
-            last = opened
-        return g.astype(jnp.uint8), objects, mi
+    # chunk the wire buffer into ~6 MB pieces: several in-flight
+    # async host copies measured 2-5x faster than one monolithic
+    # transfer through the tunnel
+    px_bytes = 3 if compact else 6
+    n_chunks = (int(wire_chunks) if wire_chunks
+                else max(1, min(16, round(tile_size ** 2 * px_bytes
+                                          / (6 << 20)))))
+    kernel = _make_tile_kernel(
+        float(cellsize), int(lookup_pixels), float(threshold_angle),
+        win, int(gi_radius), bool(use_pallas), bool(fast),
+        int(how_fast), compact, int(tile_size), int(ov), n_chunks)
+    wire_fn = lambda b: kernel(b, thresholds, jnp.float32(mean),
+                               jnp.float32(s2))
 
-    return tiled_apply(tile_kernel, Z, tile_size=tile_size, overlap=ov,
+    return tiled_apply(None, Z, tile_size=tile_size, overlap=ov,
                        out=out, out_dtype=(np.uint8, bool, np.float32),
-                       checkpoint=checkpoint, progress=progress)
+                       checkpoint=checkpoint, progress=progress,
+                       pipeline_depth=pipeline_depth,
+                       wire_fn=wire_fn, wire_specs=_wire_specs(compact),
+                       decode=_decode_compact if compact else None)

@@ -114,6 +114,23 @@ def test_mosaic_pallas_tile_kernel_matches(rng):
     np.testing.assert_allclose(M1, M2, atol=1e-5)
 
 
+def test_mosaic_compact_wire(rng):
+    """Compact wire encoding (class+object packed into one byte,
+    Moran's I as bfloat16): classes and object cells stay EXACT; Moran
+    values round to bf16 precision."""
+    from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+    Z = rng.normal(size=(96, 96)).cumsum(axis=0).astype(np.float32)
+    kw = dict(cellsize=1, lookup_pixels=4, windows=np.array([1, 2]),
+              gi_radius=2, tile_size=48)
+    G1, O1, M1 = mosaic_terrain_products(Z, wire="exact", **kw)
+    G2, O2, M2 = mosaic_terrain_products(Z, wire="compact", **kw)
+    np.testing.assert_array_equal(G1, G2)
+    np.testing.assert_array_equal(O1, O2)
+    assert G2.dtype == np.uint8 and O2.dtype == bool
+    assert M2.dtype == np.float32
+    np.testing.assert_allclose(M1, M2, rtol=1e-2, atol=1e-2)
+
+
 def test_completed_checkpoint_without_out_raises(tmp_path):
     from neilpy_tpu.dist.tiling import tiled_apply
     Z = np.ones((20, 20), dtype=np.float32)
