@@ -245,9 +245,12 @@ def bench_gridding():
     y = rng.uniform(4200000, 4202000, n)
     z = rng.normal(300, 30, n).astype(np.float32)
 
-    t0 = time.time()
+    # host leg (f64 origin-shift): best-of-3 — the sandbox host has ONE
+    # vCPU shared with unrelated load, and a single contended sample
+    # once under-reported this leg 6x (round-2's "57 Mpts/s")
+    t_host = min(_best_of(
+        lambda: bin_points_device(x, y, cellsize=1), 3))
     xr, yr, (ny, nx), t = bin_points_device(x, y, cellsize=1)
-    t_host = time.time() - t0  # the one host f64 origin-shift pass
 
     xr_d = jax.device_put(jnp.asarray(xr))
     yr_d = jax.device_put(jnp.asarray(yr))
@@ -264,12 +267,23 @@ def bench_gridding():
         try:
             dt = _timeit(lambda: run(method), k=12)
             out[method] = n / dt / 1e6
+            e2e = n / (t_host + dt) / 1e6
             log(f"gridding {method}: {dt*1e3:.1f} ms = "
                 f"{out[method]:.0f} Mpts/s device ({ny}x{nx} grid); "
-                f"host origin-shift adds {n/t_host/1e6:.0f} Mpts/s leg")
+                f"host leg {n/t_host/1e6:.0f} Mpts/s -> "
+                f"END-TO-END {e2e:.0f} Mpts/s (host+device)")
         except Exception as e:
             log(f"gridding {method} failed:", str(e)[:160])
     return max(out.values()) if out else None
+
+
+def _best_of(fn, k):
+    ts = []
+    for _ in range(k):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return ts
 
 
 def bench_inpaint():

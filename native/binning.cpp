@@ -14,6 +14,50 @@
 #include <thread>
 #include <vector>
 
+// Runtime ISA dispatch (GCC function multiversioning): the binary
+// stays portable (baseline x86-64 clone) while AVX2/AVX-512 hosts get
+// wide-vector clones resolved once at load time.  This recovers the
+// throughput a -march=native build had, without shipping arch-specific
+// code (the advisor's round-2 portability concern).
+#if defined(__x86_64__) && defined(__GNUC__)
+#define NEILPY_CLONES \
+    __attribute__((target_clones("default", "avx2", "avx512f")))
+#else
+#define NEILPY_CLONES
+#endif
+
+NEILPY_CLONES
+static long bin_range_f64(const double* x, const double* y,
+                          long lo, long hi, double x0, double y0,
+                          double inv, double cmax, double rmax,
+                          long ny, long nx,
+                          int32_t* flat, uint8_t* valid) {
+    long cnt = 0;
+    for (long i = lo; i < hi; ++i) {
+        double c = std::floor((x[i] - x0) * inv);
+        double r = std::floor((y0 - y[i]) * inv);
+        bool ok = (c >= 0.0) && (c < static_cast<double>(nx)) &&
+                  (r >= 0.0) && (r < static_cast<double>(ny));
+        double ccl = c < 0.0 ? 0.0 : (c > cmax ? cmax : c);
+        double rcl = r < 0.0 ? 0.0 : (r > rmax ? rmax : r);
+        flat[i] = static_cast<int32_t>(rcl) * static_cast<int32_t>(nx) +
+                  static_cast<int32_t>(ccl);
+        valid[i] = ok ? 1 : 0;
+        cnt += ok;
+    }
+    return cnt;
+}
+
+NEILPY_CLONES
+static void origin_shift_range(const double* x, const double* y,
+                               long lo, long hi, double x0, double y0,
+                               float* xr, float* yr) {
+    for (long i = lo; i < hi; ++i) {
+        xr[i] = static_cast<float>(x[i] - x0);
+        yr[i] = static_cast<float>(y0 - y[i]);
+    }
+}
+
 extern "C" {
 
 // Bin n points into an ny x nx grid anchored at (x0, y0) with cell
@@ -36,21 +80,8 @@ long bin_points_f64(const double* x, const double* y, long n,
     const double rmax = static_cast<double>(ny - 1);
 
     auto work = [&](long lo, long hi) {
-        long cnt = 0;
-        for (long i = lo; i < hi; ++i) {
-            double c = std::floor((x[i] - x0) * inv);
-            double r = std::floor((y0 - y[i]) * inv);
-            bool ok = (c >= 0.0) && (c < static_cast<double>(nx)) &&
-                      (r >= 0.0) && (r < static_cast<double>(ny));
-            double ccl = c < 0.0 ? 0.0 : (c > cmax ? cmax : c);
-            double rcl = r < 0.0 ? 0.0 : (r > rmax ? rmax : r);
-            flat[i] = static_cast<int32_t>(rcl) *
-                          static_cast<int32_t>(nx) +
-                      static_cast<int32_t>(ccl);
-            valid[i] = ok ? 1 : 0;
-            cnt += ok;
-        }
-        total += cnt;
+        total += bin_range_f64(x, y, lo, hi, x0, y0, inv, cmax, rmax,
+                               ny, nx, flat, valid);
     };
 
     if (nt == 1) {
@@ -80,10 +111,7 @@ void origin_shift_f64(const double* x, const double* y, long n,
     unsigned nt = hw ? (hw > 16 ? 16 : hw) : 4;
     if (n < 100000) nt = 1;
     auto work = [&](long lo, long hi) {
-        for (long i = lo; i < hi; ++i) {
-            xr[i] = static_cast<float>(x[i] - x0);
-            yr[i] = static_cast<float>(y0 - y[i]);
-        }
+        origin_shift_range(x, y, lo, hi, x0, y0, xr, yr);
     };
     if (nt == 1) {
         work(0, n);
