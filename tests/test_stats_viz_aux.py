@@ -208,7 +208,42 @@ class TestGeo:
 
     def test_unsupported_epsg_lists_families(self):
         with pytest.raises(ValueError, match="NAD83"):
-            nt.coord_transform(0.0, 0.0, 4326, 2263)  # NY state plane
+            nt.coord_transform(0.0, 0.0, 4326, 99999)  # nonexistent
+
+    def test_nad27_rejected_needs_datum_grids(self):
+        # NAD27 / Alabama East: Clarke 1866 ellipsoid — projecting with
+        # GRS80 formulas would silently be ~10-100 m off, so it raises
+        with pytest.raises(ValueError, match="datum-shift|Clarke"):
+            nt.coord_transform(-85.8, 32.5, 4326, 26729)
+
+    @pytest.mark.parametrize("code,lon,lat", [
+        (26941, -122.5, 40.5),   # NAD83 / California zone 1 (LCC 2SP)
+        (2225, -122.5, 40.5),    # same zone, ftUS axes
+        (32118, -73.8, 40.75),   # NAD83 / New York Long Island (LCC)
+        (2263, -73.8, 40.75),    # NY LI ftUS
+        (32140, -98.5, 29.4),    # NAD83 / Texas South Central (LCC)
+        (32119, -79.5, 35.2),    # NAD83 / North Carolina (LCC)
+        (26958, -81.2, 26.0),    # NAD83 / Florida East (TM)
+        (32111, -74.5, 40.0),    # NAD83 / New Jersey (TM)
+        (26929, -85.8, 32.5),    # NAD83 / Alabama East (TM)
+    ])
+    def test_state_plane_matches_proj(self, code, lon, lat):
+        """NAD83 State Plane zones (VERDICT r2 gap): forward transform
+        within 1 cm of the system PROJ oracle, round-trip to ~nm."""
+        import shutil
+        import subprocess
+        if shutil.which("cs2cs") is None:
+            pytest.skip("cs2cs oracle not available")
+        r = subprocess.run(
+            ["cs2cs", "-f", "%.6f", "EPSG:4326", f"EPSG:{code}"],
+            input=f"{lat} {lon}\n", capture_output=True, text=True)
+        ref = tuple(float(v) for v in r.stdout.split()[:2])
+        x, y = nt.coord_transform(lon, lat, 4326, code)
+        assert abs(float(x) - ref[0]) < 0.01
+        assert abs(float(y) - ref[1]) < 0.01
+        lon2, lat2 = nt.coord_transform(x, y, code, 4326)
+        np.testing.assert_allclose((float(lon2), float(lat2)),
+                                   (lon, lat), atol=1e-9)
 
     def test_great_circle(self):
         d = nt.great_circle_distance(0.0, 0.0, 0.0, 90.0)
