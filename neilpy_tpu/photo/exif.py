@@ -147,7 +147,10 @@ def ppk_images(rtk_log, image_paths, out_file=None, time_delta=0,
     from .gnss import (read_llh, fix_gopro_bad_time_resolution2,
                        track2azimuth, ypr2opk)
 
-    fns = glob.glob(image_paths)
+    # sorted: glob order is filesystem-dependent, and the yaw estimate
+    # (track2azimuth over successive photo positions) depends on photo
+    # order — the reference inherits glob's arbitrary order
+    fns = sorted(glob.glob(image_paths))
     rtk_df = read_llh(rtk_log, return_datetimes=True)
     photos_df = read_geotags_into_df(fns, return_datetimes=True)
     photos_df["fn"] = photos_df["fn"].apply(os.path.basename)
