@@ -40,11 +40,13 @@ def terrain_ruggedness(X):
 
 
 def esri_planar_slope(X, cellsize=1, degrees=True):
-    """Horn 3x3 slope (parity: filters.py:59-101)."""
-    X = X.reshape((3, 3))
-    dz_dx = (np.sum(X[:, -1] * (1, 2, 1)) - np.sum(X[:, 0] * (1, 2, 1))) / 8
-    dz_dy = (np.sum(X[-1, :] * (1, 2, 1)) - np.sum(X[0, :] * (1, 2, 1))) / 8
-    S = np.sqrt(dz_dx ** 2 + dz_dy ** 2) / cellsize
+    """Horn 3x3 slope (parity: filters.py:59-101): central columns/
+    rows weighted double, edge difference over 8 cell widths."""
+    X = np.asarray(X, dtype=float).reshape(3, 3)
+    horn = np.array([1.0, 2.0, 1.0]) / 8.0
+    dz_dx = (X[:, 2] - X[:, 0]) @ horn
+    dz_dy = (X[2, :] - X[0, :]) @ horn
+    S = np.hypot(dz_dx, dz_dy) / cellsize
     if degrees:
         S = np.rad2deg(np.arctan(S))
     return S
@@ -71,15 +73,16 @@ def skyview_filter(X, cellsize=1):
 
 
 def openness_filter(X, cellsize=1, skyview=False):
-    """Windowed openness (parity: filters.py:142-170)."""
-    n = np.size(X)
-    n_rows = int(np.sqrt(n))
-    center = int(np.floor(n_rows / 2))
-    X = np.reshape(X, (n_rows, n_rows)) - np.ravel(X)[n // 2]
-    D = np.meshgrid(np.arange(n_rows) - center, np.arange(n_rows) - center)
-    D = cellsize * np.sqrt(D[0] ** 2 + D[1] ** 2)
-    D[center, center] = np.inf
-    O = 90 - np.rad2deg(np.arctan(X / D))
+    """Windowed openness (parity: filters.py:142-170): per-direction
+    minimum zenith angle to any window cell, averaged over the 8
+    compass rays."""
+    w = int(np.sqrt(np.size(X)))
+    c = w // 2
+    rel = np.reshape(X, (w, w)) - np.ravel(X)[np.size(X) // 2]
+    rr, cc = np.ogrid[-c: w - c, -c: w - c]
+    dist = cellsize * np.hypot(rr, cc)
+    dist[c, c] = np.inf
+    O = 90 - np.rad2deg(np.arctan(rel / dist))
     angles = np.array([np.min(fetch_values(O, d)) for d in range(8)])
     if skyview:
         angles = np.sin(np.minimum(angles, 90))

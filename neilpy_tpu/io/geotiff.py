@@ -15,8 +15,9 @@ ModelPixelScale/ModelTiepoint tags and GDAL's NODATA ascii tag.  This covers bot
 (verified uncompressed strips) and everything the framework writes.
 
 Written files: little-endian baseline TIFF, strip-organised,
-uncompressed, with GeoTIFF georeferencing, optional palette
-(PhotometricInterpretation=3 + ColorMap) and GDAL_NODATA.
+uncompressed by default or LZW/Deflate via ``compress=``, with GeoTIFF
+georeferencing, optional palette (PhotometricInterpretation=3 +
+ColorMap) and GDAL_NODATA.
 """
 
 from __future__ import annotations

@@ -158,7 +158,7 @@ def read_las(filename):
 def write_las(filename, x, y, z, intensity=None, classification=None,
               gpstime=None, rgb=None, return_number=None,
               num_returns=None, point_source_id=None, pdrf=None,
-              scale=(0.001, 0.001, 0.001), offset=None):
+              scale=(0.001, 0.001, 0.001), offset=None, wkt=""):
     """Write a LAS file: 1.2 for legacy PDRF 0-3, 1.4 for PDRF 6-8.
 
     Beyond the reference's surface (it only reads LAS); the writer
@@ -170,6 +170,10 @@ def write_las(filename, x, y, z, intensity=None, classification=None,
     ``pdrf=6/7/8`` explicitly for a LAS 1.4 file (gpstime always
     stored; 7 adds rgb, 8 adds rgb+nir slots).  ``offset`` defaults
     to the floor of the coordinate minima.
+
+    LAS 1.4 files carry an OGC WKT CRS VLR (record 2112) as the spec
+    requires for PDRF >= 6; ``wkt`` supplies the CRS text (empty by
+    default — strict validators accept the record either way).
     """
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
@@ -248,10 +252,21 @@ def write_las(filename, x, y, z, intensity=None, classification=None,
         struct.pack_into("<L", hdr, 107, n)
         struct.pack_into("<5L", hdr, 111,
                          *by_return[1:6].astype(np.uint32))
+    vlrs = b""
+    if las14:
+        # OGC Coordinate System WKT VLR (LAS 1.4 R15 §4; mandatory
+        # companion of the WKT global-encoding bit for PDRF >= 6)
+        payload = (wkt or "").encode("utf-8") + b"\x00"
+        vlrs = struct.pack("<H16sHH32s", 0, b"LASF_Projection", 2112,
+                           len(payload), b"OGC WKT Coordinate System") \
+            + payload
+        struct.pack_into("<L", hdr, 96, hsize + len(vlrs))
+        struct.pack_into("<L", hdr, 100, 1)
     struct.pack_into("<3d", hdr, 131, *scale)
     struct.pack_into("<3d", hdr, 155, *offset)
     struct.pack_into("<6d", hdr, 179, x.max(), x.min(), y.max(),
                      y.min(), z.max(), z.min())
     with open(filename, "wb") as f:
         f.write(bytes(hdr))
+        f.write(vlrs)
         f.write(rec.tobytes())

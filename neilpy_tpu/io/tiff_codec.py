@@ -281,12 +281,19 @@ def jpeg_decode(stream, tables=None):
 
     stream = bytes(stream)
     if tables:
+        # TechNote 2 permits pad bytes before SOI and after EOI in the
+        # tables stream: locate the markers instead of assuming exact
+        # prefix/suffix positions
         t = bytes(tables)
-        if t[:2] == b"\xff\xd8":
-            body = t[2:]
-            if body[-2:] == b"\xff\xd9":
-                body = body[:-2]
-            if stream[:2] == b"\xff\xd8":
-                stream = b"\xff\xd8" + body + stream[2:]
+        soi = t.find(b"\xff\xd8")
+        if soi >= 0:
+            body = t[soi + 2:]
+            eoi = body.rfind(b"\xff\xd9")
+            if eoi >= 0:
+                body = body[:eoi]
+            s_soi = stream.find(b"\xff\xd8")
+            if s_soi >= 0:
+                stream = (b"\xff\xd8" + body
+                          + stream[s_soi + 2:])
     arr = np.asarray(Image.open(BytesIO(stream)))
     return arr.tobytes()

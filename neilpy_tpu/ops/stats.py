@@ -62,6 +62,11 @@ def rasterGi(X, footprint=1, mode="nearest", apply_correction=False,
     The neighbourhood count and sum (reference's generic_filter hot
     loop) are computed as footprint convolutions — exact, and MXU-
     friendly for large structuring elements.
+
+    An explicit ``footprint`` array is treated as a boolean MASK
+    (``fp != 0``), matching the reference's generic_filter semantics —
+    non-uniform weights are NOT applied, and the ``star`` kwarg is
+    overridden by whether the mask's centre cell is nonzero.
     """
     X = jnp.asarray(X, dtype=jnp.float32)
 

@@ -821,9 +821,26 @@ def test_write_las_validation_and_legacy_histogram(tmp_path, rng):
     counts = _s.unpack_from("<5L", raw, 111)
     assert sum(counts) == n and counts == (1, 1, 1, 1, 6)
     fn14 = str(tmp_path / "d.las")
-    write_las(fn14, x, y, z, pdrf=6)
+    write_las(fn14, x, y, z, pdrf=6,
+              wkt='GEOGCS["WGS 84"]')
     raw = open(fn14, "rb").read()
     assert _s.unpack_from("<H", raw, 6)[0] & 0x10  # WKT bit
+    # ... and the matching OGC WKT CRS VLR (LAS 1.4 requires it for
+    # PDRF >= 6; num_variable_records=1, record id 2112)
+    assert _s.unpack_from("<L", raw, 100)[0] == 1
+    vlr_off = 375
+    reserved, user_id, rec_id, rec_len = _s.unpack_from("<H16sHH", raw,
+                                                        vlr_off)
+    assert user_id.rstrip(b"\x00") == b"LASF_Projection"
+    assert rec_id == 2112
+    payload = raw[vlr_off + 54: vlr_off + 54 + rec_len]
+    assert payload == b'GEOGCS["WGS 84"]\x00'
+    # point data offset accounts for the VLR
+    assert _s.unpack_from("<L", raw, 96)[0] == 375 + 54 + rec_len
+    # round-trips through the reader
+    from neilpy_tpu.io.las import read_las
+    _, df = read_las(fn14)
+    assert len(df) == n
 
 
 def test_lzw_table_rollover_large_strip(tmp_path, rng):
