@@ -8,14 +8,16 @@ neilpy/neilpy.py:114-190) — array + metadata dict with ``transform``
 
 Supported on read: baseline TIFF, little/big endian, strip or tile
 organisation, uncompressed / PackBits / LZW / Deflate / new-style
-JPEG (PIL as the entropy decoder, JPEGTables spliced per TechNote 2),
+JPEG (PIL as the entropy decoder, JPEGTables spliced per TechNote 2) /
+ZSTD (COG extension 50000, via libzstd) / LZMA, horizontal and
+floating-point predictors (2 and 3),
 grayscale or multi-band (contiguous or planar), uint8/16/32,
 int8/16/32, float32/64, plus the GeoTIFF
 ModelPixelScale/ModelTiepoint tags and GDAL's NODATA ascii tag.  This covers both reference golden rasters
 (verified uncompressed strips) and everything the framework writes.
 
 Written files: little-endian baseline TIFF, strip-organised,
-uncompressed by default or LZW/Deflate via ``compress=``, with GeoTIFF
+uncompressed by default or LZW/Deflate/ZSTD via ``compress=``, with GeoTIFF
 georeferencing, optional palette (PhotometricInterpretation=3 +
 ColorMap) and GDAL_NODATA.
 """
@@ -132,6 +134,12 @@ def _decompress(raw, compression, expected, predictor, width, dtype,
     elif compression == 7:  # new-style JPEG (PIL as entropy decoder)
         from .tiff_codec import jpeg_decode
         out = jpeg_decode(bytes(raw), jpeg_tables)
+    elif compression == 50000:  # ZSTD (GDAL/COG extension, libzstd)
+        from .tiff_codec import zstd_decode
+        out = zstd_decode(raw, expected)
+    elif compression == 34925:  # LZMA2 (libtiff writes xz-container frames)
+        import lzma
+        out = lzma.decompress(bytes(raw))
     else:
         raise ValueError(f"Unsupported TIFF compression {compression}")
     if predictor == 2:
@@ -140,6 +148,23 @@ def _decompress(raw, compression, expected, predictor, width, dtype,
         arr = np.cumsum(arr.reshape(arr.shape[0], width, samples),
                         axis=1, dtype=arr.dtype)
         out = arr.tobytes()
+    elif predictor == 3:
+        # Floating-point predictor (TIFF TechNote 3, GDAL PREDICTOR=3):
+        # each row's values are split into byte planes ordered MSB→LSB,
+        # then horizontally byte-differenced.  Undo: cumsum the bytes
+        # across the row, then re-interleave the planes as big-endian
+        # floats.
+        it = dtype.itemsize
+        rowbytes = width * samples * it
+        arr = np.frombuffer(out, dtype=np.uint8)[: expected].copy()
+        arr = arr.reshape(-1, rowbytes)
+        np.cumsum(arr, axis=1, dtype=np.uint8, out=arr)
+        planes = arr.reshape(-1, it, width * samples)
+        be = np.ascontiguousarray(planes.transpose(0, 2, 1))
+        out = be.reshape(-1).tobytes()
+        be_dtype = dtype.newbyteorder(">")
+        vals = np.frombuffer(out, dtype=be_dtype).astype(dtype)
+        out = vals.tobytes()
     return out[:expected]
 
 
@@ -285,7 +310,8 @@ def _np_to_sampleformat(dt):
     raise ValueError(f"Unsupported dtype {dt}")
 
 
-_COMPRESS_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+_COMPRESS_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
+                 "zstd": 50000}
 
 
 def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
@@ -317,8 +343,9 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
     def tag(tid, typ, vals):
         tags.append((tid, typ, vals))
 
-    if compress not in ("none", "deflate", "lzw"):
-        raise ValueError("compress must be 'none', 'deflate' or 'lzw'")
+    if compress not in ("none", "deflate", "lzw", "zstd"):
+        raise ValueError(
+            "compress must be 'none', 'deflate', 'lzw' or 'zstd'")
     tag(_TAG_WIDTH, 4, [width])
     tag(_TAG_HEIGHT, 4, [height])
     tag(_TAG_BITSPERSAMPLE, 3, [dt.itemsize * 8] * bands)
@@ -368,9 +395,10 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
         strip_counts = [min(rows_per_strip, height - s * rows_per_strip)
                         * row_bytes for s in range(nstrips)]
     else:
-        from .tiff_codec import lzw_encode
-        enc = (lzw_encode if compress == "lzw"
-               else lambda b: zlib.compress(b, 6))
+        from .tiff_codec import lzw_encode, zstd_encode
+        enc = {"lzw": lzw_encode,
+               "zstd": zstd_encode}.get(compress,
+                                        lambda b: zlib.compress(b, 6))
         strip_blobs = [
             enc(np.ascontiguousarray(
                 im[s * rows_per_strip:(s + 1) * rows_per_strip]
@@ -488,13 +516,15 @@ def imread(fn, return_metadata=True, fix_nodata=False, force_float=False):
     return X
 
 
-def imwrite(fn, im, metadata=None, colormap=None, overwrite_metadata=True):
+def imwrite(fn, im, metadata=None, colormap=None, overwrite_metadata=True,
+            compress="none"):
     """GeoTIFF / image write (parity: neilpy.py:165-190).
 
     Non-TIFF extensions take the reference's plain-image fallback
     (imageio there, PIL here): georeferencing is NOT embedded — a
     warning says so when metadata was supplied, mirroring the
-    reference's print at neilpy.py:189."""
+    reference's print at neilpy.py:189.  ``compress`` passes through to
+    :func:`write_geotiff` ('none' | 'deflate' | 'lzw' | 'zstd')."""
     im = np.asarray(im)
     if not str(fn).lower().endswith((".tif", ".tiff")):
         if metadata is not None:
@@ -510,8 +540,8 @@ def imwrite(fn, im, metadata=None, colormap=None, overwrite_metadata=True):
         Image.fromarray(im).save(fn)
         return
     if metadata is None:
-        write_geotiff(fn, im, colormap=colormap)
+        write_geotiff(fn, im, colormap=colormap, compress=compress)
         return
     write_geotiff(fn, im, transform=metadata.get("transform"),
                   crs=metadata.get("crs"), nodata=metadata.get("nodata"),
-                  colormap=colormap)
+                  colormap=colormap, compress=compress)

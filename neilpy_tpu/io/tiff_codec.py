@@ -20,7 +20,8 @@ import os
 import numpy as np
 
 __all__ = ["lzw_decode", "lzw_encode", "packbits_decode",
-           "jpeg_decode", "codec_native_available"]
+           "jpeg_decode", "zstd_decode", "zstd_encode",
+           "zstd_available", "codec_native_available"]
 
 _LIB = None
 _LOAD_FAILED = False
@@ -263,6 +264,80 @@ def lzw_encode(data):
             width += 1
     out.write(EOI, width)
     return out.getvalue()
+
+
+# ----------------------------------------------------------------------
+# ZSTD (TIFF compression 50000 — the GDAL/COG extension code)
+#
+# The runtime image ships no python zstandard module, but libzstd is a
+# base-system library; bind the one-shot simple API directly.  Strips
+# and tiles are independent frames, so ZSTD_decompress covers the TIFF
+# case completely (no streaming state spans blocks).
+
+_ZSTD = None
+_ZSTD_FAILED = False
+
+
+def _load_zstd():
+    global _ZSTD, _ZSTD_FAILED
+    if _ZSTD is not None or _ZSTD_FAILED:
+        return _ZSTD
+    import ctypes.util
+    name = ctypes.util.find_library("zstd")
+    try:
+        lib = ctypes.CDLL(name or "libzstd.so.1")
+        lib.ZSTD_decompress.restype = ctypes.c_size_t
+        lib.ZSTD_decompress.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                        ctypes.c_void_p, ctypes.c_size_t]
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib.ZSTD_compress.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                      ctypes.c_void_p, ctypes.c_size_t,
+                                      ctypes.c_int]
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+    except (OSError, AttributeError):
+        _ZSTD_FAILED = True
+        return None
+    _ZSTD = lib
+    return _ZSTD
+
+
+def zstd_available():
+    """True when libzstd is loadable (it is a base library on linux)."""
+    return _load_zstd() is not None
+
+
+def zstd_decode(raw, expected):
+    """Decompress one ZSTD frame (a TIFF strip/tile) to ``expected`` bytes."""
+    lib = _load_zstd()
+    if lib is None:
+        raise ValueError(
+            "ZSTD-compressed TIFF but libzstd is not available on this "
+            "system — re-save the file with LZW/deflate or install zstd")
+    src = np.frombuffer(raw, dtype=np.uint8)
+    dst = np.empty(expected, dtype=np.uint8)
+    n = lib.ZSTD_decompress(dst.ctypes.data, dst.size,
+                            src.ctypes.data, src.size)
+    if lib.ZSTD_isError(n):
+        raise ValueError("malformed ZSTD stream in TIFF strip/tile")
+    return dst[:n].tobytes()
+
+
+def zstd_encode(data, level=9):
+    """Compress one strip/tile as a single ZSTD frame (GDAL default level 9)."""
+    lib = _load_zstd()
+    if lib is None:
+        raise ValueError("libzstd not available — cannot write ZSTD TIFFs")
+    src = np.frombuffer(data, dtype=np.uint8)
+    bound = lib.ZSTD_compressBound(src.size)
+    dst = np.empty(bound, dtype=np.uint8)
+    n = lib.ZSTD_compress(dst.ctypes.data, dst.size,
+                          src.ctypes.data, src.size, level)
+    if lib.ZSTD_isError(n):
+        raise ValueError("ZSTD compression failed")
+    return dst[:n].tobytes()
 
 
 def jpeg_decode(stream, tables=None):

@@ -863,3 +863,155 @@ def test_lzw_table_rollover_large_strip(tmp_path, rng):
     fn2 = str(tmp_path / "pilbig.tif")
     Image.fromarray(Z).save(fn2, compression="tiff_lzw")
     np.testing.assert_array_equal(read_geotiff(fn2)[0], Z)
+
+
+class TestZstdLzmaTiff:
+    """ZSTD (COG extension code 50000, libzstd via ctypes) and LZMA
+    TIFF reads, plus the floating-point predictor (3).  Oracles: PIL's
+    libtiff build (compiled with zstd+lzma) and a hand-built
+    predictor-3 fixture with an independent forward transform."""
+
+    def _skip_if_no_zstd(self):
+        from neilpy_tpu.io.tiff_codec import zstd_available
+        if not zstd_available():
+            pytest.skip("libzstd not available")
+
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
+    def test_zstd_roundtrip_and_pil_oracle(self, tmp_path, rng, dtype):
+        self._skip_if_no_zstd()
+        from PIL import Image
+        a = (rng.random((67, 83)) * 200).astype(dtype)
+        fn = str(tmp_path / "z.tif")
+        write_geotiff(fn, a, compress="zstd")
+        X, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(X, a)
+        # byte-identical to what libtiff decodes from the same file
+        np.testing.assert_array_equal(np.asarray(Image.open(fn)), a)
+
+    def test_zstd_read_pil_written(self, tmp_path, rng):
+        self._skip_if_no_zstd()
+        from PIL import Image
+        a = rng.integers(0, 65535, (91, 133)).astype(np.uint16)
+        fn = str(tmp_path / "pz.tif")
+        try:
+            Image.fromarray(a).save(fn, compression="tiff_zstd")
+        except OSError:
+            pytest.skip("PIL build lacks zstd writer")
+        X, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(X, a)
+
+    def test_lzma_read_pil_written(self, tmp_path, rng):
+        from PIL import Image
+        a = rng.normal(size=(58, 41)).astype(np.float32)
+        fn = str(tmp_path / "pl.tif")
+        try:
+            Image.fromarray(a).save(fn, compression="tiff_lzma")
+        except OSError:
+            pytest.skip("PIL build lacks lzma writer")
+        X, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(X, a)
+
+    def test_float_predictor3_hand_built(self, tmp_path, rng):
+        """Deflate + predictor 3 multi-strip fixture; the forward
+        transform (MSB-first byte-plane split + horizontal byte diff,
+        TIFF TechNote 3) is re-implemented here independently of the
+        reader.  PIL cross-checks the fixture is well-formed."""
+        import struct
+        import zlib
+        from PIL import Image
+
+        h, w, rps = 37, 53, 8
+        a = (rng.normal(size=(h, w)) * 100).astype("<f4")
+
+        def fp_row(row):
+            b = row.astype(">f4").tobytes()
+            planes = np.frombuffer(b, np.uint8).reshape(w, 4).T.reshape(-1)
+            return np.diff(planes.astype(np.int16),
+                           prepend=np.int16(0)).astype(np.uint8).tobytes()
+
+        strips = [zlib.compress(b"".join(fp_row(r)
+                                         for r in a[r0:r0 + rps]))
+                  for r0 in range(0, h, rps)]
+        n = len(strips)
+
+        entries = []
+        extra = b""
+        ifd_size = 2 + 12 * 12 + 4
+        data_start = 8 + ifd_size
+
+        def mk(tid, typ, vals):
+            nonlocal extra
+            fmt = {3: "H", 4: "L"}[typ]
+            payload = struct.pack("<" + fmt * len(vals), *vals)
+            if len(payload) <= 4:
+                return struct.pack("<HHL", tid, typ,
+                                   len(vals)) + payload.ljust(4, b"\0")
+            off = data_start + len(extra)
+            extra += payload
+            return struct.pack("<HHLL", tid, typ, len(vals), off)
+
+        entries += [mk(256, 4, [w]), mk(257, 4, [h]), mk(258, 3, [32]),
+                    mk(259, 3, [8]), mk(262, 3, [1])]
+        so_idx = len(entries)
+        entries.append(mk(273, 4, [0] * n))
+        entries += [mk(277, 3, [1]), mk(278, 4, [rps]),
+                    mk(279, 4, [len(s) for s in strips]),
+                    mk(284, 3, [1]), mk(317, 3, [3]), mk(339, 3, [3])]
+        strip_start = data_start + len(extra)
+        offs, o = [], strip_start
+        for s in strips:
+            offs.append(o)
+            o += len(s)
+        payload = struct.pack("<" + "L" * n, *offs)
+        if len(payload) <= 4:
+            entries[so_idx] = struct.pack(
+                "<HHL", 273, 4, n) + payload.ljust(4, b"\0")
+        else:
+            zero = struct.pack("<" + "L" * n, *([0] * n))
+            i = extra.find(zero)
+            extra = extra[:i] + payload + extra[i + len(payload):]
+        ifd = (struct.pack("<H", 12) + b"".join(entries)
+               + struct.pack("<L", 0))
+        fn = str(tmp_path / "p3.tif")
+        with open(fn, "wb") as f:
+            f.write(b"II*\0" + struct.pack("<L", 8) + ifd + extra
+                    + b"".join(strips))
+
+        X, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(X, a.astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(Image.open(fn)),
+                                      a.astype(np.float32))
+
+    def test_zstd_predictor3_combination(self, tmp_path, rng):
+        """ZSTD entropy stage under the float predictor — the common
+        cloud-optimized-GeoTIFF flavour (GDAL COMPRESS=ZSTD
+        PREDICTOR=3)."""
+        self._skip_if_no_zstd()
+        from neilpy_tpu.io.geotiff import _decompress
+        from neilpy_tpu.io.tiff_codec import zstd_encode
+        w = 29
+        a = (rng.normal(size=(6, w)) * 10).astype("<f4")
+        rows = []
+        for r in a:
+            b = r.astype(">f4").tobytes()
+            planes = np.frombuffer(b, np.uint8).reshape(w, 4).T.reshape(-1)
+            rows.append(np.diff(planes.astype(np.int16),
+                                prepend=np.int16(0)).astype(np.uint8)
+                        .tobytes())
+        raw = zstd_encode(b"".join(rows))
+        out = _decompress(raw, 50000, a.nbytes, 3, w, np.dtype("<f4"), 1)
+        np.testing.assert_array_equal(
+            np.frombuffer(out, "<f4").reshape(a.shape), a)
+
+    def test_unavailable_zstd_clear_error(self, monkeypatch, tmp_path,
+                                          rng):
+        """When libzstd can't load the reader must fail with an
+        actionable message, not a ctypes traceback."""
+        from neilpy_tpu.io import tiff_codec
+        a = rng.integers(0, 200, (10, 12)).astype(np.uint8)
+        fn = str(tmp_path / "z.tif")
+        write_geotiff(fn, a, compress="zstd")
+        monkeypatch.setattr(tiff_codec, "_ZSTD", None)
+        monkeypatch.setattr(tiff_codec, "_ZSTD_FAILED", True)
+        with pytest.raises(ValueError, match="libzstd"):
+            read_geotiff(fn)
