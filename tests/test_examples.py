@@ -1,4 +1,10 @@
-"""The examples must keep running end-to-end (marked slow)."""
+"""The examples must keep running end-to-end.
+
+The notebook ports run in CI mode (EXAMPLE_FAST=1 shrinks the DEM) so
+each finishes in seconds; every example carries its own asserted
+oracles (micro-morphology codes, terrain-code invariants, statistic
+envelopes), so "it ran" means "its numbers checked out".
+"""
 
 import os
 import runpy
@@ -6,14 +12,64 @@ import runpy
 import numpy as np
 import pytest
 
+_EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+
+def _run(name, tmp_path, monkeypatch):
+    import sys
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    monkeypatch.setenv("EXAMPLE_FAST", "1")
+    # _common caches OUT_DIR/EXAMPLE_FAST at import — force a fresh
+    # read per test so each example writes into its own tmp_path
+    sys.modules.pop("_common", None)
+    runpy.run_path(os.path.join(_EXAMPLES, name), run_name="__main__")
+
 
 @pytest.mark.slow
 def test_quickstart_runs(tmp_path, monkeypatch, capsys):
     monkeypatch.setenv("OUT_DIR", str(tmp_path))
-    runpy.run_path(os.path.join(os.path.dirname(__file__), "..",
-                                "examples", "quickstart.py"),
+    runpy.run_path(os.path.join(_EXAMPLES, "quickstart.py"),
                    run_name="__main__")
     out = capsys.readouterr().out
     assert "SMRF total error" in out
     assert (tmp_path / "dtm.tif").exists()
     assert (tmp_path / "geomorphons.png").exists()
+
+
+def test_geomorphons_walkthrough(tmp_path, monkeypatch, capsys):
+    _run("geomorphons_walkthrough.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "walkthrough complete" in out
+    assert (tmp_path / "sample_dem_geomorphons.png").exists()
+    assert (tmp_path / "sample_dem_geomorphons.pgw").exists()
+    assert (tmp_path / "openness.png").exists()
+    assert (tmp_path / "terrain_code_frequencies.png").exists()
+
+
+def test_curvature_comparison(tmp_path, monkeypatch, capsys):
+    _run("curvature_comparison.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "curvature comparison complete" in out
+    assert (tmp_path / "evans_curvatures.png").exists()
+    assert (tmp_path / "curvature_families.png").exists()
+
+
+def test_terrain_visualization(tmp_path, monkeypatch, capsys):
+    _run("terrain_visualization.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "terrain visualization complete" in out
+    assert (tmp_path / "terrain_gallery.png").exists()
+    assert (tmp_path / "colortable_variants.png").exists()
+
+
+def test_spatial_autocorrelation(tmp_path, monkeypatch, capsys):
+    _run("spatial_autocorrelation.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "spatial autocorrelation complete" in out
+    assert (tmp_path / "gi_hotspots.png").exists()
+    assert (tmp_path / "curvature_hotspots.tif").exists()
+    assert (tmp_path / "curvature_hotspots.tfw").exists()
+    # the hotspot raster reads back as significance bins
+    import neilpy_tpu as nt
+    G, _ = nt.imread(str(tmp_path / "curvature_hotspots.tif"))
+    assert set(np.unique(G)) <= {-3, -2, -1, 0, 1, 2, 3}
