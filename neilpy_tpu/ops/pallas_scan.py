@@ -130,9 +130,11 @@ def _extrema_ladder(win, core, rows, cols, d, *, TH, TW, R, RR, RC, H, W,
             mx = jnp.maximum(mx, ratio)
             mn = jnp.minimum(mn, ratio)
         else:
-            ok = ratio == ratio
-            mx = jnp.maximum(mx, jnp.where(ok, ratio, neg_inf))
-            mn = jnp.minimum(mn, jnp.where(ok, ratio, pos_inf))
+            # fmax/fmin-style compare-select: a NaN ratio (padding or
+            # nodata hole) fails both comparisons and is skipped — one
+            # op cheaper per accumulator than the isnan+select+max form
+            mx = jnp.where(ratio > mx, ratio, mx)
+            mn = jnp.where(ratio < mn, ratio, mn)
         return mx, mn
 
     if ladder is not None:
@@ -404,18 +406,21 @@ def _counts_kernel(org_ref, nan_ref, Z_hbm, np_ref, nn_ref, win, sem,
         # The openness difference is diff = atan(a) - atan(b) with
         # a = -mn, b = mx.  Pallas TPU has no atan primitive;
         # compare in tangent space instead — exactly, via
-        #   diff > t  <=>  (1+ab > 0) ? (a-b)/(1+ab) > tan(t) : a > b
-        # (valid for 0 <= t < pi/2; |diff| > pi/2 iff 1+ab <= 0).
+        #   diff > t  <=>  (1+ab > 0) ? (a-b) > tan(t)*(1+ab) : a > b
+        # (valid for 0 < t < pi/2; |diff| > pi/2 iff 1+ab <= 0).  The
+        # cross-multiplied form avoids the VPU divide; denom > 0 and
+        # T > 0 keep both inequalities orientation-stable.
         a = -mn
         b = mx
         denom = 1.0 + a * b
-        u = (a - b) / denom
+        s = a - b
+        td = T * denom
         wide = denom <= 0.0
         narrow = denom > 0.0
         # select-of-booleans is unsupported by Mosaic ("unsupported
         # target bitwidth for truncation"); use i1 logic instead
-        gt = (wide & (a > b)) | (narrow & (u > T))
-        lt = (wide & (a < b)) | (narrow & (u < -T))
+        gt = (wide & (a > b)) | (narrow & (s > td))
+        lt = (wide & (a < b)) | (narrow & (s < -td))
         # unseen -> a,b infinite -> NaN u -> both False already, but
         # keep the mask explicit (2 ANDs per direction, not per step)
         seen = mx > neg_inf
