@@ -10,7 +10,8 @@ EU-DEM at lookup=50 took ~26-42 min for ~1e8 px on CPU, i.e.
 Secondary numbers (printed as comments on stderr): the fast
 progressive ladder, point-gridding throughput, SMRF wall time on
 ISPRS samp12, springs-inpaint convergence at 4096^2, Gi*/Moran
-statistics throughput, and the 1x1-mesh sharding overhead.
+statistics throughput, the 1x1-mesh sharding overhead, and the
+16,384^2 out-of-core mosaic wall-clock.
 """
 
 import json
@@ -311,6 +312,31 @@ def bench_inpaint():
     return info
 
 
+def bench_mosaic():
+    """Out-of-core mosaic wall-clock (VERDICT r2 item 1): 16,384^2 f32
+    streamed through the fused geomorphons+SMRF+Moran tile kernel
+    (tile 4096 + exactness overlap, compact wire, pipelined readback).
+    Transfer-bound through the tunnel (~25-50 MB/s D2H measured), so
+    the wall number carries real variance run-to-run."""
+    from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+
+    rng = np.random.default_rng(0)
+    N = 16384
+    Z = rng.standard_normal((N, N), dtype=np.float32).cumsum(axis=0)
+    kw = dict(lookup_pixels=50, windows=5, gi_radius=3, tile_size=4096)
+    t0 = time.time()
+    mosaic_terrain_products(Z[:4096, :4096], **kw)   # compile + warm
+    log(f"mosaic warmup (1 tile, incl any Pallas compile): "
+        f"{time.time() - t0:.1f}s")
+    t0 = time.time()
+    mosaic_terrain_products(Z, **kw)
+    dt = time.time() - t0
+    log(f"mosaic 16384^2 (16 tiles, lookup=50, fused geomorphons+SMRF"
+        f"+Moran, compact wire): {dt:.1f}s = {N * N / dt / 1e6:.1f} "
+        f"Mpix/s wall-clock (r2: 440s = 0.6)")
+    return dt
+
+
 def bench_sharded_overhead():
     """sharded_geomorphons on a 1x1 mesh vs the direct kernel (VERDICT
     r1 item 9): measures the per-shard overhead the README's xN
@@ -415,6 +441,10 @@ def main():
         bench_sharded_overhead()
     except Exception as e:
         log("sharded-overhead bench failed:", e)
+    try:
+        bench_mosaic()
+    except Exception as e:
+        log("mosaic bench failed:", e)
 
 
 if __name__ == "__main__":

@@ -54,7 +54,9 @@ tile: shifted-slice read, subtract, scale, running-max, running-min
 prefix-scan composition applies to the exact J&S formulation).
 Measured decomposition at R=50, (256,1024) tiles: all-directions-safe
 straight-line body ~21 ms-rate, fully masked ladder 28.4 ms-rate; the
-production mix lands at 23.1 ms.  A stripped NaN-free probe reached
+production mix lands at 23.1 ms (22.5 ms after the r3 compare-select
+extrema + cross-multiplied threshold trims).  A stripped NaN-free
+probe reached
 18.4 ms (~456 Mpix/s) — the approximate VPU floor — but the ~2.5 ms
 gap to the safe production body (boundary-correction epilogues,
 per-tile predicate plumbing, scf.if scheduling) resisted further

@@ -135,7 +135,7 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                             tile_size=2048, checkpoint=None,
                             out=None, progress=False, use_pallas=None,
                             fast=False, how_fast=20, wire="auto",
-                            pipeline_depth=2, wire_chunks=None):
+                            pipeline_depth=3, wire_chunks=None):
     """Stream a (possibly memory-mapped) mosaic through one fused tile
     kernel computing geomorphon classes, SMRF object cells, and local
     Moran's I; resumable at tile granularity via ``checkpoint``.
@@ -186,13 +186,15 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
         wire = "compact" if jax.default_backend() == "tpu" else "exact"
     compact = wire == "compact"
 
-    # chunk the wire buffer into ~6 MB pieces: several in-flight
+    # chunk the wire buffer into ~12 MB pieces: several in-flight
     # async host copies measured 2-5x faster than one monolithic
-    # transfer through the tunnel
+    # transfer through the tunnel, but too many chunks re-serialize
+    # on per-transfer latency (16k^2 sweep: 4 chunks at tile 4096
+    # beat 8 and 1; see BENCH notes)
     px_bytes = 3 if compact else 6
     n_chunks = (int(wire_chunks) if wire_chunks
                 else max(1, min(16, round(tile_size ** 2 * px_bytes
-                                          / (6 << 20)))))
+                                          / (12 << 20)))))
     kernel = _make_tile_kernel(
         float(cellsize), int(lookup_pixels), float(threshold_angle),
         win, int(gi_radius), bool(use_pallas), bool(fast),
