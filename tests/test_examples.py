@@ -62,6 +62,36 @@ def test_terrain_visualization(tmp_path, monkeypatch, capsys):
     assert (tmp_path / "colortable_variants.png").exists()
 
 
+@pytest.mark.slow
+def test_smrf_isprs(tmp_path, monkeypatch, capsys):
+    _run("smrf_isprs.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "smrf isprs example complete" in out
+    assert "Total Error:" in out          # the published-metrics part ran
+    assert (tmp_path / "scene_smrfed.tif").exists()
+    assert (tmp_path / "scene_smrfed_bonemap.png").exists()
+    assert (tmp_path / "smrf_bonemaps.png").exists()
+
+
+def test_dem_filters(tmp_path, monkeypatch, capsys):
+    _run("dem_filters.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "dem filters complete" in out
+    assert "glider advanced" in out
+    assert (tmp_path / "dem_filters.png").exists()
+
+
+def test_inpainting_dtm(tmp_path, monkeypatch, capsys):
+    _run("inpainting_dtm.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "inpainting complete" in out
+    assert "NaNs after inpaint: 0" in out
+    assert (tmp_path / "ground_inpainted.tif").exists()
+    import neilpy_tpu as nt
+    J, _ = nt.imread(str(tmp_path / "ground_inpainted.tif"))
+    assert not np.isnan(J).any()
+
+
 def test_spatial_autocorrelation(tmp_path, monkeypatch, capsys):
     _run("spatial_autocorrelation.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
