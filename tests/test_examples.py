@@ -92,6 +92,27 @@ def test_inpainting_dtm(tmp_path, monkeypatch, capsys):
     assert not np.isnan(J).any()
 
 
+def test_poland_tiled_geomorphons(tmp_path, monkeypatch, capsys):
+    _run("poland_tiled_geomorphons.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "poland tiled geomorphons complete" in out
+    assert "interior agreement: 1.000000" in out
+    assert (tmp_path / "poland_geomorphon.png").exists()
+    assert (tmp_path / "poland_geomorphon.pgw").exists()
+
+
+def test_ypr_to_opk(tmp_path, monkeypatch, capsys):
+    _run("ypr_to_opk.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "ypr to opk complete" in out
+    assert (tmp_path / "poas_opk.csv").exists()
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "poas_opk.csv")
+    assert {"fn", "lat", "lon", "azimuth", "omega", "phi",
+            "kappa"} <= set(df.columns)
+    assert len(df) == 6
+
+
 def test_spatial_autocorrelation(tmp_path, monkeypatch, capsys):
     _run("spatial_autocorrelation.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
