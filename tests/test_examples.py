@@ -113,6 +113,16 @@ def test_ypr_to_opk(tmp_path, monkeypatch, capsys):
     assert len(df) == 6
 
 
+def test_near_earth_imaging_lab(tmp_path, monkeypatch, capsys):
+    _run("near_earth_imaging_lab.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "near earth imaging lab tour complete" in out
+    assert "ashift(x, 0) matches" in out
+    assert (tmp_path / "neil_tour.png").exists()
+    assert (tmp_path / "dk22_bonemap.png").exists()
+    assert (tmp_path / "dk22_standin.las").exists()
+
+
 def test_spatial_autocorrelation(tmp_path, monkeypatch, capsys):
     _run("spatial_autocorrelation.py", tmp_path, monkeypatch)
     out = capsys.readouterr().out
