@@ -294,6 +294,110 @@ def _lcc_inverse(x, y, lat0, lon0, sp1, sp2, k0, fe, fn,
     return np.rad2deg(theta / n) + lon0, np.rad2deg(phi)
 
 
+def _aea_q(phi, e):
+    """Authalic q (Snyder eq. 3-12)."""
+    s = np.sin(phi)
+    return (1 - e * e) * (s / (1 - (e * s) ** 2)
+                          - np.log((1 - e * s) / (1 + e * s)) / (2 * e))
+
+
+def _aea_setup(lat0, sp1, sp2, a, f):
+    """Albers Equal Area cone constants (EPSG method 9822)."""
+    e = np.sqrt(f * (2 - f))
+    p0 = np.deg2rad(lat0)
+    p1 = np.deg2rad(sp1)
+    p2 = np.deg2rad(sp2 if sp2 is not None else sp1)
+    m1 = np.cos(p1) / np.sqrt(1 - (e * np.sin(p1)) ** 2)
+    m2 = np.cos(p2) / np.sqrt(1 - (e * np.sin(p2)) ** 2)
+    q0, q1, q2 = (_aea_q(np.float64(p), e) for p in (p0, p1, p2))
+    if abs(p1 - p2) > 1e-12:
+        n = (m1 ** 2 - m2 ** 2) / (q2 - q1)
+    else:
+        n = np.sin(p1)
+    C = m1 ** 2 + n * q1
+    rho0 = a * np.sqrt(C - n * q0) / n
+    return e, float(n), float(C), float(rho0)
+
+
+def _aea_forward(lon, lat, lat0, lon0, sp1, sp2, fe, fn,
+                 a=_WGS84_A, f=_WGS84_F):
+    e, n, C, rho0 = _aea_setup(lat0, sp1, sp2, a, f)
+    q = _aea_q(np.deg2rad(np.asarray(lat, dtype=np.float64)), e)
+    rho = a * np.sqrt(np.maximum(C - n * q, 0.0)) / n
+    theta = n * np.deg2rad(np.asarray(lon, dtype=np.float64) - lon0)
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def _aea_inverse(x, y, lat0, lon0, sp1, sp2, fe, fn,
+                 a=_WGS84_A, f=_WGS84_F):
+    e, n, C, rho0 = _aea_setup(lat0, sp1, sp2, a, f)
+    dx = np.asarray(x, dtype=np.float64) - fe
+    dy = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.sign(n) * np.hypot(dx, dy)
+    theta = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    q = (C - (rho * n / a) ** 2) / n
+    # fixed-point iteration for phi (Snyder eq. 3-16), started from the
+    # spherical solution; poles guarded (cos phi -> 0 only when q is
+    # the polar authalic limit, where the update term vanishes too)
+    phi = np.arcsin(np.clip(q / 2, -1.0, 1.0))
+    for _ in range(15):
+        s = np.sin(phi)
+        es = e * s
+        upd = ((1 - es ** 2) ** 2 / np.maximum(2 * np.cos(phi), 1e-12)
+               * (q / (1 - e * e) - s / (1 - es ** 2)
+                  + np.log((1 - es) / (1 + es)) / (2 * e)))
+        phi = phi + upd
+    return np.rad2deg(theta / n) + lon0, np.rad2deg(phi)
+
+
+def _ps_t(phi, e):
+    """Polar stereographic isometric t (EPSG GN7-2, north form)."""
+    s = e * np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) * ((1 + s) / (1 - s)) ** (e / 2)
+
+
+def _ps_setup(lat_ts, lat0, k0, a, f):
+    """rho(t) scale for EPSG 9829 (variant B, standard parallel
+    ``lat_ts``) or 9810 (variant A, scale ``k0`` at the pole).
+    Returns (e, north, rho_at_t1) with rho = rho_at_t1 * t."""
+    e = np.sqrt(f * (2 - f))
+    if lat_ts is not None:
+        north = lat_ts > 0
+        pts = np.deg2rad(abs(lat_ts))
+        m = np.cos(pts) / np.sqrt(1 - (e * np.sin(pts)) ** 2)
+        return e, north, a * m / float(_ps_t(np.float64(pts), e))
+    north = lat0 > 0
+    denom = np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    return e, north, 2 * a * k0 / denom
+
+
+def _ps_forward(lon, lat, lat_ts, lat0, k0, lon0, fe, fn,
+                a=_WGS84_A, f=_WGS84_F):
+    e, north, rf = _ps_setup(lat_ts, lat0, k0, a, f)
+    sgn = 1.0 if north else -1.0
+    phi = sgn * np.deg2rad(np.asarray(lat, dtype=np.float64))
+    theta = np.deg2rad(np.asarray(lon, dtype=np.float64) - lon0)
+    rho = rf * _ps_t(phi, e)
+    # north: y decreases away from the pole along lon0; south mirrors
+    return fe + rho * np.sin(theta), fn - sgn * rho * np.cos(theta)
+
+
+def _ps_inverse(x, y, lat_ts, lat0, k0, lon0, fe, fn,
+                a=_WGS84_A, f=_WGS84_F):
+    e, north, rf = _ps_setup(lat_ts, lat0, k0, a, f)
+    sgn = 1.0 if north else -1.0
+    dx = np.asarray(x, dtype=np.float64) - fe
+    dy = -sgn * (np.asarray(y, dtype=np.float64) - fn)
+    t = np.hypot(dx, dy) / rf
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(12):
+        s = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - s) / (1 + s))
+                                        ** (e / 2))
+    lam = np.arctan2(dx, dy)
+    return np.rad2deg(lam) + lon0, sgn * np.rad2deg(phi)
+
+
 _PROJ_DB = "/usr/share/proj/proj.db"
 
 # EPSG unit-of-measure -> factor to metres / degrees
@@ -347,7 +451,7 @@ def _epsg_db_params(code):
         cols = [d[0] for d in c.description]
         conv = dict(zip(cols, conv))
         method = conv["method_code"]
-        if method not in (9807, 9802, 9801):
+        if method not in (9807, 9802, 9801, 9822, 9829, 9810):
             return None
         params = {}
         for i in range(1, 8):
@@ -404,6 +508,22 @@ def _epsg_db_params(code):
                     "lat0": ang(8821, 0.0), "lon0": ang(8822, 0.0),
                     "sp1": ang(8823), "sp2": ang(8824), "k0": 1.0,
                     "fe": lin(8826), "fn": lin(8827)}
+        if method == 9822:
+            return {"method": "aea", "unit": unit, "a": a, "f": f,
+                    "lat0": ang(8821, 0.0), "lon0": ang(8822, 0.0),
+                    "sp1": ang(8823), "sp2": ang(8824),
+                    "fe": lin(8826), "fn": lin(8827)}
+        if method == 9829:
+            return {"method": "ps", "unit": unit, "a": a, "f": f,
+                    "lat_ts": ang(8832), "lat0": None, "k0": None,
+                    "lon0": ang(8833, 0.0),
+                    "fe": lin(8806), "fn": lin(8807)}
+        if method == 9810:
+            return {"method": "ps", "unit": unit, "a": a, "f": f,
+                    "lat_ts": None, "lat0": ang(8801, 90.0),
+                    "k0": float(params.get(8805, (1.0, 9201))[0]),
+                    "lon0": ang(8802, 0.0),
+                    "fe": lin(8806), "fn": lin(8807)}
         # 9801: one standard parallel at the natural origin
         return {"method": "lcc", "unit": unit, "a": a, "f": f,
                 "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
@@ -418,6 +538,12 @@ def _db_forward(lon, lat, p):
     if p["method"] == "tm":
         x, y = _tm_forward(lon, lat, p["lat0"], p["lon0"], p["k0"],
                            p["fe"], p["fn"], p["a"], p["f"])
+    elif p["method"] == "aea":
+        x, y = _aea_forward(lon, lat, p["lat0"], p["lon0"], p["sp1"],
+                            p["sp2"], p["fe"], p["fn"], p["a"], p["f"])
+    elif p["method"] == "ps":
+        x, y = _ps_forward(lon, lat, p["lat_ts"], p["lat0"], p["k0"],
+                           p["lon0"], p["fe"], p["fn"], p["a"], p["f"])
     else:
         x, y = _lcc_forward(lon, lat, p["lat0"], p["lon0"], p["sp1"],
                             p["sp2"], p["k0"], p["fe"], p["fn"],
@@ -431,6 +557,12 @@ def _db_inverse(x, y, p):
     if p["method"] == "tm":
         return _tm_inverse(x, y, p["lat0"], p["lon0"], p["k0"],
                            p["fe"], p["fn"], p["a"], p["f"])
+    if p["method"] == "aea":
+        return _aea_inverse(x, y, p["lat0"], p["lon0"], p["sp1"],
+                            p["sp2"], p["fe"], p["fn"], p["a"], p["f"])
+    if p["method"] == "ps":
+        return _ps_inverse(x, y, p["lat_ts"], p["lat0"], p["k0"],
+                           p["lon0"], p["fe"], p["fn"], p["a"], p["f"])
     return _lcc_inverse(x, y, p["lat0"], p["lon0"], p["sp1"],
                         p["sp2"], p["k0"], p["fe"], p["fn"],
                         p["a"], p["f"])
@@ -464,9 +596,10 @@ def _parse_epsg(code):
         "Supported families: 4326 (WGS84 geographic), 4269 (NAD83 "
         "geographic), 326xx/327xx (WGS84 UTM north/south), 269xx "
         "(NAD83 UTM), 3857 (Web Mercator), plus any Transverse "
-        "Mercator / Lambert Conformal Conic code on a GRS80-class "
-        "datum resolvable via /usr/share/proj/proj.db (e.g. NAD83 "
-        "State Plane)")
+        "Mercator / Lambert Conformal Conic / Albers Equal Area / "
+        "Polar Stereographic code on a GRS80-class datum resolvable "
+        "via /usr/share/proj/proj.db (e.g. NAD83 State Plane, 5070 "
+        "CONUS Albers, 3413/3031 polar)")
 
 
 def coord_transform(x, y, from_epsg, to_epsg):

