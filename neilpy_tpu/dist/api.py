@@ -84,8 +84,11 @@ def _sharded_counts(Zs, mesh, cellsize, lookup_pixels, threshold_angle,
                 padded, (oy, ox), global_shape, r, cellsize=cellsize,
                 threshold_angle=threshold_angle, vma=axis_names,
                 fast=fast, how_fast=how_fast)
+        # NaN halo beyond the mesh, like the Pallas branch: the blocked
+        # scan skips NaN reads and restores the global edge-replication
+        # contribution from (origin, global_shape)
         padded = halo_exchange_2d(block, r, axis_names, (ny, nx),
-                                  mode="zero")
+                                  mode="nan")
         mx, mn, seen = directional_ratio_extrema(
             padded, cellsize=cellsize, lookup_pixels=r,
             origin=(oy - r, ox - r), global_shape=global_shape,
@@ -152,7 +155,7 @@ def _sharded_extrema_map(Z, mesh, cellsize, lookup_pixels, axis_names,
     def local(block):
         oy, ox = block_origin((bh, bw), axis_names)
         padded = halo_exchange_2d(block, r, axis_names, (ny, nx),
-                                  mode="zero")
+                                  mode="nan")
         mx, _, seen = directional_ratio_extrema(
             padded, cellsize=jnp.float32(cellsize), lookup_pixels=r,
             origin=(oy - r, ox - r), global_shape=gshape)
