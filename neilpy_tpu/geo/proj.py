@@ -11,15 +11,34 @@ Implemented CRS families:
 * EPSG:326xx / 327xx  WGS84 UTM north/south zones (transverse
   Mercator, Kruger 6th-order series — sub-mm vs pyproj inside zones)
 * EPSG:3857  Web/spherical Mercator
-* any projected EPSG code whose conversion is Transverse Mercator
-  (9807), Lambert Conformal Conic 2SP (9802) or 1SP (9801) on a
-  GRS80/WGS84-class ellipsoid — parameters are read from the system
-  PROJ database (``/usr/share/proj/proj.db``) when present, which
-  covers the NAD83 US State Plane zones (EPSG 26929-26998,
-  32100-32158 and their ftUS twins 22xx) that dominate US lidar
-  practice.  Axis units (metre / ftUS / ft) are honoured.  Codes on
+* any projected EPSG code whose conversion is one of the EPSG
+  methods below on a GRS80/WGS84-class ellipsoid — parameters are
+  read from the system PROJ database (``/usr/share/proj/proj.db``)
+  when present:
+
+  - Transverse Mercator (9807) and TM South Orientated (9808)
+  - Lambert Conformal Conic 2SP (9802) / 1SP (9801)
+  - Albers Equal Area (9822)
+  - Polar Stereographic variants A (9810) and B (9829)
+  - Mercator variants A (9804) and B (9805)
+  - Lambert Azimuthal Equal Area (9820), oblique and polar aspects
+  - Hotine Oblique Mercator variants A (9812) and B (9815)
+  - Oblique "double" Stereographic (9809)
+  - Cassini-Soldner (9806)
+  - Equidistant Cylindrical (1028) — per the EPSG meridian-arc
+    formula (note the installed PROJ maps this to spherical eqc)
+
+  That covers ~99% of non-deprecated GRS80-class projected codes,
+  including the NAD83 US State Plane zones (TM/LCC/ftUS twins) that
+  dominate US lidar practice, ETRS89 LAEA Europe (3035), the polar
+  LAEA/PS analysis grids, Michigan/Malaysia oblique Mercator and
+  South African Lo grids.  Axis units (metre / ftUS / ft) are
+  honoured; output is always (x=east, y=north) order (``always_xy``)
+  regardless of the official axis convention.  Codes on
   non-GRS80-class datums (e.g. NAD27 / Clarke 1866) are rejected with
   a clear error: a correct transform there needs datum-shift grids.
+  NAD83-family realisations (incl. CSRS/2011) are treated as
+  WGS84-equivalent (~1-2 m class, below DEM-cellsize accuracy).
 
 Geodesics on the WGS84 ellipsoid use Vincenty's inverse formula with a
 spherical fallback at antipodal non-convergence.
@@ -398,6 +417,348 @@ def _ps_inverse(x, y, lat_ts, lat0, k0, lon0, fe, fn,
     return np.rad2deg(lam) + lon0, sgn * np.rad2deg(phi)
 
 
+def _merc_k0(lat_ts, e):
+    pts = np.deg2rad(lat_ts)
+    return float(np.cos(pts) / np.sqrt(1 - (e * np.sin(pts)) ** 2))
+
+
+def _merc_forward(lon, lat, lat_ts, k0, lon0, fe, fn,
+                  a=_WGS84_A, f=_WGS84_F):
+    """Mercator variant A (EPSG 9804, scale at equator) / variant B
+    (9805, standard parallel ``lat_ts``)."""
+    e = np.sqrt(f * (2 - f))
+    if lat_ts is not None:
+        k0 = _merc_k0(lat_ts, e)
+    phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    s = e * np.sin(phi)
+    x = a * k0 * np.deg2rad(np.asarray(lon, dtype=np.float64) - lon0)
+    y = a * k0 * np.log(np.tan(np.pi / 4 + phi / 2)
+                        * ((1 - s) / (1 + s)) ** (e / 2))
+    return fe + x, fn + y
+
+
+def _merc_inverse(x, y, lat_ts, k0, lon0, fe, fn,
+                  a=_WGS84_A, f=_WGS84_F):
+    e = np.sqrt(f * (2 - f))
+    if lat_ts is not None:
+        k0 = _merc_k0(lat_ts, e)
+    t = np.exp((fn - np.asarray(y, dtype=np.float64)) / (a * k0))
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(12):
+        s = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - s) / (1 + s))
+                                        ** (e / 2))
+    lon = lon0 + np.rad2deg((np.asarray(x, dtype=np.float64) - fe)
+                            / (a * k0))
+    return lon, np.rad2deg(phi)
+
+
+def _laea_setup(lat0, a, f):
+    """Lambert Azimuthal Equal Area constants (EPSG 9820; Snyder
+    pp. 187-190).  Returns (e, qp, aspect-dependent tuple)."""
+    e = np.sqrt(f * (2 - f))
+    qp = float(_aea_q(np.float64(np.pi / 2), e))
+    if abs(lat0) >= 90.0 - 1e-12:
+        return e, qp, None
+    p0 = np.deg2rad(lat0)
+    q0 = float(_aea_q(np.float64(p0), e))
+    beta0 = np.arcsin(np.clip(q0 / qp, -1.0, 1.0))
+    rq = a * np.sqrt(qp / 2)
+    m0 = np.cos(p0) / np.sqrt(1 - (e * np.sin(p0)) ** 2)
+    d = a * m0 / (rq * np.cos(beta0))
+    return e, qp, (float(beta0), float(rq), float(d))
+
+
+def _laea_phi_from_q(q, e):
+    """Authalic -> geodetic latitude (same fixed point as AEA)."""
+    qp = _aea_q(np.float64(np.pi / 2), e)
+    phi = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    for _ in range(15):
+        s = np.sin(phi)
+        es = e * s
+        upd = ((1 - es ** 2) ** 2 / np.maximum(2 * np.cos(phi), 1e-12)
+               * (q / (1 - e * e) - s / (1 - es ** 2)
+                  + np.log((1 - es) / (1 + es)) / (2 * e)))
+        phi = phi + upd
+    return phi
+
+
+def _laea_forward(lon, lat, lat0, lon0, fe, fn, a=_WGS84_A,
+                  f=_WGS84_F):
+    e, qp, ob = _laea_setup(lat0, a, f)
+    q = _aea_q(np.deg2rad(np.asarray(lat, dtype=np.float64)), e)
+    dlam = np.deg2rad(np.asarray(lon, dtype=np.float64) - lon0)
+    if ob is None:                       # polar aspects
+        sgn = 1.0 if lat0 > 0 else -1.0
+        rho = a * np.sqrt(np.maximum(qp - sgn * q, 0.0))
+        return (fe + rho * np.sin(dlam),
+                fn - sgn * rho * np.cos(dlam))
+    beta0, rq, d = ob
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    bden = 1 + (np.sin(beta0) * np.sin(beta)
+                + np.cos(beta0) * np.cos(beta) * np.cos(dlam))
+    b = rq * np.sqrt(2.0 / bden)
+    x = b * d * np.cos(beta) * np.sin(dlam)
+    y = (b / d) * (np.cos(beta0) * np.sin(beta)
+                   - np.sin(beta0) * np.cos(beta) * np.cos(dlam))
+    return fe + x, fn + y
+
+
+def _laea_inverse(x, y, lat0, lon0, fe, fn, a=_WGS84_A, f=_WGS84_F):
+    e, qp, ob = _laea_setup(lat0, a, f)
+    dx = np.asarray(x, dtype=np.float64) - fe
+    dy = np.asarray(y, dtype=np.float64) - fn
+    if ob is None:
+        sgn = 1.0 if lat0 > 0 else -1.0
+        rho = np.hypot(dx, dy)
+        q = sgn * (qp - (rho / a) ** 2)
+        lam = np.arctan2(dx, -sgn * dy)
+        return (np.rad2deg(lam) + lon0,
+                np.rad2deg(_laea_phi_from_q(q, e)))
+    beta0, rq, d = ob
+    rho = np.hypot(dx / d, d * dy)
+    ce = 2 * np.arcsin(np.clip(rho / (2 * rq), -1.0, 1.0))
+    rho_safe = np.where(rho == 0, 1.0, rho)
+    beta = np.arcsin(np.clip(
+        np.cos(ce) * np.sin(beta0)
+        + d * dy * np.sin(ce) * np.cos(beta0) / rho_safe, -1.0, 1.0))
+    beta = np.where(rho == 0, beta0, beta)
+    lam = np.arctan2(dx * np.sin(ce),
+                     d * rho_safe * np.cos(beta0) * np.cos(ce)
+                     - d * d * dy * np.sin(beta0) * np.sin(ce))
+    lam = np.where(rho == 0, 0.0, lam)
+    q = qp * np.sin(beta)
+    return (np.rad2deg(lam) + lon0,
+            np.rad2deg(_laea_phi_from_q(q, e)))
+
+
+def _hom_setup(latc, lonc, alphac, k0, a, f):
+    """Hotine Oblique Mercator constants (EPSG 9812/9815)."""
+    e = np.sqrt(f * (2 - f))
+    pc = np.deg2rad(latc)
+    ac = np.deg2rad(alphac)
+    e2 = e * e
+    cos4 = np.cos(pc) ** 4
+    B = np.sqrt(1 + e2 * cos4 / (1 - e2))
+    w = 1 - e2 * np.sin(pc) ** 2
+    A = a * B * k0 * np.sqrt(1 - e2) / w
+    t0 = _ps_t(np.float64(pc), e)
+    D = B * np.sqrt(1 - e2) / (np.cos(pc) * np.sqrt(w))
+    D2 = max(float(D) ** 2, 1.0)
+    sgn = 1.0 if latc >= 0 else -1.0
+    F = np.sqrt(D2) + np.sqrt(D2 - 1) * sgn
+    H = F * float(t0) ** B
+    G = (F - 1 / F) / 2
+    gamma0 = np.arcsin(np.sin(ac) / np.sqrt(D2))
+    lam0 = np.deg2rad(lonc) - np.arcsin(G * np.tan(gamma0)) / B
+    uc = (A / B) * np.arctan2(np.sqrt(D2 - 1), np.cos(ac)) * sgn
+    return (e, float(B), float(A), float(H), float(gamma0),
+            float(lam0), float(uc))
+
+
+def _hom_forward(lon, lat, latc, lonc, alphac, gammac, k0, fe, fn,
+                 variant_b, a=_WGS84_A, f=_WGS84_F):
+    e, B, A, H, g0, lam0, uc = _hom_setup(latc, lonc, alphac, k0, a, f)
+    phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
+    t = _ps_t(phi, e)
+    Q = H / t ** B
+    S = (Q - 1 / Q) / 2
+    T = (Q + 1 / Q) / 2
+    V = np.sin(B * (lam - lam0))
+    U = (-V * np.cos(g0) + S * np.sin(g0)) / T
+    v = A * np.log((1 - U) / (1 + U)) / (2 * B)
+    u = A * np.arctan2(S * np.cos(g0) + V * np.sin(g0),
+                       np.cos(B * (lam - lam0))) / B
+    if variant_b:
+        u = u - uc
+    gc = np.deg2rad(gammac)
+    return (fe + v * np.cos(gc) + u * np.sin(gc),
+            fn + u * np.cos(gc) - v * np.sin(gc))
+
+
+def _hom_inverse(x, y, latc, lonc, alphac, gammac, k0, fe, fn,
+                 variant_b, a=_WGS84_A, f=_WGS84_F):
+    e, B, A, H, g0, lam0, uc = _hom_setup(latc, lonc, alphac, k0, a, f)
+    gc = np.deg2rad(gammac)
+    dx = np.asarray(x, dtype=np.float64) - fe
+    dy = np.asarray(y, dtype=np.float64) - fn
+    v = dx * np.cos(gc) - dy * np.sin(gc)
+    u = dy * np.cos(gc) + dx * np.sin(gc)
+    if variant_b:
+        u = u + uc
+    Q = np.exp(-B * v / A)
+    S = (Q - 1 / Q) / 2
+    T = (Q + 1 / Q) / 2
+    V = np.sin(B * u / A)
+    U = (V * np.cos(g0) + S * np.sin(g0)) / T
+    t = (H / np.sqrt((1 + U) / (1 - U))) ** (1 / B)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(12):
+        s = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - s) / (1 + s))
+                                        ** (e / 2))
+    lam = lam0 - np.arctan2(S * np.cos(g0) - V * np.sin(g0),
+                            np.cos(B * u / A)) / B
+    return np.rad2deg(lam), np.rad2deg(phi)
+
+
+def _ostereo_setup(lat0, lon0, k0, a, f):
+    """Oblique (double) Stereographic constants (EPSG 9809)."""
+    e = np.sqrt(f * (2 - f))
+    e2 = e * e
+    p0 = np.deg2rad(lat0)
+    s0 = np.sin(p0)
+    w = 1 - e2 * s0 * s0
+    rho0 = a * (1 - e2) / w ** 1.5
+    nu0 = a / np.sqrt(w)
+    R = np.sqrt(rho0 * nu0)
+    n = np.sqrt(1 + e2 * np.cos(p0) ** 4 / (1 - e2))
+    S1 = (1 + s0) / (1 - s0)
+    S2 = (1 - e * s0) / (1 + e * s0)
+    w1 = (S1 * S2 ** e) ** n
+    sin_chi0 = (w1 - 1) / (w1 + 1)
+    c = ((n + s0) * (1 - sin_chi0)) / ((n - s0) * (1 + sin_chi0))
+    w2 = c * w1
+    chi0 = np.arcsin((w2 - 1) / (w2 + 1))
+    return (e, float(n), float(c), float(R), float(chi0),
+            np.deg2rad(lon0))
+
+
+def _ostereo_chi(lat, e, n, c):
+    phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    s = np.sin(phi)
+    Sa = (1 + s) / (1 - s)
+    Sb = (1 - e * s) / (1 + e * s)
+    w = c * (Sa * Sb ** e) ** n
+    return np.arcsin((w - 1) / (w + 1))
+
+
+def _ostereo_forward(lon, lat, lat0, lon0, k0, fe, fn, a=_WGS84_A,
+                     f=_WGS84_F):
+    e, n, c, R, chi0, lam0 = _ostereo_setup(lat0, lon0, k0, a, f)
+    chi = _ostereo_chi(lat, e, n, c)
+    Lam = n * (np.deg2rad(np.asarray(lon, dtype=np.float64))
+               - lam0) + lam0
+    dl = Lam - lam0
+    Bd = 1 + (np.sin(chi) * np.sin(chi0)
+              + np.cos(chi) * np.cos(chi0) * np.cos(dl))
+    return (fe + 2 * R * k0 * np.cos(chi) * np.sin(dl) / Bd,
+            fn + 2 * R * k0 * (np.sin(chi) * np.cos(chi0)
+                               - np.cos(chi) * np.sin(chi0)
+                               * np.cos(dl)) / Bd)
+
+
+def _ostereo_inverse(x, y, lat0, lon0, k0, fe, fn, a=_WGS84_A,
+                     f=_WGS84_F):
+    e, n, c, R, chi0, lam0 = _ostereo_setup(lat0, lon0, k0, a, f)
+    dx = np.asarray(x, dtype=np.float64) - fe
+    dy = np.asarray(y, dtype=np.float64) - fn
+    g = 2 * R * k0 * np.tan(np.pi / 4 - chi0 / 2)
+    h = 4 * R * k0 * np.tan(chi0) + g
+    i = np.arctan2(dx, h + dy)
+    j = np.arctan2(dx, g - dy) - i
+    chi = chi0 + 2 * np.arctan2(dy - dx * np.tan(j / 2), 2 * R * k0)
+    Lam = j + 2 * i + lam0
+    lam = (Lam - lam0) / n + lam0
+    # isometric latitude of the conformal-sphere point -> geodetic
+    psi = 0.5 * np.log((1 + np.sin(chi))
+                       / (c * (1 - np.sin(chi)))) / n
+    phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+    for _ in range(15):
+        s = e * np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2 + np.pi / 4)
+                       * ((1 - s) / (1 + s)) ** (e / 2))
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1 - s * s) / (1 - e * e)
+    return np.rad2deg(lam), np.rad2deg(phi)
+
+
+@lru_cache(maxsize=16)
+def _marc_consts(a, f):
+    """Meridian-arc series constants (Snyder eq. 3-21) and the
+    footpoint-latitude (rectifying) series (eq. 3-26)."""
+    e2 = f * (2 - f)
+    c0 = 1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256
+    c2 = 3 * e2 / 8 + 3 * e2 ** 2 / 32 + 45 * e2 ** 3 / 1024
+    c4 = 15 * e2 ** 2 / 256 + 45 * e2 ** 3 / 1024
+    c6 = 35 * e2 ** 3 / 3072
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+    f2 = 3 * e1 / 2 - 27 * e1 ** 3 / 32
+    f4 = 21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32
+    f6 = 151 * e1 ** 3 / 96
+    f8 = 1097 * e1 ** 4 / 512
+    return (c0, c2, c4, c6), (f2, f4, f6, f8)
+
+
+def _meridian_arc(phi, a, f):
+    (c0, c2, c4, c6), _ = _marc_consts(a, f)
+    return a * (c0 * phi - c2 * np.sin(2 * phi) + c4 * np.sin(4 * phi)
+                - c6 * np.sin(6 * phi))
+
+
+def _footpoint_lat(M, a, f):
+    (c0, _, _, _), (f2, f4, f6, f8) = _marc_consts(a, f)
+    mu = M / (a * c0)
+    return (mu + f2 * np.sin(2 * mu) + f4 * np.sin(4 * mu)
+            + f6 * np.sin(6 * mu) + f8 * np.sin(8 * mu))
+
+
+def _cass_forward(lon, lat, lat0, lon0, fe, fn, a=_WGS84_A,
+                  f=_WGS84_F):
+    """Cassini-Soldner (EPSG 9806; Snyder pp. 94-95)."""
+    e2 = f * (2 - f)
+    phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    A = np.deg2rad(np.asarray(lon, dtype=np.float64) - lon0) \
+        * np.cos(phi)
+    T = np.tan(phi) ** 2
+    C = e2 * np.cos(phi) ** 2 / (1 - e2)
+    nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    M = _meridian_arc(phi, a, f)
+    M0 = _meridian_arc(np.deg2rad(lat0), a, f)
+    x = nu * (A - T * A ** 3 / 6 - (8 - T + 8 * C) * T * A ** 5 / 120)
+    y = M - M0 + nu * np.tan(phi) * (A ** 2 / 2
+                                     + (5 - T + 6 * C) * A ** 4 / 24)
+    return fe + x, fn + y
+
+
+def _cass_inverse(x, y, lat0, lon0, fe, fn, a=_WGS84_A, f=_WGS84_F):
+    e2 = f * (2 - f)
+    M0 = _meridian_arc(np.deg2rad(lat0), a, f)
+    M1 = M0 + (np.asarray(y, dtype=np.float64) - fn)
+    phi1 = _footpoint_lat(M1, a, f)
+    T1 = np.tan(phi1) ** 2
+    w1 = 1 - e2 * np.sin(phi1) ** 2
+    nu1 = a / np.sqrt(w1)
+    rho1 = a * (1 - e2) / w1 ** 1.5
+    D = (np.asarray(x, dtype=np.float64) - fe) / nu1
+    phi = phi1 - (nu1 * np.tan(phi1) / rho1) \
+        * (D ** 2 / 2 - (1 + 3 * T1) * D ** 4 / 24)
+    lam = (D - T1 * D ** 3 / 3
+           + (1 + 3 * T1) * T1 * D ** 5 / 15) / np.cos(phi1)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def _eqc_forward(lon, lat, lat_ts, lon0, fe, fn, a=_WGS84_A,
+                 f=_WGS84_F):
+    """Equidistant Cylindrical (EPSG 1028, e.g. 4087)."""
+    e2 = f * (2 - f)
+    p1 = np.deg2rad(lat_ts)
+    nu1c = a * np.cos(p1) / np.sqrt(1 - e2 * np.sin(p1) ** 2)
+    x = nu1c * np.deg2rad(np.asarray(lon, dtype=np.float64) - lon0)
+    y = _meridian_arc(np.deg2rad(np.asarray(lat, dtype=np.float64)),
+                      a, f)
+    return fe + x, fn + y
+
+
+def _eqc_inverse(x, y, lat_ts, lon0, fe, fn, a=_WGS84_A, f=_WGS84_F):
+    e2 = f * (2 - f)
+    p1 = np.deg2rad(lat_ts)
+    nu1c = a * np.cos(p1) / np.sqrt(1 - e2 * np.sin(p1) ** 2)
+    lam = (np.asarray(x, dtype=np.float64) - fe) / nu1c
+    phi = _footpoint_lat(np.asarray(y, dtype=np.float64) - fn, a, f)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
 _PROJ_DB = "/usr/share/proj/proj.db"
 
 # EPSG unit-of-measure -> factor to metres / degrees
@@ -451,7 +812,9 @@ def _epsg_db_params(code):
         cols = [d[0] for d in c.description]
         conv = dict(zip(cols, conv))
         method = conv["method_code"]
-        if method not in (9807, 9802, 9801, 9822, 9829, 9810):
+        if method not in (9807, 9802, 9801, 9822, 9829, 9810, 9804,
+                          9805, 9808, 9820, 9812, 9815, 9809, 9806,
+                          1028):
             return None
         params = {}
         for i in range(1, 8):
@@ -498,10 +861,42 @@ def _epsg_db_params(code):
             v, uom = params[pc]
             return float(v) * _LINEAR_UOM[uom]
 
-        if method == 9807:
-            return {"method": "tm", "unit": unit, "a": a, "f": f,
+        if method in (9807, 9808):
+            return {"method": "tm" if method == 9807 else "tmso",
+                    "unit": unit, "a": a, "f": f,
                     "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
                     "k0": float(params.get(8805, (1.0, 9201))[0]),
+                    "fe": lin(8806), "fn": lin(8807)}
+        if method in (9804, 9805):
+            return {"method": "merc", "unit": unit, "a": a, "f": f,
+                    "lat_ts": ang(8823) if method == 9805 else None,
+                    "k0": float(params.get(8805, (1.0, 9201))[0]),
+                    "lon0": ang(8802, 0.0),
+                    "fe": lin(8806), "fn": lin(8807)}
+        if method == 9820:
+            return {"method": "laea", "unit": unit, "a": a, "f": f,
+                    "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
+                    "fe": lin(8806), "fn": lin(8807)}
+        if method in (9812, 9815):
+            return {"method": "hom", "unit": unit, "a": a, "f": f,
+                    "variant_b": method == 9815,
+                    "latc": ang(8811, 0.0), "lonc": ang(8812, 0.0),
+                    "alphac": ang(8813, 0.0), "gammac": ang(8814, 0.0),
+                    "k0": float(params.get(8815, (1.0, 9201))[0]),
+                    "fe": lin(8816 if method == 9815 else 8806),
+                    "fn": lin(8817 if method == 9815 else 8807)}
+        if method == 9809:
+            return {"method": "ostereo", "unit": unit, "a": a, "f": f,
+                    "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
+                    "k0": float(params.get(8805, (1.0, 9201))[0]),
+                    "fe": lin(8806), "fn": lin(8807)}
+        if method == 9806:
+            return {"method": "cass", "unit": unit, "a": a, "f": f,
+                    "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
+                    "fe": lin(8806), "fn": lin(8807)}
+        if method == 1028:
+            return {"method": "eqc", "unit": unit, "a": a, "f": f,
+                    "lat_ts": ang(8823, 0.0), "lon0": ang(8802, 0.0),
                     "fe": lin(8806), "fn": lin(8807)}
         if method == 9802:
             return {"method": "lcc", "unit": unit, "a": a, "f": f,
@@ -538,6 +933,32 @@ def _db_forward(lon, lat, p):
     if p["method"] == "tm":
         x, y = _tm_forward(lon, lat, p["lat0"], p["lon0"], p["k0"],
                            p["fe"], p["fn"], p["a"], p["f"])
+    elif p["method"] == "tmso":
+        # EPSG 9808: TM with axes positive west and south
+        xt, yt = _tm_forward(lon, lat, p["lat0"], p["lon0"], p["k0"],
+                             0.0, 0.0, p["a"], p["f"])
+        x, y = p["fe"] - xt, p["fn"] - yt
+    elif p["method"] == "merc":
+        x, y = _merc_forward(lon, lat, p["lat_ts"], p["k0"], p["lon0"],
+                             p["fe"], p["fn"], p["a"], p["f"])
+    elif p["method"] == "laea":
+        x, y = _laea_forward(lon, lat, p["lat0"], p["lon0"],
+                             p["fe"], p["fn"], p["a"], p["f"])
+    elif p["method"] == "hom":
+        x, y = _hom_forward(lon, lat, p["latc"], p["lonc"],
+                            p["alphac"], p["gammac"], p["k0"],
+                            p["fe"], p["fn"], p["variant_b"],
+                            p["a"], p["f"])
+    elif p["method"] == "ostereo":
+        x, y = _ostereo_forward(lon, lat, p["lat0"], p["lon0"],
+                                p["k0"], p["fe"], p["fn"],
+                                p["a"], p["f"])
+    elif p["method"] == "cass":
+        x, y = _cass_forward(lon, lat, p["lat0"], p["lon0"],
+                             p["fe"], p["fn"], p["a"], p["f"])
+    elif p["method"] == "eqc":
+        x, y = _eqc_forward(lon, lat, p["lat_ts"], p["lon0"],
+                            p["fe"], p["fn"], p["a"], p["f"])
     elif p["method"] == "aea":
         x, y = _aea_forward(lon, lat, p["lat0"], p["lon0"], p["sp1"],
                             p["sp2"], p["fe"], p["fn"], p["a"], p["f"])
@@ -557,6 +978,29 @@ def _db_inverse(x, y, p):
     if p["method"] == "tm":
         return _tm_inverse(x, y, p["lat0"], p["lon0"], p["k0"],
                            p["fe"], p["fn"], p["a"], p["f"])
+    if p["method"] == "tmso":
+        return _tm_inverse(p["fe"] - x, p["fn"] - y, p["lat0"],
+                           p["lon0"], p["k0"], 0.0, 0.0,
+                           p["a"], p["f"])
+    if p["method"] == "merc":
+        return _merc_inverse(x, y, p["lat_ts"], p["k0"], p["lon0"],
+                             p["fe"], p["fn"], p["a"], p["f"])
+    if p["method"] == "laea":
+        return _laea_inverse(x, y, p["lat0"], p["lon0"],
+                             p["fe"], p["fn"], p["a"], p["f"])
+    if p["method"] == "hom":
+        return _hom_inverse(x, y, p["latc"], p["lonc"], p["alphac"],
+                            p["gammac"], p["k0"], p["fe"], p["fn"],
+                            p["variant_b"], p["a"], p["f"])
+    if p["method"] == "ostereo":
+        return _ostereo_inverse(x, y, p["lat0"], p["lon0"], p["k0"],
+                                p["fe"], p["fn"], p["a"], p["f"])
+    if p["method"] == "cass":
+        return _cass_inverse(x, y, p["lat0"], p["lon0"],
+                             p["fe"], p["fn"], p["a"], p["f"])
+    if p["method"] == "eqc":
+        return _eqc_inverse(x, y, p["lat_ts"], p["lon0"],
+                            p["fe"], p["fn"], p["a"], p["f"])
     if p["method"] == "aea":
         return _aea_inverse(x, y, p["lat0"], p["lon0"], p["sp1"],
                             p["sp2"], p["fe"], p["fn"], p["a"], p["f"])
@@ -596,10 +1040,13 @@ def _parse_epsg(code):
         "Supported families: 4326 (WGS84 geographic), 4269 (NAD83 "
         "geographic), 326xx/327xx (WGS84 UTM north/south), 269xx "
         "(NAD83 UTM), 3857 (Web Mercator), plus any Transverse "
-        "Mercator / Lambert Conformal Conic / Albers Equal Area / "
-        "Polar Stereographic code on a GRS80-class datum resolvable "
-        "via /usr/share/proj/proj.db (e.g. NAD83 State Plane, 5070 "
-        "CONUS Albers, 3413/3031 polar)")
+        "Mercator (incl. South Orientated) / Lambert Conformal Conic "
+        "/ Albers Equal Area / Polar Stereographic / Mercator / "
+        "Lambert Azimuthal Equal Area / Hotine Oblique Mercator / "
+        "Oblique Stereographic / Cassini-Soldner / Equidistant "
+        "Cylindrical code on a GRS80-class datum resolvable via "
+        "/usr/share/proj/proj.db (e.g. NAD83 State Plane, 5070 CONUS "
+        "Albers, 3035 LAEA Europe, 3413/3031 polar)")
 
 
 def coord_transform(x, y, from_epsg, to_epsg):

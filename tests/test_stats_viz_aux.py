@@ -309,6 +309,103 @@ class TestGeo:
                                            * np.deg2rad(d))
         assert abs(proj_area / true_area - 1) < 1e-6
 
+    @pytest.mark.parametrize("code,lon,lat,swapped,tol", [
+        # Hotine Oblique Mercator variant A (9812)
+        (3078, -85.0, 44.0, False, 0.01),    # NAD83 / Michigan OM
+        (3375, 102.25, 3.5, False, 0.01),    # GDM2000 Peninsula RSO
+        #   (3375 exercises gamma_c != alpha_c)
+        # Hotine Oblique Mercator variant B (9815)
+        (8065, -111.0, 32.2, False, 0.01),   # PCCS zone 1 (ft axes)
+        (20050, -75.0, 40.0, False, 0.01),   # Amtrak NECCS21 (ftUS)
+        # Lambert Azimuthal Equal Area (9820), oblique + polar
+        (3035, 10.0, 52.0, True, 0.01),      # ETRS89 LAEA Europe
+        (3035, 5.0, 60.0, True, 0.01),
+        (3571, -150.0, 70.0, False, 0.01),   # North Pole LAEA Bering
+        (3573, -100.0, 75.0, False, 0.01),   # North Pole LAEA Canada
+        # Mercator variants A (9804) and B (9805)
+        (3395, 12.34, 45.6, False, 0.01),    # WGS84 World Mercator
+        (3832, 150.0, 20.0, False, 0.01),    # PDC Mercator
+        (3994, 170.0, -44.0, False, 0.01),   # Mercator 41 (lat_ts)
+        (5641, -45.0, -10.0, False, 0.01),   # SIRGAS Brazil Mercator
+        # Cassini-Soldner (9806)
+        (3377, 103.5, 2.0, False, 0.01),     # GDM2000 Johor Grid
+        # Oblique (double) Stereographic (9809).  PROJ shifts
+        # NAD83(CSRS)<->WGS84 by ~1 m; this engine treats NAD83-family
+        # datums as WGS84-equivalent (below DEM-cellsize accuracy), so
+        # the oracle tolerance is the datum-shift class, not formula
+        # error (round-trip below asserts formula consistency to nm).
+        (2953, -66.0, 46.5, True, 2.0),      # New Brunswick Stereo
+        (2954, -63.1, 46.4, False, 2.0),     # Prince Edward Island
+        # Transverse Mercator South Orientated (9808)
+        (2048, 19.5, -33.5, False, 0.01),    # Hartebeesthoek94 Lo19
+        (2051, 25.5, -29.0, False, 0.01),    # Hartebeesthoek94 Lo25
+    ])
+    def test_extended_methods_match_proj(self, code, lon, lat,
+                                         swapped, tol):
+        """Round-2 follow-through on arbitrary-CRS coverage: the seven
+        projection methods beyond TM/LCC/AEA/PS, each against the
+        system PROJ oracle.  ``swapped`` marks codes whose official
+        axis order is (northing, easting) — cs2cs prints authority
+        order while coord_transform is always (x=east, y=north)."""
+        import shutil
+        import subprocess
+        if shutil.which("cs2cs") is None:
+            pytest.skip("cs2cs oracle not available")
+        r = subprocess.run(
+            ["cs2cs", "-f", "%.6f", "EPSG:4326", f"EPSG:{code}"],
+            input=f"{lat} {lon}\n", capture_output=True, text=True)
+        ref = [float(v) for v in r.stdout.split()[:2]]
+        if swapped:
+            ref = ref[::-1]
+        x, y = nt.coord_transform(lon, lat, 4326, code)
+        assert abs(float(x) - ref[0]) < tol
+        assert abs(float(y) - ref[1]) < tol
+        lon2, lat2 = nt.coord_transform(x, y, code, 4326)
+        dlon = (float(lon2) - lon + 180) % 360 - 180
+        assert abs(dlon) < 1e-9 and abs(float(lat2) - lat) < 1e-9
+
+    def test_laea_is_equal_area(self):
+        # the equal-area property at an awkward oblique location
+        lon0, lat0, d = 24.0, 61.0, 0.01
+        lons = np.array([lon0, lon0 + d, lon0 + d, lon0])
+        lats = np.array([lat0, lat0, lat0 + d, lat0 + d])
+        x, y = nt.coord_transform(lons, lats, 4326, 3035)
+        proj_area = 0.5 * abs(np.dot(x, np.roll(y, -1))
+                              - np.dot(y, np.roll(x, -1)))
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        phi = np.deg2rad(lat0 + d / 2)
+        M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        true_area = (M * np.deg2rad(d)) * (N * np.cos(phi)
+                                           * np.deg2rad(d))
+        assert abs(proj_area / true_area - 1) < 1e-6
+
+    def test_tmso_axes_point_west_and_south(self):
+        # Lo19 westing grows to the west, southing to the south
+        x1, y1 = nt.coord_transform(19.5, -33.5, 4326, 2048)
+        x2, y2 = nt.coord_transform(19.4, -33.6, 4326, 2048)
+        assert x2 > x1 and y2 > y1
+
+    def test_equidistant_cylindrical_epsg_formula(self):
+        """EPSG 1028 (e.g. 4087) per Guidance Note 7-2: northing is
+        the ellipsoidal meridian arc M(lat).  The installed PROJ maps
+        4087 to its spherical eqc (N = a*lat, ~19 km high at 30 deg),
+        so the oracle here is the EPSG formula itself, cross-checked
+        by scipy quadrature of the meridian integrand."""
+        from scipy.integrate import quad
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        x, y = nt.coord_transform(100.0, 30.0, 4326, 4087)
+        M30, _ = quad(lambda p: a * (1 - e2)
+                      / (1 - e2 * np.sin(p) ** 2) ** 1.5,
+                      0.0, np.deg2rad(30.0))
+        assert abs(float(y) - M30) < 1e-3
+        assert np.isclose(float(x), a * np.deg2rad(100.0), atol=1e-6)
+        lon2, lat2 = nt.coord_transform(x, y, 4087, 4326)
+        assert abs(float(lon2) - 100.0) < 1e-9
+        assert abs(float(lat2) - 30.0) < 1e-9
+
     def test_great_circle(self):
         d = nt.great_circle_distance(0.0, 0.0, 0.0, 90.0)
         assert np.isclose(d, np.pi / 2 * 6372795, rtol=1e-6)
