@@ -34,11 +34,23 @@ Implemented CRS families:
   LAEA/PS analysis grids, Michigan/Malaysia oblique Mercator and
   South African Lo grids.  Axis units (metre / ftUS / ft) are
   honoured; output is always (x=east, y=north) order (``always_xy``)
-  regardless of the official axis convention.  Codes on
-  non-GRS80-class datums (e.g. NAD27 / Clarke 1866) are rejected with
-  a clear error: a correct transform there needs datum-shift grids.
-  NAD83-family realisations (incl. CSRS/2011) are treated as
-  WGS84-equivalent (~1-2 m class, below DEM-cellsize accuracy).
+  regardless of the official axis convention.
+
+* datum shifts: non-WGS84 datums (OSGB36, Amersfoort, CH1903/+,
+  ED50, SAD69, Tokyo, Pulkovo 1942, ...; also any EPSG *geographic*
+  CRS code on such datums) ride a geocentric Helmert bridge
+  (source datum -> WGS84 -> target datum) whose parameters come from
+  the EPSG ``helmert_transformation`` records in the PROJ database,
+  selected like PROJ selects them: rows whose area of use contains
+  the data's mean location first, then best published accuracy.
+  Static 3-/7-/10-parameter methods (9603/9606/9607/9636) are
+  supported; rotation conventions are normalised to position-vector.
+  GRS80/WGS84-class datums (NAD83 incl. CSRS/2011, ETRS89, GDA,
+  SIRGAS, NZGD2000, ...) stay WGS84-equivalent (~1-2 m ensemble
+  class, below DEM-cellsize accuracy) — except datums like GGRS87 or
+  Israel 1993 whose registry shift exceeds 5 m, which are bridged.
+  Grid-defined datums (NAD27/NADCON) are rejected with a clear
+  error: a correct transform there needs datum-shift grids.
 
 Geodesics on the WGS84 ellipsoid use Vincenty's inverse formula with a
 spherical fallback at antipodal non-convergence.
@@ -763,7 +775,215 @@ _PROJ_DB = "/usr/share/proj/proj.db"
 
 # EPSG unit-of-measure -> factor to metres / degrees
 _LINEAR_UOM = {9001: 1.0, 9002: 0.3048, 9003: 1200.0 / 3937.0,
-               9036: 1000.0}
+               9036: 1000.0, 1025: 0.001, 1033: 0.01}
+
+# rotation / scale-difference units used by Helmert records
+_ROT_UOM = {9101: 1.0, 9104: np.pi / (180.0 * 3600.0),   # rad, arcsec
+            9109: 1e-6,                                   # microradian
+            1031: np.pi / (180.0 * 3600.0) / 1000.0,      # milliarcsec
+            9112: np.pi / 200.0 / 100.0,                  # centesimal min
+            9113: np.pi / 200.0 / 10000.0}                # centesimal sec
+_SCALE_UOM = {9201: 1.0, 9202: 1e-6, 1028: 1e-9}  # unity, ppm, ppb
+
+
+def _geodetic_to_ecef(lon, lat, a, f):
+    """Geographic (degrees, h=0) -> geocentric cartesian (metres)."""
+    e2 = f * (2 - f)
+    phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
+    nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    return (nu * np.cos(phi) * np.cos(lam),
+            nu * np.cos(phi) * np.sin(lam),
+            nu * (1 - e2) * np.sin(phi))
+
+
+def _ecef_to_geodetic(X, Y, Z, a, f):
+    """Geocentric cartesian -> geographic (degrees), height dropped."""
+    e2 = f * (2 - f)
+    lam = np.arctan2(Y, X)
+    pr = np.hypot(X, Y)
+    phi = np.arctan2(Z, pr * (1 - e2))
+    for _ in range(8):
+        nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        phi = np.arctan2(Z + e2 * nu * np.sin(phi), pr)
+    return np.rad2deg(lam), np.rad2deg(phi)
+
+
+# datums whose WGS84 relationship is grid-defined and whose Helmert
+# variants scatter by tens of metres between regions — single-record
+# shifts would silently mislocate, so these always raise
+_GRID_ONLY_DATUM_CRS = {4267, 4268}          # NAD27, NAD27(76)
+
+
+@lru_cache(maxsize=128)
+def _datum_rows(geod_code):
+    """All non-deprecated static Helmert records between a geographic
+    CRS and WGS84, with their area-of-use bounding boxes.
+
+    Each row: ``(accuracy, code, bbox, (t, r, s, p, inverted))`` —
+    translations (m), rotations (rad, position-vector convention;
+    coordinate-frame records negated on load), scale difference,
+    Molodensky-Badekas pivot (m), and whether the record is stored
+    WGS84->datum.  ``bbox`` is (south, north, west, east) or None."""
+    import os
+    import sqlite3
+    if not os.path.exists(_PROJ_DB):
+        return ()
+    db = sqlite3.connect(_PROJ_DB)
+    try:
+        rows = db.execute(
+            "SELECT h.method_code, h.source_crs_code, h.tx, h.ty, "
+            "h.tz, h.translation_uom_code, h.rx, h.ry, h.rz, "
+            "h.rotation_uom_code, h.scale_difference, "
+            "h.scale_difference_uom_code, h.px, h.py, h.pz, "
+            "h.pivot_uom_code, h.accuracy, h.code, "
+            "x.south_lat, x.north_lat, x.west_lon, x.east_lon "
+            "FROM helmert_transformation_table h "
+            "LEFT JOIN usage u ON u.object_table_name="
+            "'helmert_transformation' AND u.object_code=h.code "
+            "AND u.object_auth_name=h.auth_name "
+            "LEFT JOIN extent x ON x.code=u.extent_code "
+            "AND x.auth_name=u.extent_auth_name "
+            "WHERE h.auth_name='EPSG' AND h.deprecated=0 "
+            "AND h.method_code IN (9603, 9606, 9607, 9636) "
+            "AND ((h.source_crs_code=? AND h.target_crs_code='4326') "
+            "  OR (h.source_crs_code='4326' AND h.target_crs_code=?))",
+            (str(geod_code), str(geod_code))).fetchall()
+    finally:
+        db.close()
+    out = []
+    for (m, src, tx, ty, tz, tuom, rx, ry, rz, ruom, ds, suom,
+         px, py, pz, puom, acc, code, s_lat, n_lat, w_lon,
+         e_lon) in rows:
+        tf = _LINEAR_UOM[tuom]
+        t = (tx * tf, ty * tf, tz * tf)
+        r = (0.0, 0.0, 0.0)
+        s = 0.0
+        p = (0.0, 0.0, 0.0)
+        if m != 9603:
+            rf = _ROT_UOM[ruom]
+            r = (rx * rf, ry * rf, rz * rf)
+            if m in (9607, 9636):    # coordinate frame -> pos. vector
+                r = (-r[0], -r[1], -r[2])
+            s = (ds or 0.0) * _SCALE_UOM[suom]
+            if m == 9636:
+                pf = _LINEAR_UOM[puom]
+                p = (px * pf, py * pf, pz * pf)
+        bbox = (None if s_lat is None
+                else (s_lat, n_lat, w_lon, e_lon))
+        out.append((float(acc) if acc is not None else 999.0,
+                    int(code), bbox,
+                    (t, r, s, p, str(src) != str(geod_code))))
+    return tuple(out)
+
+
+def _bbox_contains(bbox, lon, lat):
+    if bbox is None:
+        return False
+    s, n, w, e = bbox
+    if not (s <= lat <= n):
+        return False
+    if w <= e:
+        return w <= lon <= e
+    return lon >= w or lon <= e      # extent spans the antimeridian
+
+
+def _helmert_at(geod_code, a, f, lon, lat):
+    """Datum-shift record for a geodetic CRS at a location, or None
+    for WGS84-equivalent handling.
+
+    Selection mirrors PROJ: rows whose area of use contains the point
+    first (falling back to all rows), then lowest published accuracy,
+    newest code on ties.  Policy: GRS80/WGS84-class datums are
+    WGS84-equivalent (null shift — PROJ's datum-ensemble handling for
+    NAD83, ETRS89, GDA, SIRGAS, ... which keeps the sub-cm oracle
+    agreement) EXCEPT when the registry records a large (>5 m)
+    Helmert — e.g. GGRS87 at ~320 m or Israel 1993 — where ignoring
+    the datum would silently mislocate by that much."""
+    rows = _datum_rows(geod_code)
+    if not rows:
+        return None
+    pool = [r for r in rows if _bbox_contains(r[2], lon, lat)]
+    if not pool:
+        pool = list(rows)
+    pool.sort(key=lambda r: (r[0], -r[1]))
+    hel = pool[0][3]
+    if (abs(a - _WGS84_A) <= 0.5 and abs(f - _WGS84_F) <= 1e-6
+            and float(np.hypot(np.hypot(hel[0][0], hel[0][1]),
+                               hel[0][2])) <= 5.0):
+        return None
+    return hel
+
+
+def _datum_eligibility(geod_code, a, f, code, ell_name):
+    """Parse-time check that a datum is transformable at all; raises
+    the clear grid-needed error otherwise.  Returns the geodetic CRS
+    code to carry (the null-shift policy itself is point-dependent
+    and applied later by ``_helmert_at``)."""
+    geod_code = int(geod_code)
+    grs80_class = (abs(a - _WGS84_A) <= 0.5
+                   and abs(f - _WGS84_F) <= 1e-6)
+    if geod_code in _GRID_ONLY_DATUM_CRS or (
+            not grs80_class and not _datum_rows(geod_code)):
+        raise ValueError(
+            f"EPSG:{code} is based on {ell_name} and its datum's "
+            "WGS84 relationship is grid-defined (or the PROJ database "
+            "has no Helmert transformation for it) — a correct "
+            "transform needs datum-shift grids (e.g. NAD27/NADCON)")
+    return geod_code
+
+
+def _helmert_apply(xyz, hel, to_wgs84):
+    """Apply a ``_helmert_to_wgs84`` record to geocentric coords.
+
+    EPSG position-vector form Xt = T + P + (1+ds) R (Xs - P); the
+    stored direction is honoured via ``inverted`` and the exact matrix
+    inverse (not the negated-parameter approximation)."""
+    t, r, s, p, inverted = hel
+    X = np.stack([np.asarray(c, dtype=np.float64) for c in xyz],
+                 axis=-1)
+    M = (1.0 + s) * np.array([[1.0, -r[2], r[1]],
+                              [r[2], 1.0, -r[0]],
+                              [-r[1], r[0], 1.0]])
+    T = np.asarray(t)
+    P = np.asarray(p)
+    forward = to_wgs84 != inverted   # apply record as stored?
+    if forward:
+        Y = (X - P) @ M.T + P + T
+    else:
+        Y = np.linalg.solve(M, (X - P - T)[..., None])[..., 0] + P
+    return Y[..., 0], Y[..., 1], Y[..., 2]
+
+
+def _datum_bridge(lon, lat, p_from, p_to):
+    """Shift geographic coordinates between datums via geocentric
+    Helmert legs (source -> WGS84 -> target).  ``p_from`` / ``p_to``
+    are parameter dicts (or None for the built-in WGS84-class
+    families).  The Helmert record for each leg is selected by the
+    data's mean location (area-of-use filtering, like PROJ)."""
+    geod_f = (p_from or {}).get("geod")
+    geod_t = (p_to or {}).get("geod")
+    if geod_f == geod_t:             # same datum (incl. both None)
+        return lon, lat
+    mlon = float(np.mean(np.asarray(lon, dtype=np.float64)))
+    mlat = float(np.mean(np.asarray(lat, dtype=np.float64)))
+    if not (np.isfinite(mlon) and np.isfinite(mlat)):
+        mlon = mlat = np.nan         # no area filter, best accuracy
+    if geod_f is not None:
+        hel = _helmert_at(geod_f, p_from["a"], p_from["f"],
+                          mlon, mlat)
+        if hel is not None:
+            xyz = _geodetic_to_ecef(lon, lat, p_from["a"],
+                                    p_from["f"])
+            xyz = _helmert_apply(xyz, hel, to_wgs84=True)
+            lon, lat = _ecef_to_geodetic(*xyz, _WGS84_A, _WGS84_F)
+    if geod_t is not None:
+        hel = _helmert_at(geod_t, p_to["a"], p_to["f"], mlon, mlat)
+        if hel is not None:
+            xyz = _geodetic_to_ecef(lon, lat, _WGS84_A, _WGS84_F)
+            xyz = _helmert_apply(xyz, hel, to_wgs84=False)
+            lon, lat = _ecef_to_geodetic(*xyz, p_to["a"], p_to["f"])
+    return lon, lat
 
 
 def _angle_from_uom(v, uom):
@@ -844,11 +1064,9 @@ def _epsg_db_params(code):
         ell = c.fetchone()
         a, invf, b, ell_name = ell
         f = 1.0 / invf if invf else (a - b) / a
-        if abs(a - _WGS84_A) > 0.5 or abs(f - _WGS84_F) > 1e-6:
-            raise ValueError(
-                f"EPSG:{code} ({name}) is based on {ell_name}; only "
-                "GRS80/WGS84-class datums are supported (NAD27-era "
-                "codes need datum-shift grids)")
+        geod = _datum_eligibility(geod_code, a, f,
+                                  f"{code} ({name})", ell_name)
+        base = {"unit": unit, "a": a, "f": f, "geod": geod}
 
         def ang(pc, default=None):
             if pc not in params:
@@ -863,22 +1081,22 @@ def _epsg_db_params(code):
 
         if method in (9807, 9808):
             return {"method": "tm" if method == 9807 else "tmso",
-                    "unit": unit, "a": a, "f": f,
+                    **base,
                     "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
                     "k0": float(params.get(8805, (1.0, 9201))[0]),
                     "fe": lin(8806), "fn": lin(8807)}
         if method in (9804, 9805):
-            return {"method": "merc", "unit": unit, "a": a, "f": f,
+            return {"method": "merc", **base,
                     "lat_ts": ang(8823) if method == 9805 else None,
                     "k0": float(params.get(8805, (1.0, 9201))[0]),
                     "lon0": ang(8802, 0.0),
                     "fe": lin(8806), "fn": lin(8807)}
         if method == 9820:
-            return {"method": "laea", "unit": unit, "a": a, "f": f,
+            return {"method": "laea", **base,
                     "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
                     "fe": lin(8806), "fn": lin(8807)}
         if method in (9812, 9815):
-            return {"method": "hom", "unit": unit, "a": a, "f": f,
+            return {"method": "hom", **base,
                     "variant_b": method == 9815,
                     "latc": ang(8811, 0.0), "lonc": ang(8812, 0.0),
                     "alphac": ang(8813, 0.0), "gammac": ang(8814, 0.0),
@@ -886,41 +1104,41 @@ def _epsg_db_params(code):
                     "fe": lin(8816 if method == 9815 else 8806),
                     "fn": lin(8817 if method == 9815 else 8807)}
         if method == 9809:
-            return {"method": "ostereo", "unit": unit, "a": a, "f": f,
+            return {"method": "ostereo", **base,
                     "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
                     "k0": float(params.get(8805, (1.0, 9201))[0]),
                     "fe": lin(8806), "fn": lin(8807)}
         if method == 9806:
-            return {"method": "cass", "unit": unit, "a": a, "f": f,
+            return {"method": "cass", **base,
                     "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
                     "fe": lin(8806), "fn": lin(8807)}
         if method == 1028:
-            return {"method": "eqc", "unit": unit, "a": a, "f": f,
+            return {"method": "eqc", **base,
                     "lat_ts": ang(8823, 0.0), "lon0": ang(8802, 0.0),
                     "fe": lin(8806), "fn": lin(8807)}
         if method == 9802:
-            return {"method": "lcc", "unit": unit, "a": a, "f": f,
+            return {"method": "lcc", **base,
                     "lat0": ang(8821, 0.0), "lon0": ang(8822, 0.0),
                     "sp1": ang(8823), "sp2": ang(8824), "k0": 1.0,
                     "fe": lin(8826), "fn": lin(8827)}
         if method == 9822:
-            return {"method": "aea", "unit": unit, "a": a, "f": f,
+            return {"method": "aea", **base,
                     "lat0": ang(8821, 0.0), "lon0": ang(8822, 0.0),
                     "sp1": ang(8823), "sp2": ang(8824),
                     "fe": lin(8826), "fn": lin(8827)}
         if method == 9829:
-            return {"method": "ps", "unit": unit, "a": a, "f": f,
+            return {"method": "ps", **base,
                     "lat_ts": ang(8832), "lat0": None, "k0": None,
                     "lon0": ang(8833, 0.0),
                     "fe": lin(8806), "fn": lin(8807)}
         if method == 9810:
-            return {"method": "ps", "unit": unit, "a": a, "f": f,
+            return {"method": "ps", **base,
                     "lat_ts": None, "lat0": ang(8801, 90.0),
                     "k0": float(params.get(8805, (1.0, 9201))[0]),
                     "lon0": ang(8802, 0.0),
                     "fe": lin(8806), "fn": lin(8807)}
         # 9801: one standard parallel at the natural origin
-        return {"method": "lcc", "unit": unit, "a": a, "f": f,
+        return {"method": "lcc", **base,
                 "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
                 "sp1": None, "sp2": None,
                 "k0": float(params.get(8805, (1.0, 9201))[0]),
@@ -1012,6 +1230,35 @@ def _db_inverse(x, y, p):
                         p["a"], p["f"])
 
 
+@lru_cache(maxsize=128)
+def _epsg_db_geographic(code):
+    """Geographic 2D/3D CRS parameters (ellipsoid + datum bridge)
+    from the system PROJ database, or None."""
+    import os
+    import sqlite3
+    if not os.path.exists(_PROJ_DB):
+        return None
+    db = sqlite3.connect(_PROJ_DB)
+    try:
+        row = db.execute(
+            "SELECT g.type, e.semi_major_axis, e.inv_flattening, "
+            "e.semi_minor_axis, e.name FROM geodetic_crs g "
+            "JOIN geodetic_datum d ON d.code = g.datum_code "
+            "AND d.auth_name = g.datum_auth_name "
+            "JOIN ellipsoid e ON e.code = d.ellipsoid_code "
+            "AND e.auth_name = d.ellipsoid_auth_name "
+            "WHERE g.auth_name='EPSG' AND g.code=? AND g.deprecated=0",
+            (str(code),)).fetchone()
+    finally:
+        db.close()
+    if row is None or not row[0].startswith("geographic"):
+        return None
+    _, a, invf, b, ell_name = row
+    f = 1.0 / invf if invf else (a - b) / a
+    return {"a": a, "f": f,
+            "geod": _datum_eligibility(code, a, f, code, ell_name)}
+
+
 def _parse_epsg(code):
     code = int(code)
     if code in (4326, 4269):
@@ -1035,6 +1282,9 @@ def _parse_epsg(code):
     p = _epsg_db_params(code)
     if p is not None:
         return ("db", p, None)
+    g = _epsg_db_geographic(code)
+    if g is not None:
+        return ("geographic", g, None)
     raise ValueError(
         f"EPSG:{code} not supported by the built-in transform engine. "
         "Supported families: 4326 (WGS84 geographic), 4269 (NAD83 "
@@ -1051,10 +1301,12 @@ def _parse_epsg(code):
 
 def coord_transform(x, y, from_epsg, to_epsg):
     """EPSG -> EPSG transform, ``always_xy`` ordering (parity:
-    neilpy.py:108-110)."""
+    neilpy.py:108-110).  Non-GRS80-class datums ride a geocentric
+    Helmert bridge (source datum -> WGS84 -> target datum)."""
     kind_f, zone_f, north_f = _parse_epsg(from_epsg)
     if kind_f == "geographic":
-        lon, lat = np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+        lon, lat = (np.asarray(x, dtype=np.float64),
+                    np.asarray(y, dtype=np.float64))
     elif kind_f == "utm":
         lon, lat = utm_inverse(x, y, zone_f, north_f)
     elif kind_f == "db":
@@ -1063,6 +1315,10 @@ def coord_transform(x, y, from_epsg, to_epsg):
         lon, lat = _webmercator_inverse(x, y)
 
     kind_t, zone_t, north_t = _parse_epsg(to_epsg)
+    lon, lat = _datum_bridge(
+        lon, lat,
+        zone_f if isinstance(zone_f, dict) else None,
+        zone_t if isinstance(zone_t, dict) else None)
     if kind_t == "geographic":
         return lon, lat
     if kind_t == "utm":

@@ -364,6 +364,81 @@ class TestGeo:
         dlon = (float(lon2) - lon + 180) % 360 - 180
         assert abs(dlon) < 1e-9 and abs(float(lat2) - lat) < 1e-9
 
+    @pytest.mark.parametrize("code,lon,lat,swapped,tol", [
+        # classic non-GRS80 datums via the geocentric Helmert bridge
+        (27700, -0.12, 51.5, False, 0.01),   # OSGB36 British Nat Grid
+        (28992, 5.12, 52.09, False, 0.02),   # Amersfoort / RD New
+        (2056, 7.44, 46.95, False, 0.01),    # CH1903+ / LV95 (HOM-B)
+        (31370, 4.35, 50.85, False, 0.01),   # Belge 72 / Lambert 72
+        # CH1903 / LV03: PROJ interpolates the installed CHENYX06
+        # grid; the Helmert record agrees to ~0.3 m
+        (21781, 7.44, 46.95, False, 0.5),
+        # ED50 / SAD69 carry dozens of region-specific variants;
+        # area-of-use selection must pick the same row PROJ does
+        (23030, -3.7, 40.4, False, 0.01),    # ED50 / UTM 30N (Spain)
+        (23032, 9.2, 45.5, False, 0.01),     # ED50 / UTM 32N (Italy)
+        (29193, -47.9, -15.8, False, 0.01),  # SAD69 / UTM 23S
+        # GRS80-ellipsoid datums that are NOT WGS84-equivalent: the
+        # registry Helmert is large and must be applied (ignoring it
+        # silently mislocates by ~100-320 m)
+        (2100, 23.7, 38.0, False, 0.01),     # GGRS87 / Greek Grid
+        (2039, 35.2, 31.78, False, 0.01),    # Israel 1993 / ITM
+        # GRS80-class null path (datum-ensemble equivalence)
+        (3006, 18.06, 59.33, True, 0.01),    # SWEREF99 TM
+        (2193, 174.78, -41.29, True, 0.01),  # NZGD2000 / NZTM
+    ])
+    def test_datum_bridge_matches_proj(self, code, lon, lat, swapped,
+                                       tol):
+        """Helmert datum bridge (round-2 'arbitrary CRS' follow-
+        through): non-GRS80-class datums transform through geocentric
+        Helmert legs read from the PROJ database."""
+        import shutil
+        import subprocess
+        if shutil.which("cs2cs") is None:
+            pytest.skip("cs2cs oracle not available")
+        r = subprocess.run(
+            ["cs2cs", "-f", "%.6f", "EPSG:4326", f"EPSG:{code}"],
+            input=f"{lat} {lon}\n", capture_output=True, text=True)
+        ref = [float(v) for v in r.stdout.split()[:2]]
+        if swapped:
+            ref = ref[::-1]
+        x, y = nt.coord_transform(lon, lat, 4326, code)
+        assert abs(float(x) - ref[0]) < tol
+        assert abs(float(y) - ref[1]) < tol
+        lon2, lat2 = nt.coord_transform(x, y, code, 4326)
+        dlon = (float(lon2) - lon + 180) % 360 - 180
+        assert abs(dlon) < 1e-7 and abs(float(lat2) - lat) < 1e-7
+
+    def test_geographic_crs_from_database(self):
+        # OSGB36 geographic (4277): same Helmert bridge, no projection
+        import shutil
+        import subprocess
+        if shutil.which("cs2cs") is None:
+            pytest.skip("cs2cs oracle not available")
+        r = subprocess.run(
+            ["cs2cs", "-f", "%.9f", "EPSG:4326", "EPSG:4277"],
+            input="51.5 -0.12\n", capture_output=True, text=True)
+        ref_lat, ref_lon = (float(v) for v in r.stdout.split()[:2])
+        lon, lat = nt.coord_transform(-0.12, 51.5, 4326, 4277)
+        assert abs(float(lon) - ref_lon) < 1e-7
+        assert abs(float(lat) - ref_lat) < 1e-7
+
+    def test_same_datum_skips_bridge(self):
+        # projected -> its own geographic base skips the bridge (pure
+        # projection inverse); detouring through WGS84 applies two
+        # Helmert legs that cancel to the ECEF iteration tolerance
+        # (~1e-8 deg = mm), not exactly
+        x, y = nt.coord_transform(-0.12, 51.5, 4326, 27700)
+        lon_a, lat_a = nt.coord_transform(x, y, 27700, 4277)
+        lon_b, lat_b = nt.coord_transform(
+            *nt.coord_transform(x, y, 27700, 4326), 4326, 4277)
+        assert abs(float(lon_a) - float(lon_b)) < 1e-7
+        assert abs(float(lat_a) - float(lat_b)) < 1e-7
+
+    def test_grid_only_datum_still_rejected(self):
+        with pytest.raises(ValueError, match="datum-shift|Clarke"):
+            nt.coord_transform(-85.8, 32.5, 4326, 26729)  # NAD27
+
     def test_laea_is_equal_area(self):
         # the equal-area property at an awkward oblique location
         lon0, lat0, d = 24.0, 61.0, 0.01
