@@ -45,6 +45,12 @@ Implemented CRS families:
   the data's mean location first, then best published accuracy.
   Static 3-/7-/10-parameter methods (9603/9606/9607/9636) are
   supported; rotation conventions are normalised to position-vector.
+  When the system PROJ installation ships an NTv2 grid for the datum
+  (DHDN/BETA2007, CH1903/CHENyx06, NTF/ntf_r93, NZGD49/nzgd2kgrid)
+  the grid interpolation is preferred over the Helmert, like PROJ
+  (``geo/ntv2.py``).  Non-Greenwich prime meridians (Paris, Rome,
+  ...) and grad/Sears-yard parameter units are folded in from the
+  registry, so the NTF (Paris) Lambert zones work out of the box.
   GRS80/WGS84-class datums (NAD83 incl. CSRS/2011, ETRS89, GDA,
   SIRGAS, NZGD2000, ...) stay WGS84-equivalent (~1-2 m ensemble
   class, below DEM-cellsize accuracy) — except datums like GGRS87 or
@@ -786,6 +792,29 @@ _ROT_UOM = {9101: 1.0, 9104: np.pi / (180.0 * 3600.0),   # rad, arcsec
 _SCALE_UOM = {9201: 1.0, 9202: 1e-6, 1028: 1e-9}  # unity, ppm, ppb
 
 
+@lru_cache(maxsize=64)
+def _linear_factor(uom):
+    """Metres per unit for an EPSG linear unit-of-measure code; the
+    common codes come from the table above, anything else (Sears
+    yards/links, Indian feet, ...) from the PROJ database."""
+    if uom in _LINEAR_UOM:
+        return _LINEAR_UOM[uom]
+    import os
+    import sqlite3
+    if os.path.exists(_PROJ_DB):
+        db = sqlite3.connect(_PROJ_DB)
+        try:
+            row = db.execute(
+                "SELECT conv_factor FROM unit_of_measure WHERE "
+                "auth_name='EPSG' AND code=? AND type='length'",
+                (str(uom),)).fetchone()
+        finally:
+            db.close()
+        if row and row[0]:
+            return float(row[0])
+    raise ValueError(f"unsupported EPSG linear unit {uom}")
+
+
 def _geodetic_to_ecef(lon, lat, a, f):
     """Geographic (degrees, h=0) -> geocentric cartesian (metres)."""
     e2 = f * (2 - f)
@@ -915,14 +944,134 @@ def _helmert_at(geod_code, a, f, lon, lat):
     return hel
 
 
+@lru_cache(maxsize=64)
+def _greenwich_sibling(geod_code):
+    """For a geographic CRS on a non-Greenwich prime meridian (NTF
+    (Paris), Monte Mario (Rome), ...), the registry's longitude-
+    rotation record names the Greenwich-referenced sibling that the
+    datum-shift records are keyed to.  Returns geod_code unchanged
+    when there is none."""
+    import os
+    import sqlite3
+    if not os.path.exists(_PROJ_DB):
+        return geod_code
+    db = sqlite3.connect(_PROJ_DB)
+    try:
+        row = db.execute(
+            "SELECT target_crs_code FROM other_transformation "
+            "WHERE auth_name='EPSG' AND deprecated=0 "
+            "AND method_code=9601 AND source_crs_code=?",
+            (str(geod_code),)).fetchone()
+    finally:
+        db.close()
+    return int(row[0]) if row else geod_code
+
+
+@lru_cache(maxsize=256)
+def _is_wgs84_equiv(geod_code):
+    """True when a geographic CRS rides the WGS84-equivalent null
+    path: GRS80/WGS84-class ellipsoid and no large registry shift.
+    Deliberately avoids ``_epsg_db_geographic`` so grid-record
+    evaluation cannot recurse through datum eligibility."""
+    import os
+    import sqlite3
+    if not os.path.exists(_PROJ_DB):
+        return False
+    db = sqlite3.connect(_PROJ_DB)
+    try:
+        row = db.execute(
+            "SELECT e.semi_major_axis, e.inv_flattening, "
+            "e.semi_minor_axis FROM geodetic_crs g "
+            "JOIN geodetic_datum d ON d.code = g.datum_code "
+            "AND d.auth_name = g.datum_auth_name "
+            "JOIN ellipsoid e ON e.code = d.ellipsoid_code "
+            "AND e.auth_name = d.ellipsoid_auth_name "
+            "WHERE g.auth_name='EPSG' AND g.code=?",
+            (str(geod_code),)).fetchone()
+    finally:
+        db.close()
+    if row is None:
+        return False
+    a, invf, b = row
+    f = 1.0 / invf if invf else (a - b) / a
+    if abs(a - _WGS84_A) > 0.5 or abs(f - _WGS84_F) > 1e-6:
+        return False
+    return _helmert_at(geod_code, a, f, np.nan, np.nan) is None
+
+
+@lru_cache(maxsize=128)
+def _grid_records(geod_code):
+    """Installed NTv2 datum-shift grids between a geographic CRS and
+    a WGS84-equivalent frame, best accuracy first.
+
+    Each row: ``(accuracy, code, path, inverted)`` where ``inverted``
+    means the record is stored WGS84-side -> datum.  Only records
+    whose .gsb file exists under the PROJ data dir are returned."""
+    import os
+    import sqlite3
+    from . import ntv2
+    if not os.path.exists(_PROJ_DB):
+        return ()
+    db = sqlite3.connect(_PROJ_DB)
+    try:
+        rows = db.execute(
+            "SELECT g.code, g.source_crs_code, g.target_crs_code, "
+            "g.grid_name, g.accuracy, "
+            "COALESCE(a.old_proj_grid_name, g.grid_name), "
+            "COALESCE(a.inverse_direction, 0) "
+            "FROM grid_transformation g "
+            "LEFT JOIN grid_alternatives a "
+            "ON a.original_grid_name = g.grid_name "
+            "WHERE g.auth_name='EPSG' AND g.deprecated=0 "
+            "AND g.method_code=9615 "
+            "AND (g.source_crs_code=? OR g.target_crs_code=?)",
+            (str(geod_code), str(geod_code))).fetchall()
+    finally:
+        db.close()
+    out = []
+    for code, src, tgt, _name, acc, fname, inv_dir in rows:
+        other = tgt if str(src) == str(geod_code) else src
+        # the far side must be a WGS84-equivalent frame (ETRS89,
+        # NZGD2000, RGF93, CHTRS95, WGS84 itself, ...)
+        if other != "4326" and not _is_wgs84_equiv(int(other)):
+            continue
+        path = ntv2._find_grid_file(fname)
+        if path is None:
+            continue
+        # record direction XOR file-native direction (PROJ's
+        # grid_alternatives.inverse_direction: the .gsb is stored
+        # opposite to the EPSG operation, e.g. rgf93_ntf)
+        inverted = (str(src) != str(geod_code)) != bool(inv_dir)
+        out.append((float(acc) if acc is not None else 999.0,
+                    int(code), path, inverted))
+    out.sort(key=lambda r: (r[0], -r[1]))
+    return tuple(out)
+
+
+def _grid_at(geod_code, lon, lat):
+    """Best installed NTv2 grid covering the location, or None."""
+    from . import ntv2
+    if not np.isfinite(lon) or not np.isfinite(lat):
+        return None
+    for _acc, _code, path, inverted in _grid_records(geod_code):
+        try:
+            if ntv2.grid_covers(path, lon, lat):
+                return path, inverted
+        except (OSError, ValueError):
+            continue
+    return None
+
+
 def _datum_eligibility(geod_code, a, f, code, ell_name):
     """Parse-time check that a datum is transformable at all; raises
     the clear grid-needed error otherwise.  Returns the geodetic CRS
     code to carry (the null-shift policy itself is point-dependent
     and applied later by ``_helmert_at``)."""
-    geod_code = int(geod_code)
+    geod_code = _greenwich_sibling(int(geod_code))
     grs80_class = (abs(a - _WGS84_A) <= 0.5
                    and abs(f - _WGS84_F) <= 1e-6)
+    if not grs80_class and _grid_records(geod_code):
+        return geod_code             # installed NTv2 grid suffices
     if geod_code in _GRID_ONLY_DATUM_CRS or (
             not grs80_class and not _datum_rows(geod_code)):
         raise ValueError(
@@ -969,26 +1118,45 @@ def _datum_bridge(lon, lat, p_from, p_to):
     mlat = float(np.mean(np.asarray(lat, dtype=np.float64)))
     if not (np.isfinite(mlon) and np.isfinite(mlat)):
         mlon = mlat = np.nan         # no area filter, best accuracy
+    from . import ntv2
     if geod_f is not None:
-        hel = _helmert_at(geod_f, p_from["a"], p_from["f"],
-                          mlon, mlat)
-        if hel is not None:
-            xyz = _geodetic_to_ecef(lon, lat, p_from["a"],
-                                    p_from["f"])
-            xyz = _helmert_apply(xyz, hel, to_wgs84=True)
-            lon, lat = _ecef_to_geodetic(*xyz, _WGS84_A, _WGS84_F)
+        grid = _grid_at(geod_f, mlon, mlat)
+        if grid is not None:         # NTv2 grid beats single Helmert
+            path, inverted = grid
+            lon, lat = ntv2.apply_grid(path, lon, lat,
+                                       inverse=inverted)
+        else:
+            hel = _helmert_at(geod_f, p_from["a"], p_from["f"],
+                              mlon, mlat)
+            if hel is not None:
+                xyz = _geodetic_to_ecef(lon, lat, p_from["a"],
+                                        p_from["f"])
+                xyz = _helmert_apply(xyz, hel, to_wgs84=True)
+                lon, lat = _ecef_to_geodetic(*xyz, _WGS84_A,
+                                             _WGS84_F)
     if geod_t is not None:
-        hel = _helmert_at(geod_t, p_to["a"], p_to["f"], mlon, mlat)
-        if hel is not None:
-            xyz = _geodetic_to_ecef(lon, lat, _WGS84_A, _WGS84_F)
-            xyz = _helmert_apply(xyz, hel, to_wgs84=False)
-            lon, lat = _ecef_to_geodetic(*xyz, p_to["a"], p_to["f"])
+        grid = _grid_at(geod_t, mlon, mlat)
+        if grid is not None:
+            path, inverted = grid
+            lon, lat = ntv2.apply_grid(path, lon, lat,
+                                       inverse=not inverted)
+        else:
+            hel = _helmert_at(geod_t, p_to["a"], p_to["f"],
+                              mlon, mlat)
+            if hel is not None:
+                xyz = _geodetic_to_ecef(lon, lat, _WGS84_A,
+                                        _WGS84_F)
+                xyz = _helmert_apply(xyz, hel, to_wgs84=False)
+                lon, lat = _ecef_to_geodetic(*xyz, p_to["a"],
+                                             p_to["f"])
     return lon, lat
 
 
 def _angle_from_uom(v, uom):
-    if uom == 9102:      # degree
+    if uom in (9102, 9122):   # degree (9122: supplier-defined)
         return float(v)
+    if uom == 9105:      # grad (centesimal degree)
+        return float(v) * 0.9
     if uom == 9110:      # sexagesimal DMS as DD.MMSSsss
         sign = -1.0 if v < 0 else 1.0
         v = abs(float(v))
@@ -1048,22 +1216,26 @@ def _epsg_db_params(code):
                   "AND coordinate_system_code=? ORDER BY "
                   "coordinate_system_order", (cs_code,))
         ax = c.fetchone()
-        unit = _LINEAR_UOM.get(ax[0] if ax else 9001)
-        if unit is None:
-            raise ValueError(
-                f"EPSG:{code} axis unit {ax[0]} not supported")
+        unit = _linear_factor(ax[0] if ax else 9001)
         # ellipsoid: must be GRS80/WGS84-class (no datum shift engine)
         c.execute(
             "SELECT e.semi_major_axis, e.inv_flattening, "
-            "e.semi_minor_axis, e.name FROM geodetic_crs g "
+            "e.semi_minor_axis, e.name, pm.longitude, pm.uom_code "
+            "FROM geodetic_crs g "
             "JOIN geodetic_datum d ON d.code = g.datum_code "
             "AND d.auth_name = g.datum_auth_name "
             "JOIN ellipsoid e ON e.code = d.ellipsoid_code "
             "AND e.auth_name = d.ellipsoid_auth_name "
+            "JOIN prime_meridian pm ON pm.code = d.prime_meridian_code "
+            "AND pm.auth_name = d.prime_meridian_auth_name "
             "WHERE g.auth_name='EPSG' AND g.code=?", (geod_code,))
         ell = c.fetchone()
-        a, invf, b, ell_name = ell
+        a, invf, b, ell_name, pm_lon, pm_uom = ell
         f = 1.0 / invf if invf else (a - b) / a
+        # non-Greenwich prime meridian (Paris, Rome, ...): longitude
+        # parameters fold the meridian offset in, so all internal
+        # geographic coordinates stay Greenwich-referenced
+        pm_deg = _angle_from_uom(pm_lon, pm_uom) if pm_lon else 0.0
         geod = _datum_eligibility(geod_code, a, f,
                                   f"{code} ({name})", ell_name)
         base = {"unit": unit, "a": a, "f": f, "geod": geod}
@@ -1073,73 +1245,77 @@ def _epsg_db_params(code):
                 return default
             return _angle_from_uom(*params[pc])
 
+        def lng(pc):
+            """Longitude-of-origin parameter, Greenwich-referenced."""
+            return (ang(pc, 0.0) or 0.0) + pm_deg
+
         def lin(pc, default=0.0):
             if pc not in params:
                 return default
             v, uom = params[pc]
-            return float(v) * _LINEAR_UOM[uom]
+            return float(v) * _linear_factor(uom)
 
         if method in (9807, 9808):
             return {"method": "tm" if method == 9807 else "tmso",
                     **base,
-                    "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
+                    "lat0": ang(8801, 0.0), "lon0": lng(8802),
                     "k0": float(params.get(8805, (1.0, 9201))[0]),
                     "fe": lin(8806), "fn": lin(8807)}
         if method in (9804, 9805):
             return {"method": "merc", **base,
                     "lat_ts": ang(8823) if method == 9805 else None,
                     "k0": float(params.get(8805, (1.0, 9201))[0]),
-                    "lon0": ang(8802, 0.0),
+                    "lon0": lng(8802),
                     "fe": lin(8806), "fn": lin(8807)}
         if method == 9820:
             return {"method": "laea", **base,
-                    "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
+                    "lat0": ang(8801, 0.0), "lon0": lng(8802),
                     "fe": lin(8806), "fn": lin(8807)}
         if method in (9812, 9815):
             return {"method": "hom", **base,
                     "variant_b": method == 9815,
-                    "latc": ang(8811, 0.0), "lonc": ang(8812, 0.0),
+                    "latc": ang(8811, 0.0), "lonc": lng(8812),
                     "alphac": ang(8813, 0.0), "gammac": ang(8814, 0.0),
                     "k0": float(params.get(8815, (1.0, 9201))[0]),
                     "fe": lin(8816 if method == 9815 else 8806),
                     "fn": lin(8817 if method == 9815 else 8807)}
         if method == 9809:
             return {"method": "ostereo", **base,
-                    "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
+                    "lat0": ang(8801, 0.0), "lon0": lng(8802),
                     "k0": float(params.get(8805, (1.0, 9201))[0]),
                     "fe": lin(8806), "fn": lin(8807)}
         if method == 9806:
             return {"method": "cass", **base,
-                    "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
+                    "lat0": ang(8801, 0.0), "lon0": lng(8802),
                     "fe": lin(8806), "fn": lin(8807)}
         if method == 1028:
             return {"method": "eqc", **base,
-                    "lat_ts": ang(8823, 0.0), "lon0": ang(8802, 0.0),
+                    "lat_ts": ang(8823, 0.0), "lon0": lng(8802),
                     "fe": lin(8806), "fn": lin(8807)}
         if method == 9802:
             return {"method": "lcc", **base,
-                    "lat0": ang(8821, 0.0), "lon0": ang(8822, 0.0),
+                    "lat0": ang(8821, 0.0), "lon0": lng(8822),
                     "sp1": ang(8823), "sp2": ang(8824), "k0": 1.0,
                     "fe": lin(8826), "fn": lin(8827)}
         if method == 9822:
             return {"method": "aea", **base,
-                    "lat0": ang(8821, 0.0), "lon0": ang(8822, 0.0),
+                    "lat0": ang(8821, 0.0), "lon0": lng(8822),
                     "sp1": ang(8823), "sp2": ang(8824),
                     "fe": lin(8826), "fn": lin(8827)}
         if method == 9829:
             return {"method": "ps", **base,
                     "lat_ts": ang(8832), "lat0": None, "k0": None,
-                    "lon0": ang(8833, 0.0),
+                    "lon0": lng(8833),
                     "fe": lin(8806), "fn": lin(8807)}
         if method == 9810:
             return {"method": "ps", **base,
                     "lat_ts": None, "lat0": ang(8801, 90.0),
                     "k0": float(params.get(8805, (1.0, 9201))[0]),
-                    "lon0": ang(8802, 0.0),
+                    "lon0": lng(8802),
                     "fe": lin(8806), "fn": lin(8807)}
         # 9801: one standard parallel at the natural origin
         return {"method": "lcc", **base,
-                "lat0": ang(8801, 0.0), "lon0": ang(8802, 0.0),
+                "lat0": ang(8801, 0.0), "lon0": lng(8802),
                 "sp1": None, "sp2": None,
                 "k0": float(params.get(8805, (1.0, 9201))[0]),
                 "fe": lin(8806), "fn": lin(8807)}

@@ -409,6 +409,69 @@ class TestGeo:
         dlon = (float(lon2) - lon + 180) % 360 - 180
         assert abs(dlon) < 1e-7 and abs(float(lat2) - lat) < 1e-7
 
+    @pytest.mark.parametrize("code,lon,lat,swapped,tol", [
+        # datums whose WGS84 relationship rides an installed NTv2
+        # grid (preferred over single-Helmert, like PROJ)
+        (31466, 6.96, 50.94, True, 0.01),    # DHDN / GK2 (BETA2007)
+        (31467, 11.57, 48.14, True, 0.01),   # DHDN / GK3
+        (27260, 178.0, -38.5, False, 0.01),  # NZGD49 / UTM 60S
+        (27291, 174.78, -38.0, False, 0.01), # NZGD49 N Island Grid
+        #   (27291 also exercises Sears-yard axis units)
+        # CH1903: cs2cs chains CHENyx06a + CH1903+ Helmert, we use
+        # CHENyx06_ETRS directly — they agree to the grids' stated
+        # 0.2 m accuracy class
+        (21781, 7.44, 46.95, False, 0.2),
+        # NTF (Paris meridian, grad parameters): our path composes
+        # the ntf_r93 grid with the Paris-fold; cs2cs's direct
+        # projected chain uses a Helmert that differs from its OWN
+        # 4326->4275 grid path by the same ~1.4 m (the pure
+        # projection leg 4275->27561 matches us to 0.2 mm)
+        (27561, 2.35, 48.85, False, 2.0),    # Lambert Nord France
+        (27572, 2.35, 48.85, False, 2.0),    # Lambert zone II
+    ])
+    def test_ntv2_grid_shifts_match_proj(self, code, lon, lat,
+                                         swapped, tol):
+        import shutil
+        import subprocess
+        if shutil.which("cs2cs") is None:
+            pytest.skip("cs2cs oracle not available")
+        r = subprocess.run(
+            ["cs2cs", "-f", "%.6f", "EPSG:4326", f"EPSG:{code}"],
+            input=f"{lat} {lon}\n", capture_output=True, text=True)
+        ref = [float(v) for v in r.stdout.split()[:2]]
+        if swapped:
+            ref = ref[::-1]
+        x, y = nt.coord_transform(lon, lat, 4326, code)
+        assert abs(float(x) - ref[0]) < tol
+        assert abs(float(y) - ref[1]) < tol
+        lon2, lat2 = nt.coord_transform(x, y, code, 4326)
+        dlon = (float(lon2) - lon + 180) % 360 - 180
+        assert abs(dlon) < 1e-7 and abs(float(lat2) - lat) < 1e-7
+
+    def test_ntf_geographic_grid_exact(self):
+        # the pure datum leg must match cs2cs's grid path sub-mm
+        import shutil
+        import subprocess
+        if shutil.which("cs2cs") is None:
+            pytest.skip("cs2cs oracle not available")
+        r = subprocess.run(
+            ["cs2cs", "-f", "%.9f", "EPSG:4326", "EPSG:4275"],
+            input="48.85 2.35\n", capture_output=True, text=True)
+        ref_lat, ref_lon = (float(v) for v in r.stdout.split()[:2])
+        lon, lat = nt.coord_transform(2.35, 48.85, 4326, 4275)
+        assert abs(float(lon) - ref_lon) < 1e-8
+        assert abs(float(lat) - ref_lat) < 1e-8
+
+    def test_ntv2_inverse_roundtrips(self):
+        # vectorized grid legs + iterative inverse: WGS84 -> DHDN GK3
+        # -> WGS84 round-trips sub-0.1 mm across Germany
+        lons = np.array([9.0, 10.5, 12.2])
+        lats = np.array([48.2, 50.5, 53.0])
+        x, y = nt.coord_transform(lons, lats, 4326, 31467)
+        lon2, lat2 = nt.coord_transform(x, y, 31467, 4326)
+        np.testing.assert_allclose(lon2, lons, atol=1e-9)
+        np.testing.assert_allclose(lat2, lats, atol=1e-9)
+
     def test_geographic_crs_from_database(self):
         # OSGB36 geographic (4277): same Helmert bridge, no projection
         import shutil
