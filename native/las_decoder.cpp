@@ -121,12 +121,13 @@ int las_open_header(const char* path, double* out) {
 
 // Decode points [0, n) with stride into flat arrays.  bbox = 4 doubles
 // (xmin, xmax, ymin, ymax) or null.  Returns number of points written,
-// or a negative error code.  Output arrays must hold at least
-// ceil(n / stride) entries.
+// or a negative error code.  ``n_cap`` is the caller's allocated
+// length for every output array; the decoder never writes beyond it,
+// even when the header's point count disagrees with the file size.
 long las_decode(const char* path, long stride, const double* bbox,
                 double* xs, double* ys, double* zs, uint16_t* intensity,
                 uint8_t* klass, uint8_t* return_number, uint8_t* return_max,
-                int n_threads) {
+                long n_cap, int n_threads) {
   Mapped m;
   if (!map_file(path, &m)) return -10;
   Header h;
@@ -140,6 +141,8 @@ long las_decode(const char* path, long stride, const double* bbox,
   uint64_t n = h.num_points ? std::min<uint64_t>(h.num_points, avail)
                             : avail;
   uint64_t n_out_max = (n + stride - 1) / stride;
+  if (n_cap >= 0 && n_out_max > static_cast<uint64_t>(n_cap))
+    n_out_max = static_cast<uint64_t>(n_cap);
 
   const bool extended = h.pdrf >= 6;
   // byte offsets inside a record
@@ -147,6 +150,7 @@ long las_decode(const char* path, long stride, const double* bbox,
   const size_t off_intensity = 12;    // uint16
   const size_t off_retbyte = 14;      // uint8
   const size_t off_class = extended ? 16 : 15;
+  if (rl < off_class + 1) return -4;  // record too short for its PDRF
 
   if (n_threads < 1)
     n_threads = static_cast<int>(std::thread::hardware_concurrency());

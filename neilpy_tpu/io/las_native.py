@@ -50,6 +50,7 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
             ctypes.c_int,
         ]
     except OSError:
@@ -113,7 +114,7 @@ def read_las_arrays(filename, stride=1, bbox=None, n_threads=0):
         p(xs, ctypes.c_double), p(ys, ctypes.c_double),
         p(zs, ctypes.c_double), p(inten, ctypes.c_uint16),
         p(klass, ctypes.c_uint8), p(rn, ctypes.c_uint8),
-        p(rm, ctypes.c_uint8), int(n_threads))
+        p(rm, ctypes.c_uint8), int(n_out), int(n_threads))
     if wrote < 0:
         raise ValueError(f"native LAS decode failed (code {wrote})")
     sl = slice(0, wrote)
