@@ -27,6 +27,8 @@ Implemented CRS families:
   - Cassini-Soldner (9806)
   - Equidistant Cylindrical (1028) — per the EPSG meridian-arc
     formula (note the installed PROJ maps this to spherical eqc)
+  - New Zealand Map Grid (9811) — Reilly's 6th-order complex
+    polynomial with the published LINZ constants
 
   That covers ~99% of non-deprecated GRS80-class projected codes,
   including the NAD83 US State Plane zones (TM/LCC/ftUS twins) that
@@ -777,6 +779,57 @@ def _eqc_inverse(x, y, lat_ts, lon0, fe, fn, a=_WGS84_A, f=_WGS84_F):
     return np.rad2deg(lam) + lon0, np.rad2deg(phi)
 
 
+# New Zealand Map Grid (EPSG 9811; Reilly 1973 / LINZ LINZG25700):
+# a 6th-order complex polynomial in (scaled latitude series, dlon).
+# Constants are the published LINZ values (byte-identical to the
+# tables in the system libproj, from which they were verified).
+_NZMG_TPSI = (0.6399175073, -0.1358797613, 0.063294409, -0.02526853,
+              0.0117879, -0.0055161, 0.0026906, -0.001333, 0.00067,
+              -0.00034)
+_NZMG_TPHI = (1.5627014243, 0.5185406398, -0.03333098, -0.1052906,
+              -0.0368594, 0.007317, 0.01220, 0.00394, -0.0013)
+_NZMG_BF = (0.7557853228 + 0.0j, 0.249204646 + 0.003371507j,
+            -0.001541739 + 0.041058560j, -0.10162907 + 0.01727609j,
+            -0.26623489 - 0.36249218j, -0.6870983 - 1.1651967j)
+
+
+def _nzmg_forward(lon, lat, lat0, lon0, fe, fn, a, f=None):
+    dphi = (np.asarray(lat, dtype=np.float64) - lat0) * 3600e-5
+    acc = np.zeros_like(dphi)
+    for c in reversed(_NZMG_TPSI):
+        acc = acc * dphi + c
+    psi = acc * dphi
+    z = psi + 1j * np.deg2rad(np.asarray(lon, dtype=np.float64)
+                              - lon0)
+    w = np.zeros_like(z)
+    for c in reversed(_NZMG_BF):
+        w = w * z + c
+    w = w * z
+    return fe + w.imag * a, fn + w.real * a
+
+
+def _nzmg_inverse(x, y, lat0, lon0, fe, fn, a, f=None):
+    w = ((np.asarray(y, dtype=np.float64) - fn)
+         + 1j * (np.asarray(x, dtype=np.float64) - fe)) / a
+    z = w / _NZMG_BF[0]
+    for _ in range(12):                  # Newton on sum bf[i] z^(i+1)
+        p = np.zeros_like(z)
+        dp = np.zeros_like(z)
+        for i in reversed(range(len(_NZMG_BF))):
+            p = p * z + _NZMG_BF[i]
+            dp = dp * z + (i + 1) * _NZMG_BF[i]
+        p = p * z                        # f(z)
+        z = z - (p - w) / dp
+    psi = z.real
+    acc = np.zeros_like(psi)
+    for c in reversed(_NZMG_TPHI):
+        acc = acc * psi + c
+    dphi = acc * psi
+    lat = lat0 + dphi / 3600e-5
+    lon = lon0 + np.rad2deg(z.imag)
+    return lon, lat
+
+
 _PROJ_DB = "/usr/share/proj/proj.db"
 
 # EPSG unit-of-measure -> factor to metres / degrees
@@ -1202,7 +1255,7 @@ def _epsg_db_params(code):
         method = conv["method_code"]
         if method not in (9807, 9802, 9801, 9822, 9829, 9810, 9804,
                           9805, 9808, 9820, 9812, 9815, 9809, 9806,
-                          1028):
+                          1028, 9811):
             return None
         params = {}
         for i in range(1, 8):
@@ -1288,6 +1341,10 @@ def _epsg_db_params(code):
             return {"method": "cass", **base,
                     "lat0": ang(8801, 0.0), "lon0": lng(8802),
                     "fe": lin(8806), "fn": lin(8807)}
+        if method == 9811:
+            return {"method": "nzmg", **base,
+                    "lat0": ang(8801, 0.0), "lon0": lng(8802),
+                    "fe": lin(8806), "fn": lin(8807)}
         if method == 1028:
             return {"method": "eqc", **base,
                     "lat_ts": ang(8823, 0.0), "lon0": lng(8802),
@@ -1353,6 +1410,9 @@ def _db_forward(lon, lat, p):
     elif p["method"] == "eqc":
         x, y = _eqc_forward(lon, lat, p["lat_ts"], p["lon0"],
                             p["fe"], p["fn"], p["a"], p["f"])
+    elif p["method"] == "nzmg":
+        x, y = _nzmg_forward(lon, lat, p["lat0"], p["lon0"],
+                             p["fe"], p["fn"], p["a"])
     elif p["method"] == "aea":
         x, y = _aea_forward(lon, lat, p["lat0"], p["lon0"], p["sp1"],
                             p["sp2"], p["fe"], p["fn"], p["a"], p["f"])
@@ -1395,6 +1455,9 @@ def _db_inverse(x, y, p):
     if p["method"] == "eqc":
         return _eqc_inverse(x, y, p["lat_ts"], p["lon0"],
                             p["fe"], p["fn"], p["a"], p["f"])
+    if p["method"] == "nzmg":
+        return _nzmg_inverse(x, y, p["lat0"], p["lon0"],
+                             p["fe"], p["fn"], p["a"])
     if p["method"] == "aea":
         return _aea_inverse(x, y, p["lat0"], p["lon0"], p["sp1"],
                             p["sp2"], p["fe"], p["fn"], p["a"], p["f"])

@@ -416,6 +416,8 @@ class TestGeo:
         (31467, 11.57, 48.14, True, 0.01),   # DHDN / GK3
         (27260, 178.0, -38.5, False, 0.01),  # NZGD49 / UTM 60S
         (27291, 174.78, -38.0, False, 0.01), # NZGD49 N Island Grid
+        (27200, 174.78, -41.29, False, 0.01),  # NZ Map Grid (9811)
+        (27200, 170.5, -45.9, False, 0.01),    # complex-poly far SW
         #   (27291 also exercises Sears-yard axis units)
         # CH1903: cs2cs chains CHENyx06a + CH1903+ Helmert, we use
         # CHENyx06_ETRS directly — they agree to the grids' stated
