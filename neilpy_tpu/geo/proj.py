@@ -29,6 +29,7 @@ Implemented CRS families:
     formula (note the installed PROJ maps this to spherical eqc)
   - New Zealand Map Grid (9811) — Reilly's 6th-order complex
     polynomial with the published LINZ constants
+  - Colombia Urban (1052) — the MAGNA-SIRGAS urban grids
 
   That covers ~99% of non-deprecated GRS80-class projected codes,
   including the NAD83 US State Plane zones (TM/LCC/ftUS twins) that
@@ -779,6 +780,43 @@ def _eqc_inverse(x, y, lat_ts, lon0, fe, fn, a=_WGS84_A, f=_WGS84_F):
     return np.rad2deg(lam) + lon0, np.rad2deg(phi)
 
 
+def _colurban_consts(lat0, h0, a, f):
+    e2 = f * (2 - f)
+    p0 = np.deg2rad(lat0)
+    w0 = 1 - e2 * np.sin(p0) ** 2
+    nu0 = a / np.sqrt(w0)
+    rho0 = a * (1 - e2) / w0 ** 1.5
+    A = 1 + h0 / nu0
+    B = np.tan(p0) / (2 * rho0 * nu0)
+    G = 1 + h0 / rho0
+    return e2, p0, float(A), float(B), float(G), float(rho0)
+
+
+def _colurban_forward(lon, lat, lat0, lon0, h0, fe, fn, a, f):
+    """Colombia Urban (EPSG 1052): a plane at elevation h0 over the
+    origin.  E = FE + A nu(phi) cos(phi) dlam; N = FN + G rho0
+    [(phi-phi0) + B dlam^2 nu^2 cos^2 phi] — verified <1e-5 m against
+    the PROJ oracle across five MAGNA-SIRGAS urban zones."""
+    e2, p0, A, B, G, rho0 = _colurban_consts(lat0, h0, a, f)
+    ph = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    dl = np.deg2rad(np.asarray(lon, dtype=np.float64) - lon0)
+    nc = a / np.sqrt(1 - e2 * np.sin(ph) ** 2) * np.cos(ph)
+    E = fe + A * nc * dl
+    N = fn + G * rho0 * ((ph - p0) + B * (dl * nc) ** 2)
+    return E, N
+
+
+def _colurban_inverse(x, y, lat0, lon0, h0, fe, fn, a, f):
+    """Exact closed form: dlam * nu cos(phi) = (E-FE)/A eliminates the
+    quadratic term, giving phi directly, then lambda."""
+    e2, p0, A, B, G, rho0 = _colurban_consts(lat0, h0, a, f)
+    t = (np.asarray(x, dtype=np.float64) - fe) / A
+    ph = p0 + (np.asarray(y, dtype=np.float64) - fn) / (G * rho0) \
+        - B * t * t
+    nc = a / np.sqrt(1 - e2 * np.sin(ph) ** 2) * np.cos(ph)
+    return np.rad2deg(t / nc) + lon0, np.rad2deg(ph)
+
+
 # New Zealand Map Grid (EPSG 9811; Reilly 1973 / LINZ LINZG25700):
 # a 6th-order complex polynomial in (scaled latitude series, dlon).
 # Constants are the published LINZ values (byte-identical to the
@@ -1255,7 +1293,7 @@ def _epsg_db_params(code):
         method = conv["method_code"]
         if method not in (9807, 9802, 9801, 9822, 9829, 9810, 9804,
                           9805, 9808, 9820, 9812, 9815, 9809, 9806,
-                          1028, 9811):
+                          1028, 9811, 1052):
             return None
         params = {}
         for i in range(1, 8):
@@ -1341,6 +1379,11 @@ def _epsg_db_params(code):
             return {"method": "cass", **base,
                     "lat0": ang(8801, 0.0), "lon0": lng(8802),
                     "fe": lin(8806), "fn": lin(8807)}
+        if method == 1052:
+            return {"method": "colurban", **base,
+                    "lat0": ang(8801, 0.0), "lon0": lng(8802),
+                    "h0": lin(1039), "fe": lin(8806),
+                    "fn": lin(8807)}
         if method == 9811:
             return {"method": "nzmg", **base,
                     "lat0": ang(8801, 0.0), "lon0": lng(8802),
@@ -1413,6 +1456,10 @@ def _db_forward(lon, lat, p):
     elif p["method"] == "nzmg":
         x, y = _nzmg_forward(lon, lat, p["lat0"], p["lon0"],
                              p["fe"], p["fn"], p["a"])
+    elif p["method"] == "colurban":
+        x, y = _colurban_forward(lon, lat, p["lat0"], p["lon0"],
+                                 p["h0"], p["fe"], p["fn"],
+                                 p["a"], p["f"])
     elif p["method"] == "aea":
         x, y = _aea_forward(lon, lat, p["lat0"], p["lon0"], p["sp1"],
                             p["sp2"], p["fe"], p["fn"], p["a"], p["f"])
@@ -1458,6 +1505,10 @@ def _db_inverse(x, y, p):
     if p["method"] == "nzmg":
         return _nzmg_inverse(x, y, p["lat0"], p["lon0"],
                              p["fe"], p["fn"], p["a"])
+    if p["method"] == "colurban":
+        return _colurban_inverse(x, y, p["lat0"], p["lon0"],
+                                 p["h0"], p["fe"], p["fn"],
+                                 p["a"], p["f"])
     if p["method"] == "aea":
         return _aea_inverse(x, y, p["lat0"], p["lon0"], p["sp1"],
                             p["sp2"], p["fe"], p["fn"], p["a"], p["f"])

@@ -418,6 +418,9 @@ class TestGeo:
         (27291, 174.78, -38.0, False, 0.01), # NZGD49 N Island Grid
         (27200, 174.78, -41.29, False, 0.01),  # NZ Map Grid (9811)
         (27200, 170.5, -45.9, False, 0.01),    # complex-poly far SW
+        # Colombia Urban (1052), plane-at-elevation projection
+        (6247, -74.1, 4.68, True, 0.01),     # MAGNA-SIRGAS Bogota
+        (6244, -70.5, 7.1, True, 0.01),      # Arauca urban grid
         #   (27291 also exercises Sears-yard axis units)
         # CH1903: cs2cs chains CHENyx06a + CH1903+ Helmert, we use
         # CHENyx06_ETRS directly — they agree to the grids' stated
