@@ -30,6 +30,8 @@ Implemented CRS families:
   - New Zealand Map Grid (9811) — Reilly's 6th-order complex
     polynomial with the published LINZ constants
   - Colombia Urban (1052) — the MAGNA-SIRGAS urban grids
+  - Krovak (9819 south-west axes, 1041 east-north) — S-JTSK, incl.
+    the Ferro-meridian variants
 
   That covers ~99% of non-deprecated GRS80-class projected codes,
   including the NAD83 US State Plane zones (TM/LCC/ftUS twins) that
@@ -780,6 +782,75 @@ def _eqc_inverse(x, y, lat_ts, lon0, fe, fn, a=_WGS84_A, f=_WGS84_F):
     return np.rad2deg(lam) + lon0, np.rad2deg(phi)
 
 
+def _krovak_consts(latc, alphac, latp, kp, a, f):
+    e2 = f * (2 - f)
+    e = np.sqrt(e2)
+    pc = np.deg2rad(latc)
+    A = a * np.sqrt(1 - e2) / (1 - e2 * np.sin(pc) ** 2)
+    B = np.sqrt(1 + e2 * np.cos(pc) ** 4 / (1 - e2))
+    g0 = np.arcsin(np.sin(pc) / B)
+    s = e * np.sin(pc)
+    t0 = (np.tan(np.pi / 4 + g0 / 2)
+          * ((1 + s) / (1 - s)) ** (e * B / 2)
+          / np.tan(np.pi / 4 + pc / 2) ** B)
+    pp = np.deg2rad(latp)
+    n = np.sin(pp)
+    r0 = kp * A / np.tan(pp)
+    rn = r0 * np.tan(np.pi / 4 + pp / 2) ** n
+    return (e, float(B), float(g0), float(t0), float(n), float(rn),
+            np.deg2rad(alphac))
+
+
+def _krovak_forward(lon, lat, latc, lon0, alphac, latp, kp, fe, fn,
+                    east_north, a, f):
+    """Krovak oblique conformal conic (EPSG 9819 south-west axes /
+    1041 east-north) — the S-JTSK national projection."""
+    e, B, g0, t0, n, rn, ac = _krovak_consts(latc, alphac, latp, kp,
+                                             a, f)
+    ph = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    s = e * np.sin(ph)
+    U = 2 * (np.arctan(t0 * np.tan(ph / 2 + np.pi / 4) ** B
+                       / ((1 + s) / (1 - s)) ** (e * B / 2))
+             - np.pi / 4)
+    V = B * np.deg2rad(lon0 - np.asarray(lon, dtype=np.float64))
+    T = np.arcsin(np.cos(ac) * np.sin(U)
+                  + np.sin(ac) * np.cos(U) * np.cos(V))
+    D = np.arcsin(np.cos(U) * np.sin(V) / np.cos(T))
+    r = rn / np.tan(T / 2 + np.pi / 4) ** n
+    Xs = r * np.cos(n * D)              # southing
+    Yw = r * np.sin(n * D)              # westing
+    if east_north:
+        return -Yw + fe, -Xs + fn
+    return Xs + fe, Yw + fn
+
+
+def _krovak_inverse(x, y, latc, lon0, alphac, latp, kp, fe, fn,
+                    east_north, a, f):
+    e, B, g0, t0, n, rn, ac = _krovak_consts(latc, alphac, latp, kp,
+                                             a, f)
+    if east_north:
+        Yw = -(np.asarray(x, dtype=np.float64) - fe)
+        Xs = -(np.asarray(y, dtype=np.float64) - fn)
+    else:
+        Xs = np.asarray(x, dtype=np.float64) - fe
+        Yw = np.asarray(y, dtype=np.float64) - fn
+    r = np.hypot(Xs, Yw)
+    theta = np.arctan2(Yw, Xs)
+    D = theta / n
+    T = 2 * (np.arctan((rn / r) ** (1.0 / n)) - np.pi / 4)
+    U = np.arcsin(np.cos(ac) * np.sin(T)
+                  - np.sin(ac) * np.cos(T) * np.cos(D))
+    V = np.arcsin(np.cos(T) * np.sin(D) / np.cos(U))
+    phi = U
+    for _ in range(15):
+        s = e * np.sin(phi)
+        phi = 2 * (np.arctan((np.tan(U / 2 + np.pi / 4) / t0
+                              * ((1 + s) / (1 - s)) ** (e * B / 2))
+                             ** (1.0 / B)) - np.pi / 4)
+    lon = lon0 - np.rad2deg(V / B)
+    return lon, np.rad2deg(phi)
+
+
 def _colurban_consts(lat0, h0, a, f):
     e2 = f * (2 - f)
     p0 = np.deg2rad(lat0)
@@ -1293,7 +1364,7 @@ def _epsg_db_params(code):
         method = conv["method_code"]
         if method not in (9807, 9802, 9801, 9822, 9829, 9810, 9804,
                           9805, 9808, 9820, 9812, 9815, 9809, 9806,
-                          1028, 9811, 1052):
+                          1028, 9811, 1052, 9819, 1041):
             return None
         params = {}
         for i in range(1, 8):
@@ -1379,6 +1450,13 @@ def _epsg_db_params(code):
             return {"method": "cass", **base,
                     "lat0": ang(8801, 0.0), "lon0": lng(8802),
                     "fe": lin(8806), "fn": lin(8807)}
+        if method in (9819, 1041):
+            return {"method": "krovak", **base,
+                    "east_north": method == 1041,
+                    "latc": ang(8811, 0.0), "lon0": lng(8833),
+                    "alphac": ang(1036, 0.0), "latp": ang(8818, 0.0),
+                    "kp": float(params.get(8819, (1.0, 9201))[0]),
+                    "fe": lin(8806), "fn": lin(8807)}
         if method == 1052:
             return {"method": "colurban", **base,
                     "lat0": ang(8801, 0.0), "lon0": lng(8802),
@@ -1460,6 +1538,11 @@ def _db_forward(lon, lat, p):
         x, y = _colurban_forward(lon, lat, p["lat0"], p["lon0"],
                                  p["h0"], p["fe"], p["fn"],
                                  p["a"], p["f"])
+    elif p["method"] == "krovak":
+        x, y = _krovak_forward(lon, lat, p["latc"], p["lon0"],
+                               p["alphac"], p["latp"], p["kp"],
+                               p["fe"], p["fn"], p["east_north"],
+                               p["a"], p["f"])
     elif p["method"] == "aea":
         x, y = _aea_forward(lon, lat, p["lat0"], p["lon0"], p["sp1"],
                             p["sp2"], p["fe"], p["fn"], p["a"], p["f"])
@@ -1509,6 +1592,11 @@ def _db_inverse(x, y, p):
         return _colurban_inverse(x, y, p["lat0"], p["lon0"],
                                  p["h0"], p["fe"], p["fn"],
                                  p["a"], p["f"])
+    if p["method"] == "krovak":
+        return _krovak_inverse(x, y, p["latc"], p["lon0"],
+                               p["alphac"], p["latp"], p["kp"],
+                               p["fe"], p["fn"], p["east_north"],
+                               p["a"], p["f"])
     if p["method"] == "aea":
         return _aea_inverse(x, y, p["lat0"], p["lon0"], p["sp1"],
                             p["sp2"], p["fe"], p["fn"], p["a"], p["f"])

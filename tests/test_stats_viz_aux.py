@@ -421,6 +421,13 @@ class TestGeo:
         # Colombia Urban (1052), plane-at-elevation projection
         (6247, -74.1, 4.68, True, 0.01),     # MAGNA-SIRGAS Bogota
         (6244, -70.5, 7.1, True, 0.01),      # Arauca urban grid
+        # Krovak (9819 south-west axes / 1041 east-north), S-JTSK on
+        # Bessel via the Helmert bridge (mm-level variant spread
+        # between the CZ/SK registry rows)
+        (5514, 14.42, 50.09, False, 0.02),   # Krovak East North
+        (5514, 17.1, 48.15, False, 0.02),    # Slovakia-side point
+        (5513, 14.42, 50.09, False, 0.02),   # native southing/westing
+        (2065, 14.42, 50.09, False, 0.02),   # Ferro-meridian variant
         #   (27291 also exercises Sears-yard axis units)
         # CH1903: cs2cs chains CHENyx06a + CH1903+ Helmert, we use
         # CHENyx06_ETRS directly — they agree to the grids' stated
