@@ -74,6 +74,8 @@ from .viz.shading import (swiss_shading, colortable_shade,
 # ----- geodesy / photogrammetry --------------------------------------
 from .geo.proj import (coord_transform, great_circle_distance,
                        geodesic_inverse, utm_forward, utm_inverse)
+from .geo.geoid import (geoid_height, ellipsoidal_to_orthometric,
+                        orthometric_to_ellipsoidal)
 from .photo.gnss import (read_llh, read_pos, stringify_time,
                          fix_gopro_bad_time_resolution,
                          fix_gopro_bad_time_resolution2, posprocessor,

@@ -484,6 +484,28 @@ class TestGeo:
         np.testing.assert_allclose(lon2, lons, atol=1e-9)
         np.testing.assert_allclose(lat2, lats, atol=1e-9)
 
+    def test_geoid_undulation_matches_proj(self):
+        # EGM96 undulation via the PROJ gtx grid, incl. the
+        # antimeridian wrap column
+        import os
+        import shutil
+        import subprocess
+        if not os.path.exists("/usr/share/proj/egm96_15.gtx"):
+            pytest.skip("egm96 grid not installed")
+        if shutil.which("cs2cs") is None:
+            pytest.skip("cs2cs oracle not available")
+        for lon, lat in [(5.0, 52.0), (-74.0, 40.7), (179.9, 0.0),
+                         (-179.9, 0.0)]:
+            r = subprocess.run(
+                ["cs2cs", "-f", "%.6f", "EPSG:4979", "EPSG:9707"],
+                input=f"{lat} {lon} 0\n", capture_output=True,
+                text=True)
+            ref = -float(r.stdout.split()[2])
+            assert abs(float(nt.geoid_height(lon, lat)) - ref) < 1e-4
+        h = nt.ellipsoidal_to_orthometric(100.0, 5.0, 52.0)
+        h2 = nt.orthometric_to_ellipsoidal(h, 5.0, 52.0)
+        assert abs(float(h2) - 100.0) < 1e-9
+
     def test_geographic_crs_from_database(self):
         # OSGB36 geographic (4277): same Helmert bridge, no projection
         import shutil
