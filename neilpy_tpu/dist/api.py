@@ -24,7 +24,8 @@ from ..ops.visibility import (directional_ratio_extrema,
                               _angles_from_extrema, classes_from_counts)
 
 __all__ = ["make_mesh", "sharded_geomorphons", "sharded_openness",
-           "sharded_skyview",
+           "sharded_skyview", "sharded_rastergi",
+           "sharded_local_morans_i",
            "sharded_hillshade", "pad_to_mesh", "sharded_apply"]
 
 from .halo import sharded_apply  # re-export
@@ -189,6 +190,156 @@ def sharded_skyview(Z, mesh=None, cellsize=1, lookup_pixels=1,
     return _sharded_extrema_map(Z, mesh, cellsize, lookup_pixels,
                                 axis_names,
                                 lambda mx, seen: svf_from_extrema(mx))
+
+
+def _footprint_array(footprint, star):
+    if np.isscalar(footprint):
+        m = int(footprint)
+        fp = np.ones((2 * m + 1, 2 * m + 1), dtype=bool)
+        if not star:
+            fp[m, m] = False
+    else:
+        fp = np.asarray(footprint) != 0
+        star = bool(fp[fp.shape[0] // 2, fp.shape[1] // 2])
+    return fp, star
+
+
+def sharded_rastergi(Z, footprint=1, mesh=None, star=False,
+                     apply_correction=False, axis_names=("ty", "tx")):
+    """Getis-Ord Gi/Gi* hotspot raster over a 2-D device mesh.
+
+    Same math as ``ops.stats.rasterGi`` (mode='nearest'): global
+    moments ride ``psum`` over the mesh, neighbourhood counts/sums run
+    on halo-exchanged blocks, and the optional ArcGIS correction
+    z-scores against psum'd statistics of the sharded Z map.  Sharded
+    == single-device is asserted by tests/test_dist.py.
+    """
+    from jax import lax
+    from ..ops.surface import binary_footprint_sum
+    from ..ops.stats import _norm_sf
+    if mesh is None:
+        mesh = make_mesh()
+    fp, star = _footprint_array(footprint, star)
+    r = max(fp.shape) // 2
+    ny = mesh.shape[axis_names[0]]
+    nx = mesh.shape[axis_names[1]]
+    # NaN mesh padding for the global moments (excluded naturally);
+    # edge-replicated padding for the neighbourhood sums so the
+    # remainder rows/cols continue scipy's 'nearest' boundary rule
+    # (the outermost halo ring then replicates the same values)
+    Zp, orig = pad_to_mesh(jnp.asarray(Z, dtype=jnp.float32), mesh,
+                           axis_names, fill=jnp.nan)
+    Ze = jnp.asarray(np.pad(np.asarray(Z, dtype=np.float32),
+                            ((0, Zp.shape[0] - orig[0]),
+                             (0, Zp.shape[1] - orig[1])), mode="edge"))
+    bh, bw = Zp.shape[0] // ny, Zp.shape[1] // nx
+
+    def local(block, eblock):
+        finite = jnp.isfinite(block)
+        x0 = jnp.where(finite, block, 0.0)
+        nf = lax.psum(jnp.sum(finite.astype(jnp.float32)), axis_names)
+        tot = lax.psum(jnp.sum(x0), axis_names)
+        tot2 = lax.psum(jnp.sum(x0 * x0), axis_names)
+        if star:
+            gm = tot / nf
+            gv = tot2 / nf - gm ** 2
+        else:
+            gm = (tot - block) / (nf - 1)
+            gv = ((tot2 - block ** 2) / (nf - 1)) - gm ** 2
+            gm = jnp.where(finite, gm, jnp.nan)
+            gv = jnp.where(finite, gv, jnp.nan)
+        padded = halo_exchange_2d(eblock, r, axis_names, (ny, nx),
+                                  mode="edge")
+        pfin = jnp.isfinite(padded)
+        w = binary_footprint_sum(pfin.astype(jnp.float32), fp,
+                                 mode="nearest")
+        s = binary_footprint_sum(jnp.where(pfin, padded, 0.0), fp,
+                                 mode="nearest")
+        w = jnp.round(w[r:r + bh, r:r + bw])
+        s = s[r:r + bh, r:r + bw]
+        w = jnp.where(finite, w, jnp.nan)
+        a = s - w * gm
+        if star:
+            b = jnp.sqrt((w / (nf - 1)) * (nf - w) * gv)
+        else:
+            b = jnp.sqrt((w / (nf - 2)) * (nf - 1 - w) * gv)
+        Zs = jnp.where(finite, a / b, jnp.nan)
+        if apply_correction:
+            zf = jnp.isfinite(Zs)
+            z0 = jnp.where(zf, Zs, 0.0)
+            zn = lax.psum(jnp.sum(zf.astype(jnp.float32)), axis_names)
+            zs = lax.psum(jnp.sum(z0), axis_names)
+            zs2 = lax.psum(jnp.sum(z0 * z0), axis_names)
+            zm = zs / zn
+            zstd = jnp.sqrt(zs2 / zn - zm ** 2)
+            Zs = (Zs - zm) / zstd
+        P = 2.0 * _norm_sf(jnp.abs(Zs))
+        sig = jnp.zeros_like(block)
+        sig = jnp.where(P < .1, 1.0, sig)
+        sig = jnp.where(P < .05, 2.0, sig)
+        sig = jnp.where(P < .01, 3.0, sig)
+        sig = jnp.where(Zs < 0, -sig, sig)
+        sig = jnp.where(P >= .1, 0.0, sig)
+        sig = jnp.where(finite, sig, jnp.nan)
+        return jnp.stack([Zs, P, sig])
+
+    spec = P(*axis_names)
+    out_spec = P(None, *axis_names)
+    sharded = shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                        out_specs=out_spec)
+    sh = NamedSharding(mesh, spec)
+    out = sharded(jax.device_put(Zp, sh), jax.device_put(Ze, sh))
+    return (out[0, : orig[0], : orig[1]],
+            out[1, : orig[0], : orig[1]],
+            out[2, : orig[0], : orig[1]])
+
+
+def sharded_local_morans_i(Z, footprint=1, mesh=None,
+                           axis_names=("ty", "tx")):
+    """Local Moran's I (Anselin LISA) over a 2-D device mesh; global
+    moments via ``psum``, lag sums on halo-exchanged blocks.  Matches
+    ``ops.stats.local_morans_i`` (mode='nearest')."""
+    from jax import lax
+    from ..ops.surface import binary_footprint_sum
+    if mesh is None:
+        mesh = make_mesh()
+    if np.isscalar(footprint):
+        m = int(footprint)
+        fp = np.ones((2 * m + 1, 2 * m + 1), dtype=bool)
+        fp[m, m] = False
+    else:
+        fp = np.asarray(footprint) != 0
+    r = max(fp.shape) // 2
+    ny = mesh.shape[axis_names[0]]
+    nx = mesh.shape[axis_names[1]]
+    Zp, orig = pad_to_mesh(jnp.asarray(Z, dtype=jnp.float32), mesh,
+                           axis_names, fill=jnp.nan)
+    Ze = jnp.asarray(np.pad(np.asarray(Z, dtype=np.float32),
+                            ((0, Zp.shape[0] - orig[0]),
+                             (0, Zp.shape[1] - orig[1])), mode="edge"))
+    bh, bw = Zp.shape[0] // ny, Zp.shape[1] // nx
+
+    def local(block, eblock):
+        finite = jnp.isfinite(block)
+        x0 = jnp.where(finite, block, 0.0)
+        nf = lax.psum(jnp.sum(finite.astype(jnp.float32)), axis_names)
+        tot = lax.psum(jnp.sum(x0), axis_names)
+        xbar = tot / nf
+        zdev = jnp.where(finite, block - xbar, 0.0)
+        s2 = lax.psum(jnp.sum(zdev ** 2), axis_names) / nf
+        padded = halo_exchange_2d(eblock, r, axis_names, (ny, nx),
+                                  mode="edge")
+        pdev = jnp.where(jnp.isfinite(padded), padded - xbar, 0.0)
+        lag = binary_footprint_sum(pdev, fp, mode="nearest")
+        lag = lag[r:r + bh, r:r + bw]
+        return jnp.where(finite, (zdev / s2) * lag, jnp.nan)
+
+    spec = P(*axis_names)
+    sharded = shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                        out_specs=spec)
+    sh = NamedSharding(mesh, spec)
+    return sharded(jax.device_put(Zp, sh),
+                   jax.device_put(Ze, sh))[: orig[0], : orig[1]]
 
 
 def sharded_hillshade(Z, mesh=None, cellsize=1, z_factor=1, zenith=45,

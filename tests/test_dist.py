@@ -256,3 +256,44 @@ def test_sharded_skyview_matches_single(mesh):
         tiled = np.asarray(sharded_skyview(Z, mesh, cellsize=2.0,
                                            lookup_pixels=R))
         np.testing.assert_allclose(tiled, single, atol=1e-6)
+
+
+def test_sharded_rastergi_matches_single(mesh):
+    """Sharded Gi/Gi* == single-device rasterGi: psum'd global
+    moments, halo-exchanged footprint sums, NaN cells, non-divisible
+    shape, star and non-star, with and without the ArcGIS
+    correction."""
+    from neilpy_tpu.dist.api import sharded_rastergi
+    from neilpy_tpu.ops.stats import rasterGi
+    rng = np.random.default_rng(4)
+    Z = rng.normal(size=(45, 67)).cumsum(axis=1).astype(np.float32)
+    Z[10:13, 20:25] = np.nan
+    for star in (False, True):
+        for corr in (False, True):
+            zs, ps, ss = rasterGi(Z, footprint=3, star=star,
+                                  apply_correction=corr)
+            zd, pd, sd = sharded_rastergi(Z, footprint=3, mesh=mesh,
+                                          star=star,
+                                          apply_correction=corr)
+            np.testing.assert_allclose(np.asarray(zd), np.asarray(zs),
+                                       rtol=2e-4, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(pd), np.asarray(ps),
+                                       atol=2e-4)
+            eq = np.asarray(sd) == np.asarray(ss)
+            both_nan = np.isnan(np.asarray(sd)) & np.isnan(np.asarray(ss))
+            assert np.mean(eq | both_nan) > 0.999
+
+
+def test_sharded_local_morans_matches_single(mesh):
+    from neilpy_tpu.dist.api import sharded_local_morans_i
+    from neilpy_tpu.ops.stats import local_morans_i
+    rng = np.random.default_rng(5)
+    Z = rng.normal(size=(45, 67)).cumsum(axis=0).astype(np.float32)
+    Z[5:8, 5:9] = np.nan
+    single = np.asarray(local_morans_i(Z, footprint=2))
+    tiled = np.asarray(sharded_local_morans_i(Z, footprint=2,
+                                              mesh=mesh))
+    mask = np.isfinite(single)
+    assert (np.isfinite(tiled) == mask).all()
+    np.testing.assert_allclose(tiled[mask], single[mask], rtol=2e-4,
+                               atol=2e-4)
