@@ -9,7 +9,7 @@ The reference's only scaling mechanism was tile-with-overlap
 from .api import (make_mesh, pad_to_mesh, sharded_apply,
                   sharded_geomorphons, sharded_openness, sharded_skyview,
                   sharded_hillshade, sharded_rastergi,
-                  sharded_local_morans_i)
+                  sharded_local_morans_i, sharded_morans_i)
 from .halo import halo_exchange_2d, block_origin
 from .smrf import (sharded_smrf, sharded_springs_fill,
                    sharded_progressive_filter)
@@ -21,5 +21,5 @@ __all__ = [
     "sharded_openness", "sharded_hillshade", "halo_exchange_2d",
     "block_origin", "sharded_smrf", "sharded_springs_fill",
     "sharded_progressive_filter", "tiled_apply", "TileCheckpoint",
-    "sharded_rastergi", "sharded_local_morans_i",
+    "sharded_rastergi", "sharded_local_morans_i", "sharded_morans_i",
 ]

@@ -25,7 +25,7 @@ from ..ops.visibility import (directional_ratio_extrema,
 
 __all__ = ["make_mesh", "sharded_geomorphons", "sharded_openness",
            "sharded_skyview", "sharded_rastergi",
-           "sharded_local_morans_i",
+           "sharded_local_morans_i", "sharded_morans_i",
            "sharded_hillshade", "pad_to_mesh", "sharded_apply"]
 
 from .halo import sharded_apply  # re-export
@@ -292,6 +292,69 @@ def sharded_rastergi(Z, footprint=1, mesh=None, star=False,
     return (out[0, : orig[0], : orig[1]],
             out[1, : orig[0], : orig[1]],
             out[2, : orig[0], : orig[1]])
+
+
+def sharded_morans_i(Z, footprint=1, mesh=None,
+                     axis_names=("ty", "tx")):
+    """Global Moran's I over a 2-D device mesh: every reduction
+    (finite count, mean, lag cross-product, weight totals, the
+    Cliff & Ord S2 term) rides ``psum``; neighbourhood sums run on
+    halo-exchanged blocks.  Returns the replicated ``(I, E_I, z)``
+    scalar triple of ``ops.stats.morans_i`` (mode='nearest')."""
+    from jax import lax
+    from ..ops.surface import binary_footprint_sum
+    if mesh is None:
+        mesh = make_mesh()
+    if np.isscalar(footprint):
+        m = int(footprint)
+        fp = np.ones((2 * m + 1, 2 * m + 1), dtype=bool)
+        fp[m, m] = False
+    else:
+        fp = np.asarray(footprint) != 0
+        fp = fp.copy()
+        fp[fp.shape[0] // 2, fp.shape[1] // 2] = False
+    r = max(fp.shape) // 2
+    ny = mesh.shape[axis_names[0]]
+    nx = mesh.shape[axis_names[1]]
+    Zp, orig = pad_to_mesh(jnp.asarray(Z, dtype=jnp.float32), mesh,
+                           axis_names, fill=jnp.nan)
+    Ze = jnp.asarray(np.pad(np.asarray(Z, dtype=np.float32),
+                            ((0, Zp.shape[0] - orig[0]),
+                             (0, Zp.shape[1] - orig[1])), mode="edge"))
+    bh, bw = Zp.shape[0] // ny, Zp.shape[1] // nx
+
+    def local(block, eblock):
+        finite = jnp.isfinite(block)
+        x0 = jnp.where(finite, block, 0.0)
+        nf = lax.psum(jnp.sum(finite.astype(jnp.float32)), axis_names)
+        xbar = lax.psum(jnp.sum(x0), axis_names) / nf
+        zdev = jnp.where(finite, block - xbar, 0.0)
+        padded = halo_exchange_2d(eblock, r, axis_names, (ny, nx),
+                                  mode="edge")
+        pfin = jnp.isfinite(padded)
+        pdev = jnp.where(pfin, padded - xbar, 0.0)
+        lag = binary_footprint_sum(pdev, fp,
+                                   mode="nearest")[r:r + bh, r:r + bw]
+        wmap = binary_footprint_sum(pfin.astype(jnp.float32), fp,
+                                    mode="nearest")[r:r + bh, r:r + bw]
+        wmap = jnp.round(wmap)
+        num = lax.psum(jnp.sum(zdev * lag), axis_names)
+        den = lax.psum(jnp.sum(zdev ** 2), axis_names)
+        W = lax.psum(jnp.sum(jnp.where(finite, wmap, 0.0)), axis_names)
+        S2 = lax.psum(jnp.sum(jnp.where(finite, (2.0 * wmap) ** 2, 0.0)),
+                      axis_names)
+        I = (nf / W) * (num / den)
+        E_I = -1.0 / (nf - 1.0)
+        S0, S1 = W, 2.0 * W
+        var_I = ((nf ** 2 * S1 - nf * S2 + 3.0 * S0 ** 2)
+                 / ((nf ** 2 - 1.0) * S0 ** 2)) - E_I ** 2
+        return I, E_I, (I - E_I) / jnp.sqrt(var_I)
+
+    spec = P(*axis_names)
+    sharded = shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                        out_specs=(P(), P(), P()))
+    sh = NamedSharding(mesh, spec)
+    return sharded(jax.device_put(Zp, sh), jax.device_put(Ze, sh))
 
 
 def sharded_local_morans_i(Z, footprint=1, mesh=None,

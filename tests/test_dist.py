@@ -284,6 +284,20 @@ def test_sharded_rastergi_matches_single(mesh):
             assert np.mean(eq | both_nan) > 0.999
 
 
+def test_sharded_global_morans_matches_single(mesh):
+    """Replicated (I, E_I, z) triple == single-device morans_i,
+    including NaN cells and a non-divisible shape."""
+    from neilpy_tpu.dist.api import sharded_morans_i
+    from neilpy_tpu.ops.stats import morans_i
+    rng = np.random.default_rng(6)
+    Z = rng.normal(size=(45, 67)).cumsum(axis=1).astype(np.float32)
+    Z[12:15, 30:36] = np.nan
+    single = [float(v) for v in morans_i(Z, footprint=2)]
+    tiled = [float(v) for v in sharded_morans_i(Z, footprint=2,
+                                                mesh=mesh)]
+    np.testing.assert_allclose(tiled, single, rtol=5e-4, atol=1e-6)
+
+
 def test_sharded_local_morans_matches_single(mesh):
     from neilpy_tpu.dist.api import sharded_local_morans_i
     from neilpy_tpu.ops.stats import local_morans_i
