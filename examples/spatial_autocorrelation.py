@@ -78,4 +78,24 @@ print(f"global Moran's I on slope: {I_global:.4f} "
 assert 0.05 < I_global <= 1.01 and z_I > 10
 assert I_local.shape == Z.shape
 
+# ----------------------------------------------------------------------
+# Multi-chip: the same statistics sharded over the device mesh
+# (skipped on a single device; pytest runs this on 8 virtual devices)
+# ----------------------------------------------------------------------
+import jax
+
+if len(jax.devices()) >= 2:
+    from neilpy_tpu.dist import make_mesh, sharded_morans_i, sharded_rastergi
+
+    mesh = make_mesh()
+    Zd, Pd, Gd = sharded_rastergi(S, footprint=7, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(Zd), Zs, rtol=2e-4, atol=2e-4)
+    I_d, _, z_d = (float(v) for v in sharded_morans_i(S, footprint=7,
+                                                      mesh=mesh))
+    assert abs(I_d - I_global) < 1e-3, (I_d, I_global)
+    print(f"sharded over {mesh.devices.size} devices: "
+          f"Gi* and global Moran's I match the single-device values")
+else:
+    print("single device: skipping the sharded cross-check")
+
 print("spatial autocorrelation complete")
