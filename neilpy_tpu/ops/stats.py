@@ -52,7 +52,8 @@ def _norm_sf(z):
 
 
 def rasterGi(X, footprint=1, mode="nearest", apply_correction=False,
-             star=False, global_mean=None, global_var=None):
+             star=False, global_mean=None, global_var=None,
+             global_n=None):
     """Raster Getis-Ord Gi / Gi* hotspot statistics (parity:
     neilpy.py:330-421).
 
@@ -67,6 +68,12 @@ def rasterGi(X, footprint=1, mode="nearest", apply_correction=False,
     (``fp != 0``), matching the reference's generic_filter semantics —
     non-uniform weights are NOT applied, and the ``star`` kwarg is
     overridden by whether the mask's centre cell is nonzero.
+
+    ``global_mean``/``global_var``/``global_n`` override the whole-map
+    moments and finite-cell count (star path only) so a big mosaic can
+    be processed tile-wise while z-scoring against the GLOBAL
+    statistics (pipelines/mosaic.py), mirroring ``local_morans_i``'s
+    ``mean``/``s2``.
     """
     X = jnp.asarray(X, dtype=jnp.float32)
 
@@ -83,6 +90,8 @@ def rasterGi(X, footprint=1, mode="nearest", apply_correction=False,
     finite = jnp.isfinite(X)
     n = jnp.sum(finite)
     nf = n.astype(jnp.float32)
+    if star and global_n is not None:
+        nf = jnp.float32(global_n)
 
     if not star:
         gm = (jnp.nansum(X) - X) / (nf - 1)

@@ -52,7 +52,7 @@ def required_overlap(lookup_pixels=0, windows=(), gi_radius=0):
 @lru_cache(maxsize=16)
 def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
                       gi_radius, use_pallas, fast, how_fast, compact,
-                      tile_size, overlap, n_chunks):
+                      tile_size, overlap, n_chunks, gi_star=False):
     """Build (and cache) the fused jitted tile WIRE kernel: products,
     overlap crop, byte-packing, and readback chunking all inside one
     program, so a tile costs ONE dispatch (the tunneled runtime pays
@@ -91,7 +91,7 @@ def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
     ts, ov = tile_size, overlap
 
     @jax.jit
-    def tile_kernel(block, thresholds, mean, s2):
+    def tile_kernel(block, thresholds, mean, s2, n):
         g = geo(block)
         mi = local_morans_i(block, footprint=gi_radius, mean=mean,
                             s2=s2)
@@ -102,12 +102,22 @@ def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
                                  jnp.maximum)
             objects = objects | ((last - opened) > thresholds[i])
             last = opened
+        if gi_star:
+            from ..ops.stats import rasterGi
+            _, _, gi = rasterGi(block, footprint=gi_radius, star=True,
+                                global_mean=mean, global_var=s2,
+                                global_n=n)
         if compact:
             res = ((g.astype(jnp.uint8)
                     | (objects.astype(jnp.uint8) << 7)),
                    mi.astype(jnp.bfloat16))
+            if gi_star:
+                # the ±3 significance bins (and NaN) are exact in bf16
+                res = res + (gi.astype(jnp.bfloat16),)
         else:
             res = (g.astype(jnp.uint8), objects, mi)
+            if gi_star:
+                res = res + (gi,)
         res = tuple(a[ov:ov + ts, ov:ov + ts] for a in res)
         packed, _ = _pack_device(res)
         step = -(-ts // n_chunks)
@@ -116,17 +126,26 @@ def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
     return tile_kernel
 
 
-def _wire_specs(compact):
+def _wire_specs(compact, gi_star=False):
     if compact:
-        return [(np.dtype(np.uint8), 1), (np.dtype(jnp.bfloat16), 2)]
-    return [(np.dtype(np.uint8), 1), (np.dtype(bool), 1),
-            (np.dtype(np.float32), 4)]
+        specs = [(np.dtype(np.uint8), 1), (np.dtype(jnp.bfloat16), 2)]
+        if gi_star:
+            specs.append((np.dtype(jnp.bfloat16), 2))
+        return specs
+    specs = [(np.dtype(np.uint8), 1), (np.dtype(bool), 1),
+             (np.dtype(np.float32), 4)]
+    if gi_star:
+        specs.append((np.dtype(np.float32), 4))
+    return specs
 
 
 def _decode_compact(res):
-    combo, mi = res
-    return (combo & 0x7F, combo >= 128,
-            np.asarray(mi).astype(np.float32))
+    combo, mi = res[0], res[1]
+    out = (combo & 0x7F, combo >= 128,
+           np.asarray(mi).astype(np.float32))
+    for extra in res[2:]:
+        out = out + (np.asarray(extra).astype(np.float32),)
+    return out
 
 
 def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
@@ -135,14 +154,21 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                             tile_size=2048, checkpoint=None,
                             out=None, progress=False, use_pallas=None,
                             fast=False, how_fast=20, wire="auto",
-                            pipeline_depth=3, wire_chunks=None):
+                            pipeline_depth=3, wire_chunks=None,
+                            gi_star=False):
     """Stream a (possibly memory-mapped) mosaic through one fused tile
     kernel computing geomorphon classes, SMRF object cells, and local
     Moran's I; resumable at tile granularity via ``checkpoint``.
 
-    Returns ``(geomorphons uint8, object_cells bool, morans_i f32)``.
-    ``out`` may be a tuple of three preallocated (memory-mapped)
-    arrays for mosaics that do not fit in RAM.
+    Returns ``(geomorphons uint8, object_cells bool, morans_i f32)``;
+    with ``gi_star=True`` a fourth product is appended — the Getis-Ord
+    Gi* ArcGIS-style significance bins (float32 in {0, ±1, ±2, ±3},
+    NaN over NaN cells) with the same ``gi_radius`` square
+    neighbourhood, z-scored against the GLOBAL mosaic moments (bins
+    are small integers, so they stay exact even on the compact wire).
+    ``out`` may be a tuple of three (four with ``gi_star``)
+    preallocated (memory-mapped) arrays for mosaics that do not fit in
+    RAM.
 
     ``wire`` controls the device->host encoding of each tile:
     ``'exact'`` sends uint8 + bool + float32 products; ``'compact'``
@@ -191,20 +217,25 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
     # transfer through the tunnel, but too many chunks re-serialize
     # on per-transfer latency (16k^2 sweep: 4 chunks at tile 4096
     # beat 8 and 1; see BENCH notes)
-    px_bytes = 3 if compact else 6
+    px_bytes = (3 if compact else 6) + ((2 if compact else 4)
+                                        if gi_star else 0)
     n_chunks = (int(wire_chunks) if wire_chunks
                 else max(1, min(16, round(tile_size ** 2 * px_bytes
                                           / (12 << 20)))))
     kernel = _make_tile_kernel(
         float(cellsize), int(lookup_pixels), float(threshold_angle),
         win, int(gi_radius), bool(use_pallas), bool(fast),
-        int(how_fast), compact, int(tile_size), int(ov), n_chunks)
+        int(how_fast), compact, int(tile_size), int(ov), n_chunks,
+        bool(gi_star))
     wire_fn = lambda b: kernel(b, thresholds, jnp.float32(mean),
-                               jnp.float32(s2))
+                               jnp.float32(s2), jnp.float32(n_finite))
 
+    out_dtype = (np.uint8, bool, np.float32)
+    if gi_star:
+        out_dtype = out_dtype + (np.float32,)
     return tiled_apply(None, Z, tile_size=tile_size, overlap=ov,
-                       out=out, out_dtype=(np.uint8, bool, np.float32),
+                       out=out, out_dtype=out_dtype,
                        checkpoint=checkpoint, progress=progress,
-                       pipeline_depth=pipeline_depth,
-                       wire_fn=wire_fn, wire_specs=_wire_specs(compact),
+                       pipeline_depth=pipeline_depth, wire_fn=wire_fn,
+                       wire_specs=_wire_specs(compact, gi_star),
                        decode=_decode_compact if compact else None)

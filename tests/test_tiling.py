@@ -131,6 +131,44 @@ def test_mosaic_compact_wire(rng):
     np.testing.assert_allclose(M1, M2, rtol=1e-2, atol=1e-2)
 
 
+def test_mosaic_gi_star_product(rng):
+    """gi_star=True appends the Gi* significance bins as a fourth
+    product, z-scored against the GLOBAL mosaic moments: tiled ==
+    single-shot rasterGi given the same moments, in the interior, on
+    both wire encodings (bins are small ints — exact even in bf16)."""
+    from neilpy_tpu.pipelines.mosaic import (mosaic_terrain_products,
+                                             required_overlap)
+    from neilpy_tpu.ops.stats import rasterGi
+    Z = rng.normal(size=(100, 110)).cumsum(axis=1).astype(np.float32)
+    Z[40:43, 50:55] = np.nan
+    gi_r = 2
+    ov = required_overlap(4, np.array([1, 2]), gi_r)
+    kw = dict(cellsize=1, lookup_pixels=4, windows=np.array([1, 2]),
+              gi_radius=gi_r, tile_size=48, gi_star=True)
+    G1, O1, M1, S1 = mosaic_terrain_products(Z, wire="exact", **kw)
+    G2, O2, M2, S2 = mosaic_terrain_products(Z, wire="compact", **kw)
+    assert S1.dtype == np.float32 and S2.dtype == np.float32
+
+    # single-shot oracle with the identical f64-streamed moments
+    m = np.isfinite(Z)
+    mean = Z[m].astype(np.float64).sum() / m.sum()
+    s2 = (Z[m].astype(np.float64) ** 2).sum() / m.sum() - mean ** 2
+    _, _, full = rasterGi(Z, footprint=gi_r, star=True,
+                          global_mean=mean, global_var=s2,
+                          global_n=m.sum())
+    full = np.asarray(full)
+    sl = np.s_[ov:-ov, ov:-ov]
+    for S in (S1, S2):
+        nan_ok = np.isnan(S[sl]) == np.isnan(full[sl])
+        assert nan_ok.all()
+        fin = ~np.isnan(full[sl])
+        # identical inputs modulo f32 reassociation: allow rare
+        # razor-edge bin flips only
+        assert np.mean(S[sl][fin] == full[sl][fin]) > 0.999
+    assert set(np.unique(S1[np.isfinite(S1)])) <= {-3., -2., -1., 0.,
+                                                   1., 2., 3.}
+
+
 def test_completed_checkpoint_without_out_raises(tmp_path):
     from neilpy_tpu.dist.tiling import tiled_apply
     Z = np.ones((20, 20), dtype=np.float32)
