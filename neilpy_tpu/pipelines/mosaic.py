@@ -52,7 +52,8 @@ def required_overlap(lookup_pixels=0, windows=(), gi_radius=0):
 @lru_cache(maxsize=16)
 def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
                       gi_radius, use_pallas, fast, how_fast, compact,
-                      tile_size, overlap, n_chunks, gi_star=False):
+                      tile_size, overlap, n_chunks, gi_star=False,
+                      with_openness=False):
     """Build (and cache) the fused jitted tile WIRE kernel: products,
     overlap crop, byte-packing, and readback chunking all inside one
     program, so a tile costs ONE dispatch (the tunneled runtime pays
@@ -107,6 +108,15 @@ def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
             _, _, gi = rasterGi(block, footprint=gi_radius, star=True,
                                 global_mean=mean, global_var=s2,
                                 global_n=n)
+        if with_openness:
+            from ..ops.visibility import openness
+            eng = "pallas" if use_pallas else "xla"
+            op = openness(block, cellsize=cellsize,
+                          lookup_pixels=lookup_pixels, fast=fast,
+                          how_fast=how_fast, engine=eng)
+            on = openness(-block, cellsize=cellsize,
+                          lookup_pixels=lookup_pixels, fast=fast,
+                          how_fast=how_fast, engine=eng)
         if compact:
             res = ((g.astype(jnp.uint8)
                     | (objects.astype(jnp.uint8) << 7)),
@@ -114,10 +124,15 @@ def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
             if gi_star:
                 # the ±3 significance bins (and NaN) are exact in bf16
                 res = res + (gi.astype(jnp.bfloat16),)
+            if with_openness:
+                res = res + (op.astype(jnp.bfloat16),
+                             on.astype(jnp.bfloat16))
         else:
             res = (g.astype(jnp.uint8), objects, mi)
             if gi_star:
                 res = res + (gi,)
+            if with_openness:
+                res = res + (op, on)
         res = tuple(a[ov:ov + ts, ov:ov + ts] for a in res)
         packed, _ = _pack_device(res)
         step = -(-ts // n_chunks)
@@ -126,16 +141,15 @@ def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
     return tile_kernel
 
 
-def _wire_specs(compact, gi_star=False):
+def _wire_specs(compact, gi_star=False, with_openness=False):
+    n_extra = int(gi_star) + 2 * int(with_openness)
     if compact:
         specs = [(np.dtype(np.uint8), 1), (np.dtype(jnp.bfloat16), 2)]
-        if gi_star:
-            specs.append((np.dtype(jnp.bfloat16), 2))
+        specs += [(np.dtype(jnp.bfloat16), 2)] * n_extra
         return specs
     specs = [(np.dtype(np.uint8), 1), (np.dtype(bool), 1),
              (np.dtype(np.float32), 4)]
-    if gi_star:
-        specs.append((np.dtype(np.float32), 4))
+    specs += [(np.dtype(np.float32), 4)] * n_extra
     return specs
 
 
@@ -155,7 +169,7 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                             out=None, progress=False, use_pallas=None,
                             fast=False, how_fast=20, wire="auto",
                             pipeline_depth=3, wire_chunks=None,
-                            gi_star=False):
+                            gi_star=False, openness=False):
     """Stream a (possibly memory-mapped) mosaic through one fused tile
     kernel computing geomorphon classes, SMRF object cells, and local
     Moran's I; resumable at tile granularity via ``checkpoint``.
@@ -166,9 +180,14 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
     NaN over NaN cells) with the same ``gi_radius`` square
     neighbourhood, z-scored against the GLOBAL mosaic moments (bins
     are small integers, so they stay exact even on the compact wire).
-    ``out`` may be a tuple of three (four with ``gi_star``)
-    preallocated (memory-mapped) arrays for mosaics that do not fit in
-    RAM.
+    With ``openness=True``, positive and negative Yokoyama openness
+    (same ``lookup_pixels`` scan ladder as the geomorphons, so the
+    overlap is already exact) are appended as two float32 products —
+    two extra ladder passes per tile, and on the compact wire they
+    round to bfloat16 like Moran's I.  Products are returned in the
+    fixed order geomorphons, objects, moran [, gi] [, pos, neg].
+    ``out`` may be a tuple of matching preallocated (memory-mapped)
+    arrays for mosaics that do not fit in RAM.
 
     ``wire`` controls the device->host encoding of each tile:
     ``'exact'`` sends uint8 + bool + float32 products; ``'compact'``
@@ -217,8 +236,8 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
     # transfer through the tunnel, but too many chunks re-serialize
     # on per-transfer latency (16k^2 sweep: 4 chunks at tile 4096
     # beat 8 and 1; see BENCH notes)
-    px_bytes = (3 if compact else 6) + ((2 if compact else 4)
-                                        if gi_star else 0)
+    n_extra = int(gi_star) + 2 * int(openness)
+    px_bytes = (3 + 2 * n_extra) if compact else (6 + 4 * n_extra)
     n_chunks = (int(wire_chunks) if wire_chunks
                 else max(1, min(16, round(tile_size ** 2 * px_bytes
                                           / (12 << 20)))))
@@ -226,16 +245,16 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
         float(cellsize), int(lookup_pixels), float(threshold_angle),
         win, int(gi_radius), bool(use_pallas), bool(fast),
         int(how_fast), compact, int(tile_size), int(ov), n_chunks,
-        bool(gi_star))
+        bool(gi_star), bool(openness))
     wire_fn = lambda b: kernel(b, thresholds, jnp.float32(mean),
                                jnp.float32(s2), jnp.float32(n_finite))
 
-    out_dtype = (np.uint8, bool, np.float32)
-    if gi_star:
-        out_dtype = out_dtype + (np.float32,)
+    out_dtype = ((np.uint8, bool, np.float32)
+                 + (np.float32,) * n_extra)
     return tiled_apply(None, Z, tile_size=tile_size, overlap=ov,
                        out=out, out_dtype=out_dtype,
                        checkpoint=checkpoint, progress=progress,
                        pipeline_depth=pipeline_depth, wire_fn=wire_fn,
-                       wire_specs=_wire_specs(compact, gi_star),
+                       wire_specs=_wire_specs(compact, gi_star,
+                                              openness),
                        decode=_decode_compact if compact else None)

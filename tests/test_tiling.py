@@ -169,6 +169,37 @@ def test_mosaic_gi_star_product(rng):
                                                    1., 2., 3.}
 
 
+def test_mosaic_openness_products(rng):
+    """openness=True appends positive and negative Yokoyama openness:
+    tiled == untiled in the interior (the lookup overlap already
+    covers the scan ladder), composable with gi_star."""
+    from neilpy_tpu.pipelines.mosaic import (mosaic_terrain_products,
+                                             required_overlap)
+    from neilpy_tpu.ops.visibility import openness
+    Z = rng.normal(size=(100, 110)).cumsum(axis=0).astype(np.float32)
+    lookup = 4
+    ov = required_overlap(lookup, np.array([1, 2]), 2)
+    res = mosaic_terrain_products(
+        Z, cellsize=1, lookup_pixels=lookup, windows=np.array([1, 2]),
+        gi_radius=2, tile_size=48, wire="exact", gi_star=True,
+        openness=True)
+    assert len(res) == 6
+    G, O, MI, S, OP, ON = res
+    full_p = np.asarray(openness(Z, cellsize=1, lookup_pixels=lookup))
+    full_n = np.asarray(openness(-Z, cellsize=1, lookup_pixels=lookup))
+    sl = np.s_[ov:-ov, ov:-ov]
+    np.testing.assert_allclose(OP[sl], full_p[sl], atol=1e-5)
+    np.testing.assert_allclose(ON[sl], full_n[sl], atol=1e-5)
+    # compact wire: same products at bf16 resolution
+    res2 = mosaic_terrain_products(
+        Z, cellsize=1, lookup_pixels=lookup, windows=np.array([1, 2]),
+        gi_radius=2, tile_size=48, wire="compact", gi_star=True,
+        openness=True)
+    np.testing.assert_array_equal(res2[0], G)
+    np.testing.assert_allclose(res2[4][sl], full_p[sl], rtol=1e-2,
+                               atol=0.5)
+
+
 def test_completed_checkpoint_without_out_raises(tmp_path):
     from neilpy_tpu.dist.tiling import tiled_apply
     Z = np.ones((20, 20), dtype=np.float32)
