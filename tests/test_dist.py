@@ -282,6 +282,13 @@ def test_sharded_rastergi_matches_single(mesh):
             eq = np.asarray(sd) == np.asarray(ss)
             both_nan = np.isnan(np.asarray(sd)) & np.isnan(np.asarray(ss))
             assert np.mean(eq | both_nan) > 0.999
+    # explicit footprint ARRAY: mask semantics, star overridden by the
+    # centre bit (here: on -> Gi*)
+    fp = np.ones((5, 5))
+    zs, _, _ = rasterGi(Z, footprint=fp)
+    zd, _, _ = sharded_rastergi(Z, footprint=fp, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(zd), np.asarray(zs),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_sharded_global_morans_matches_single(mesh):
