@@ -30,21 +30,65 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "_native",
 _LOAD_FAILED = False
 
 
+_BUILDINFO_PATH = os.path.join(os.path.dirname(_LIB_PATH),
+                               "buildinfo.json")
+
+
+def _cpu_signature():
+    """Machine + ISA-extension fingerprint of the current host.  The
+    Makefile tunes for the build host (-march=native), so a .so that
+    migrated with a repo checkout to a different CPU must be rebuilt,
+    not executed (AVX-512 code on a non-AVX host is a SIGILL, which
+    ctypes cannot catch)."""
+    import hashlib
+    import platform
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    return {"machine": platform.machine(),
+            "cpu_flags_md5": hashlib.md5(flags.encode()).hexdigest()}
+
+
+def _buildinfo_fresh():
+    import json
+    try:
+        with open(_BUILDINFO_PATH) as f:
+            return json.load(f) == _cpu_signature()
+    except Exception:
+        return False
+
+
 def _try_build():
-    """Attempt a one-time local build of the library (portable flags).
+    """Attempt a one-time local build of the library.
 
     The .so is not shipped with the repo (it would be arch-specific);
-    it is built on first use when a toolchain is present.
+    it is built on first use when a toolchain is present, tuned for
+    the build host, and stamped with the host's CPU signature so a
+    checkout moved to a different machine rebuilds instead of
+    executing foreign vector code.
     """
+    import json
     import subprocess
     makefile_dir = os.path.join(os.path.dirname(__file__), "..", "..",
                                 "native")
     if not os.path.exists(os.path.join(makefile_dir, "Makefile")):
         return False
     try:
+        subprocess.run(["make", "-C", makefile_dir, "clean"],
+                       capture_output=True, timeout=60)
         subprocess.run(["make", "-C", makefile_dir], check=True,
                        capture_output=True, timeout=120)
-        return os.path.exists(_LIB_PATH)
+        if not os.path.exists(_LIB_PATH):
+            return False
+        with open(_BUILDINFO_PATH, "w") as f:
+            json.dump(_cpu_signature(), f)
+        return True
     except Exception:
         return False
 
@@ -53,9 +97,16 @@ def _load():
     global _LIB, _LOAD_FAILED
     if _LIB is not None or _LOAD_FAILED:
         return _LIB
-    if not os.path.exists(_LIB_PATH) and not _try_build():
-        _LOAD_FAILED = True
-        return None
+    stale = os.path.exists(_LIB_PATH) and not _buildinfo_fresh()
+    if (stale or not os.path.exists(_LIB_PATH)) and not _try_build():
+        if not os.path.exists(_LIB_PATH):
+            _LOAD_FAILED = True
+            return None
+        # build failed but a (possibly foreign) .so exists: refuse the
+        # arch-tuned binary rather than risk SIGILL
+        if stale:
+            _LOAD_FAILED = True
+            return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.bin_points_f64.restype = ctypes.c_long
