@@ -177,3 +177,18 @@ def test_remaining_public_exports_smoke(tmp_path):
         np.asarray(nt.hillshade(Z, cellsize=2))
     import os
     assert os.path.isdir(tdir) and os.listdir(tdir)
+
+
+def test_api_docs_current():
+    """docs/API.md must match what tools/gen_api_docs.py generates —
+    regenerate after changing any public name or docstring."""
+    import importlib.util
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "gen_api_docs", root / "tools" / "gen_api_docs.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    committed = (root / "docs" / "API.md").read_text()
+    assert committed == mod.generate(), (
+        "docs/API.md is stale: run `python tools/gen_api_docs.py`")
