@@ -208,33 +208,105 @@ def _grid_fused(x_rel, y_rel, z, inv_cs, ny, nx, bin_type, method):
                           method=method)
 
 
+@partial(jax.jit, static_argnames=("ny", "nx", "bin_type"),
+         donate_argnums=(0,))
+def _grid_scatter_accum(grid, x_rel, y_rel, z, inv_cs, ny, nx, bin_type):
+    """One streamed chunk: floor-binning + scatter min/max into the
+    carried sentinel grid (±inf empty cells; NaN conversion happens
+    once at the end of the stream).  The carry is donated, so the grid
+    is updated in place on device across chunks."""
+    c = jnp.floor(x_rel * inv_cs).astype(jnp.int32)
+    r = jnp.floor(y_rel * inv_cs).astype(jnp.int32)
+    valid = (c >= 0) & (c < nx) & (r >= 0) & (r < ny)
+    idx = jnp.where(valid, r * nx + c, 0)
+    ident = -jnp.inf if bin_type == "max" else jnp.inf
+    zv = jnp.where(valid, z, ident)
+    if bin_type == "max":
+        return grid.at[idx].max(zv, mode="drop")
+    return grid.at[idx].min(zv, mode="drop")
+
+
 def grid_points_device(x, y, z, cellsize=1, bin_type="max", edges=None,
-                       method="scatter"):
+                       method="scatter", chunks=1):
     """End-to-end device gridding: origin-shift on host, then binning
-    and reduction in a single jitted program.  Returns (I, t)."""
-    x_rel, y_rel, (ny, nx), t = bin_points_device(x, y, cellsize, edges)
-    grid = _grid_fused(jnp.asarray(x_rel), jnp.asarray(y_rel),
-                       jnp.asarray(z, dtype=jnp.float32),
-                       jnp.float32(1.0 / t.a), ny, nx, bin_type, method)
+    and reduction on device.  Returns (I, t).
+
+    ``chunks=1`` runs one fused device program.  ``chunks>1`` streams
+    the points in equal-size batches: the host origin-shifts chunk
+    k+1 while the device scatters chunk k (JAX dispatch is async), so
+    the host and device legs overlap and peak host memory is one
+    chunk's f32 coordinates instead of the whole cloud.  min/max
+    scatter is order-independent, so the streamed grid is bit-identical
+    to the fused single-program result.
+    """
+    if chunks <= 1:
+        x_rel, y_rel, (ny, nx), t = bin_points_device(x, y, cellsize,
+                                                      edges)
+        grid = _grid_fused(jnp.asarray(x_rel), jnp.asarray(y_rel),
+                           jnp.asarray(z, dtype=jnp.float32),
+                           jnp.float32(1.0 / t.a), ny, nx, bin_type,
+                           method)
+        return jnp.reshape(grid, (ny, nx)), t
+    if method != "scatter":
+        raise ValueError("chunked streaming requires method='scatter' "
+                         "(min/max scatter is order-independent; the "
+                         "sort path would re-sort the whole stream)")
+    if bin_type not in ("max", "min"):
+        raise ValueError("This type not supported.")
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z)
+    ny, nx, t, cellsize_, _ = _grid_frame(x, y, cellsize, edges)
+    from .binning_native import origin_shift_native
+    n = x.size
+    ident = -np.inf if bin_type == "max" else np.inf
+    grid = jnp.full((ny * nx,), np.float32(ident), dtype=jnp.float32)
+    inv = jnp.float32(1.0 / t.a)
+    size = -(-n // int(chunks))
+    for lo in range(0, n, size):
+        hi = min(lo + size, n)
+        xs, ys = x[lo:hi], y[lo:hi]
+        shifted = origin_shift_native(xs, ys, t.c, t.f)
+        if shifted is None:
+            shifted = ((xs - t.c).astype(np.float32),
+                       (t.f - ys).astype(np.float32))
+        xr, yr = shifted
+        if hi - lo < size:  # pad the tail chunk to the static shape
+            pad = size - (hi - lo)
+            xr = np.concatenate([xr, np.full(pad, -1.0, np.float32)])
+            yr = np.concatenate([yr, np.full(pad, -1.0, np.float32)])
+            zc = np.concatenate([np.asarray(z[lo:hi], dtype=np.float32),
+                                 np.zeros(pad, np.float32)])
+        else:
+            zc = np.asarray(z[lo:hi], dtype=np.float32)
+        # enqueue and immediately go shift the next chunk — the device
+        # consumes this one while the host works
+        grid = _grid_scatter_accum(grid, jnp.asarray(xr),
+                                   jnp.asarray(yr), jnp.asarray(zc),
+                                   inv, ny, nx, bin_type)
+    grid = jnp.where(jnp.isinf(grid), jnp.nan, grid)
     return jnp.reshape(grid, (ny, nx)), t
 
 
 def create_dem(x, y, z, cellsize=1, bin_type="max", inpaint=False,
                edges=None, use_binned_statistic=False,
-               device_bin=False, method="scatter"):
+               device_bin=False, method="scatter", chunks=1):
     """Scatter-to-grid DEM creation (parity: neilpy.py:1110-1166).
 
     Returns (I, t): the (ny, nx) float grid with NaN empty cells and the
     affine transform.  ``inpaint=True`` spring-inpaints the gaps.
     ``device_bin=True`` takes the fused on-device binning fast path
     (see ``grid_points_device``); the default is the exact host-f64
-    binning the reference's pandas groupby uses.
+    binning the reference's pandas groupby uses.  ``chunks>1`` (with
+    ``device_bin=True``) streams the cloud in batches so the host
+    origin-shift overlaps the device scatter and peak host memory is
+    one batch — same bits out (min/max is order-independent).
     """
     del use_binned_statistic  # scipy fallback not needed on this path
     if device_bin:
         I, t = grid_points_device(x, y, z, cellsize=cellsize,
                                   bin_type=bin_type, edges=edges,
-                                  method=method)
+                                  method=method, chunks=chunks)
         if inpaint:
             from .inpaint import inpaint_nans_by_springs
             I = inpaint_nans_by_springs(I)

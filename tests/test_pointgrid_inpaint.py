@@ -86,6 +86,35 @@ class TestCreateDem:
             np.nan_to_num(np.asarray(a), nan=9e9),
             np.nan_to_num(np.asarray(b), nan=9e9))
 
+    @pytest.mark.parametrize("bin_type,chunks", [("min", 3), ("max", 4),
+                                                 ("min", 7)])
+    def test_device_bin_chunked_stream_bit_identical(self, bin_type,
+                                                     chunks, rng):
+        # streamed gridding (host shift overlapped with device scatter)
+        # must be BIT-identical to the fused single-program path:
+        # min/max scatter is order-independent, and chunk 7 exercises
+        # the padded tail (50000 % 7 != 0)
+        n = 50000
+        x = rng.uniform(500000, 500200, n)
+        y = rng.uniform(4200000, 4200150, n)
+        z = rng.normal(300, 10, n)
+        a, ta = create_dem(x, y, z, cellsize=1, bin_type=bin_type,
+                           device_bin=True)
+        b, tb = create_dem(x, y, z, cellsize=1, bin_type=bin_type,
+                           device_bin=True, chunks=chunks)
+        assert list(ta) == list(tb)
+        np.testing.assert_array_equal(
+            np.nan_to_num(np.asarray(a), nan=9e9),
+            np.nan_to_num(np.asarray(b), nan=9e9))
+
+    def test_chunked_stream_rejects_sort_method(self, rng):
+        x = rng.uniform(0, 10, 100)
+        y = rng.uniform(0, 10, 100)
+        z = rng.normal(size=100)
+        with pytest.raises(ValueError, match="order-independent"):
+            create_dem(x, y, z, device_bin=True, method="sort",
+                       chunks=2)
+
     def test_north_up_orientation(self):
         # a single point at high y must land in a low row index
         x = np.array([5.0, 5.0])
