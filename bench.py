@@ -174,13 +174,15 @@ def bench_geomorphons():
     np.asarray(geomorphons(Zd, cellsize=10, lookup_pixels=lookup,
                            threshold_angle=1, engine="xla"))
     log(f"xla compile+first run: {time.time() - t0:.1f}s")
-    dt = _timeit(lambda: geomorphons(Zd, cellsize=10,
-                                     lookup_pixels=lookup,
-                                     threshold_angle=1, engine="xla"),
-                 k=10)
-    results["xla"] = H * W / dt / 1e6
-    log(f"xla geomorphons {H}x{W} lookup={lookup}: {dt * 1e3:.1f} ms "
-        f"= {results['xla']:.0f} Mpix/s")
+    # in-one-program timing: dispatch-amortized loops under-report 3x+
+    # through the tunnel (per-roundtrip latency is erratic); one scan
+    # program pays the roundtrip once, like the pallas probes
+    ms = _one_program_ms(
+        Zd, lambda z: geomorphons(z, cellsize=10, lookup_pixels=lookup,
+                                  threshold_angle=1, engine="xla"), n=8)
+    results["xla"] = H * W / ms / 1e3
+    log(f"xla geomorphons {H}x{W} lookup={lookup}: {ms:.1f} ms "
+        f"= {results['xla']:.0f} Mpix/s (in-one-program)")
 
     if jax.default_backend() == "tpu":
         budget = int(os.environ.get("PALLAS_BENCH_TIMEOUT", "1500"))
