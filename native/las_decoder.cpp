@@ -119,27 +119,39 @@ int las_open_header(const char* path, double* out) {
   return 0;
 }
 
-// Decode points [0, n) with stride into flat arrays.  bbox = 4 doubles
-// (xmin, xmax, ymin, ymax) or null.  Returns number of points written,
-// or a negative error code.  ``n_cap`` is the caller's allocated
-// length for every output array; the decoder never writes beyond it,
-// even when the header's point count disagrees with the file size.
-long las_decode(const char* path, long stride, const double* bbox,
-                double* xs, double* ys, double* zs, uint16_t* intensity,
-                uint8_t* klass, uint8_t* return_number, uint8_t* return_max,
-                long n_cap, int n_threads) {
+// Decode records [first, first + count) with stride into flat arrays
+// (count < 0 means "to the end of the file") — the streaming core
+// behind both the whole-file entry point below and the fixed-memory
+// chunk iterator (io/las_native.py read_las_chunks).  bbox = 4
+// doubles (xmin, xmax, ymin, ymax) or null.  Returns number of points
+// written, or a negative error code.  ``n_cap`` is the caller's
+// allocated length for every output array; the decoder never writes
+// beyond it, even when the header's point count disagrees with the
+// file size.
+long las_decode_range(const char* path, long first, long count,
+                      long stride, const double* bbox,
+                      double* xs, double* ys, double* zs,
+                      uint16_t* intensity, uint8_t* klass,
+                      uint8_t* return_number, uint8_t* return_max,
+                      long n_cap, int n_threads) {
   Mapped m;
   if (!map_file(path, &m)) return -10;
   Header h;
   int rc = parse_header(m.data, m.size, &h);
   if (rc != 0) return rc;
   if (stride < 1) stride = 1;
+  if (first < 0) first = 0;
 
-  const uint8_t* pts = m.data + h.point_offset;
   const size_t rl = h.record_len;
   uint64_t avail = (m.size - h.point_offset) / rl;
-  uint64_t n = h.num_points ? std::min<uint64_t>(h.num_points, avail)
-                            : avail;
+  uint64_t n_total = h.num_points
+                         ? std::min<uint64_t>(h.num_points, avail)
+                         : avail;
+  if (static_cast<uint64_t>(first) >= n_total) return 0;
+  const uint8_t* pts = m.data + h.point_offset + first * rl;
+  uint64_t n = n_total - static_cast<uint64_t>(first);
+  if (count >= 0 && static_cast<uint64_t>(count) < n)
+    n = static_cast<uint64_t>(count);
   uint64_t n_out_max = (n + stride - 1) / stride;
   if (n_cap >= 0 && n_out_max > static_cast<uint64_t>(n_cap))
     n_out_max = static_cast<uint64_t>(n_cap);
@@ -221,6 +233,17 @@ long las_decode(const char* path, long stride, const double* bbox,
     ++w;
   }
   return static_cast<long>(w);
+}
+
+// Whole-file entry point (kept for callers that predate the range
+// variant): decode every record.
+long las_decode(const char* path, long stride, const double* bbox,
+                double* xs, double* ys, double* zs, uint16_t* intensity,
+                uint8_t* klass, uint8_t* return_number, uint8_t* return_max,
+                long n_cap, int n_threads) {
+  return las_decode_range(path, 0, -1, stride, bbox, xs, ys, zs,
+                          intensity, klass, return_number, return_max,
+                          n_cap, n_threads);
 }
 
 }  // extern "C"

@@ -51,7 +51,8 @@ from .ops.visibility import (openness, skyview_factor, count_openness,
                              get_geomorphons, get_geomorphon_from_openness)
 
 # ----- point cloud pipeline ------------------------------------------
-from .ops.pointgrid import create_dem, bin_points
+from .ops.pointgrid import (create_dem, create_dem_from_las,
+                            bin_points)
 from .ops.inpaint import (inpaint_nans_by_springs, inpaint_nans_by_fda,
                           inpaint_nearest, inpaint_nearest_device)
 from .ops.morphology import (grey_erosion_disk, grey_dilation_disk,

@@ -29,20 +29,19 @@ def _load():
     global _LIB, _LOAD_FAILED
     if _LIB is not None or _LOAD_FAILED:
         return _LIB
-    if not os.path.exists(_LIB_PATH):
-        from ..ops.binning_native import _try_build
-        if not _try_build():
-            _LOAD_FAILED = True
-            return None
+    from ..ops.binning_native import _buildinfo_fresh, _try_build
+    stale = os.path.exists(_LIB_PATH) and not _buildinfo_fresh()
+    if (stale or not os.path.exists(_LIB_PATH)) and not _try_build():
+        # missing and unbuildable, or stale (possibly foreign-arch
+        # vector code) and unrebuildable: python fallback
+        _LOAD_FAILED = True
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.las_open_header.restype = ctypes.c_int
         lib.las_open_header.argtypes = [ctypes.c_char_p,
                                         ctypes.POINTER(ctypes.c_double)]
-        lib.las_decode.restype = ctypes.c_long
-        lib.las_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_double),
+        arrays = [
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
@@ -53,8 +52,17 @@ def _load():
             ctypes.c_long,
             ctypes.c_int,
         ]
-    except OSError:
-        # unloadable .so (foreign arch, missing deps): python fallback
+        lib.las_decode.restype = ctypes.c_long
+        lib.las_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double)] + arrays
+        lib.las_decode_range.restype = ctypes.c_long
+        lib.las_decode_range.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.POINTER(ctypes.c_double)] + arrays
+    except (OSError, AttributeError):
+        # unloadable .so (foreign arch, missing deps) or a binary that
+        # predates a symbol this code needs: python fallback
         _LOAD_FAILED = True
         return None
     _LIB = lib
@@ -82,18 +90,12 @@ def read_header(filename):
             "version": v[17] / 10.0}
 
 
-def read_las_arrays(filename, stride=1, bbox=None, n_threads=0):
-    """Decode a LAS file natively into a dict of flat arrays
-    (x, y, z float64; intensity uint16; class/return_number/return_max
-    uint8).  ``bbox`` = (xmin, xmax, ymin, ymax) filters on the fly;
-    ``stride`` keeps every stride-th point."""
+def _decode(filename, first, count, stride, bbox, n_threads, hdr,
+            n_records):
+    """Shared native-decode call: records [first, first+count) with
+    stride, returned as a dict of compacted flat arrays."""
     lib = _load()
-    if lib is None:
-        raise RuntimeError("native LAS decoder not built; run "
-                           "`make -C native` or use io.las.read_las")
-    hdr = read_header(filename)
-    n = hdr["num_point_records"]
-    n_out = (n + stride - 1) // stride
+    n_out = (n_records + stride - 1) // stride
     xs = np.empty(n_out, dtype=np.float64)
     ys = np.empty(n_out, dtype=np.float64)
     zs = np.empty(n_out, dtype=np.float64)
@@ -109,8 +111,8 @@ def read_las_arrays(filename, stride=1, bbox=None, n_threads=0):
     def p(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
-    wrote = lib.las_decode(
-        str(filename).encode(), int(stride), bb,
+    wrote = lib.las_decode_range(
+        str(filename).encode(), int(first), int(count), int(stride), bb,
         p(xs, ctypes.c_double), p(ys, ctypes.c_double),
         p(zs, ctypes.c_double), p(inten, ctypes.c_uint16),
         p(klass, ctypes.c_uint8), p(rn, ctypes.c_uint8),
@@ -121,3 +123,37 @@ def read_las_arrays(filename, stride=1, bbox=None, n_threads=0):
     return {"header": hdr, "x": xs[sl], "y": ys[sl], "z": zs[sl],
             "intensity": inten[sl], "class": klass[sl],
             "return_number": rn[sl], "return_max": rm[sl]}
+
+
+def read_las_arrays(filename, stride=1, bbox=None, n_threads=0):
+    """Decode a LAS file natively into a dict of flat arrays
+    (x, y, z float64; intensity uint16; class/return_number/return_max
+    uint8).  ``bbox`` = (xmin, xmax, ymin, ymax) filters on the fly;
+    ``stride`` keeps every stride-th point."""
+    if _load() is None:
+        raise RuntimeError("native LAS decoder not built; run "
+                           "`make -C native` or use io.las.read_las")
+    hdr = read_header(filename)
+    n = hdr["num_point_records"]
+    return _decode(filename, 0, -1, stride, bbox, n_threads, hdr, n)
+
+
+def read_las_chunks(filename, chunk_points=4_000_000, stride=1,
+                    bbox=None, n_threads=0):
+    """Iterate a LAS file in fixed-memory chunks of at most
+    ``chunk_points`` records (before ``stride``/``bbox`` filtering),
+    yielding the same dict shape as ``read_las_arrays`` per chunk.
+    The file is mmapped per chunk, so peak memory is one chunk's
+    arrays regardless of file size — the streaming half of
+    ``ops.pointgrid.create_dem_from_las``."""
+    if _load() is None:
+        raise RuntimeError("native LAS decoder not built; run "
+                           "`make -C native` or use io.las.read_las")
+    if chunk_points < 1:
+        raise ValueError("chunk_points must be >= 1")
+    hdr = read_header(filename)
+    n = hdr["num_point_records"]
+    for first in range(0, n, chunk_points):
+        count = min(chunk_points, n - first)
+        yield _decode(filename, first, count, stride, bbox, n_threads,
+                      hdr, count)

@@ -33,18 +33,13 @@ def _load():
     global _LIB, _LOAD_FAILED
     if _LIB is not None or _LOAD_FAILED:
         return _LIB
-    if not os.path.exists(_LIB_PATH):
-        import subprocess
-        makefile_dir = os.path.join(os.path.dirname(__file__), "..", "..",
-                                    "native")
-        try:
-            subprocess.run(["make", "-C", makefile_dir], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            pass
-        if not os.path.exists(_LIB_PATH):
-            _LOAD_FAILED = True
-            return None
+    from ..ops.binning_native import _buildinfo_fresh, _try_build
+    stale = os.path.exists(_LIB_PATH) and not _buildinfo_fresh()
+    if (stale or not os.path.exists(_LIB_PATH)) and not _try_build():
+        # missing and unbuildable, or stale (possibly foreign-arch
+        # vector code) and unrebuildable: pure-python fallback
+        _LOAD_FAILED = True
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         for sym in ("lzw_decode", "packbits_decode"):

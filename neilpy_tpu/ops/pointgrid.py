@@ -39,7 +39,8 @@ from jax import lax
 
 from ..core.affine import Affine
 
-__all__ = ["create_dem", "bin_points", "bin_points_device",
+__all__ = ["create_dem", "create_dem_from_las", "bin_points",
+           "bin_points_device",
            "scatter_reduce", "grid_points_device"]
 
 
@@ -286,6 +287,94 @@ def grid_points_device(x, y, z, cellsize=1, bin_type="max", edges=None,
                                    inv, ny, nx, bin_type)
     grid = jnp.where(jnp.isinf(grid), jnp.nan, grid)
     return jnp.reshape(grid, (ny, nx)), t
+
+
+def create_dem_from_las(filename, cellsize=1, bin_type="max",
+                        chunk_points=4_000_000, stride=1, bbox=None,
+                        classes=None, edges=None, inpaint=False):
+    """Grid a LAS file straight to a DEM in fixed host memory.
+
+    Streams the file through the native decoder in ``chunk_points``
+    batches and scatters each batch into the device grid (the same
+    order-independent min/max accumulation as
+    ``create_dem(..., device_bin=True, chunks=N)``), so an
+    arbitrarily large LAS grids in the memory of one chunk.  The grid
+    frame comes from the LAS header's min/max block (a spec-mandated
+    summary of the actual coordinates), which matches
+    ``create_dem``'s point-derived frame whenever the header is
+    truthful; pass ``edges`` to pin the frame explicitly.
+
+    ``classes``: optional iterable of ASPRS classification codes to
+    keep (e.g. ``(2,)`` for ground-only).  ``bbox`` and ``stride``
+    filter/decimate inside the native decoder.  Returns (I, t).
+
+    TPU-native extension (no reference equivalent: neilpy users chain
+    read_las -> create_dem, neilpy.py:903/1110, materializing the
+    whole cloud).
+    """
+    from ..io.las_native import (native_available, read_header,
+                                 read_las_chunks)
+    if not native_available():
+        # fallback: whole-file python reader + in-memory gridding
+        from ..io.las import read_las
+        _, df = read_las(filename)
+        if bbox is not None:
+            keep = ((df.x >= bbox[0]) & (df.x <= bbox[1])
+                    & (df.y >= bbox[2]) & (df.y <= bbox[3]))
+            df = df[keep]
+        if stride > 1:
+            df = df.iloc[::stride]
+        if classes is not None:
+            df = df[np.isin(np.asarray(df["class"]),
+                            np.asarray(list(classes)))]
+        return create_dem(df.x, df.y, df.z, cellsize=cellsize,
+                          bin_type=bin_type, edges=edges,
+                          inpaint=inpaint, device_bin=True)
+    if bin_type not in ("max", "min"):
+        raise ValueError("This type not supported.")
+    hdr = read_header(filename)
+    xmin, xmax, ymin, ymax = (hdr["minmax"][0], hdr["minmax"][1],
+                              hdr["minmax"][2], hdr["minmax"][3])
+    if bbox is not None:
+        xmin, xmax = max(xmin, bbox[0]), min(xmax, bbox[1])
+        ymin, ymax = max(ymin, bbox[2]), min(ymax, bbox[3])
+    ny, nx, t, cellsize_, _ = _grid_frame(np.array([xmin, xmax]),
+                                          np.array([ymin, ymax]),
+                                          cellsize, edges)
+    from .binning_native import origin_shift_native
+    class_arr = (None if classes is None
+                 else np.asarray(list(classes), dtype=np.uint8))
+    ident = -np.inf if bin_type == "max" else np.inf
+    grid = jnp.full((ny * nx,), np.float32(ident), dtype=jnp.float32)
+    inv = jnp.float32(1.0 / t.a)
+    pad_to = -(-min(chunk_points, hdr["num_point_records"]) // stride)
+    for chunk in read_las_chunks(filename, chunk_points=chunk_points,
+                                 stride=stride, bbox=bbox):
+        x, y, z = chunk["x"], chunk["y"], chunk["z"]
+        if class_arr is not None:
+            keep = np.isin(chunk["class"], class_arr)
+            x, y, z = x[keep], y[keep], z[keep]
+        if x.size == 0:
+            continue
+        shifted = origin_shift_native(x, y, t.c, t.f)
+        if shifted is None:
+            shifted = ((x - t.c).astype(np.float32),
+                       (t.f - y).astype(np.float32))
+        xr, yr = shifted
+        zc = z.astype(np.float32)
+        if xr.size < pad_to:  # fixed shape -> one device compile
+            pad = pad_to - xr.size
+            xr = np.concatenate([xr, np.full(pad, -1.0, np.float32)])
+            yr = np.concatenate([yr, np.full(pad, -1.0, np.float32)])
+            zc = np.concatenate([zc, np.zeros(pad, np.float32)])
+        grid = _grid_scatter_accum(grid, jnp.asarray(xr),
+                                   jnp.asarray(yr), jnp.asarray(zc),
+                                   inv, ny, nx, bin_type)
+    I = jnp.reshape(jnp.where(jnp.isinf(grid), jnp.nan, grid), (ny, nx))
+    if inpaint:
+        from .inpaint import inpaint_nans_by_springs
+        I = inpaint_nans_by_springs(I)
+    return I, t
 
 
 def create_dem(x, y, z, cellsize=1, bin_type="max", inpaint=False,

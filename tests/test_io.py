@@ -1015,3 +1015,108 @@ class TestZstdLzmaTiff:
         monkeypatch.setattr(tiff_codec, "_ZSTD_FAILED", True)
         with pytest.raises(ValueError, match="libzstd"):
             read_geotiff(fn)
+
+
+class TestLasStreaming:
+    """Chunked native decode + fixed-memory LAS->DEM gridding."""
+
+    def _write_cloud(self, tmp_path, n=30000, seed=5):
+        from neilpy_tpu.io.las import write_las
+        rng = np.random.default_rng(seed)
+        x = rng.uniform(500000, 500200, n)
+        y = rng.uniform(4200000, 4200150, n)
+        z = rng.normal(300, 10, n)
+        cls = rng.integers(1, 7, n).astype(np.uint8)
+        fn = str(tmp_path / "cloud.las")
+        write_las(fn, x, y, z, classification=cls)
+        return fn, x, y, z, cls
+
+    def test_read_las_chunks_concatenates_to_whole(self, tmp_path):
+        from neilpy_tpu.io.las_native import (native_available,
+                                              read_las_arrays,
+                                              read_las_chunks)
+        if not native_available():
+            pytest.skip("native decoder not built")
+        fn, *_ = self._write_cloud(tmp_path)
+        whole = read_las_arrays(fn)
+        parts = list(read_las_chunks(fn, chunk_points=7001))
+        assert len(parts) == 5  # 30000 records in 7001-chunks
+        for key in ("x", "y", "z", "intensity", "class",
+                    "return_number"):
+            np.testing.assert_array_equal(
+                np.concatenate([p[key] for p in parts]), whole[key])
+
+    def test_read_las_chunks_stride_and_bbox(self, tmp_path):
+        from neilpy_tpu.io.las_native import (native_available,
+                                              read_las_arrays,
+                                              read_las_chunks)
+        if not native_available():
+            pytest.skip("native decoder not built")
+        fn, x, y, *_ = self._write_cloud(tmp_path)
+        bbox = (500050.0, 500150.0, 4200040.0, 4200100.0)
+        whole = read_las_arrays(fn, bbox=bbox)
+        parts = list(read_las_chunks(fn, chunk_points=4096, bbox=bbox))
+        np.testing.assert_array_equal(
+            np.concatenate([p["x"] for p in parts]), whole["x"])
+        # stride within chunks visits every stride-th record of each
+        # chunk -- with chunk_points a multiple of stride that equals
+        # the whole-file stride pattern
+        whole_s = read_las_arrays(fn, stride=3)
+        parts_s = list(read_las_chunks(fn, chunk_points=3 * 2048,
+                                       stride=3))
+        np.testing.assert_array_equal(
+            np.concatenate([p["z"] for p in parts_s]), whole_s["z"])
+
+    def test_create_dem_from_las_matches_in_memory(self, tmp_path):
+        from neilpy_tpu.io.las_native import native_available
+        from neilpy_tpu.ops.pointgrid import (create_dem,
+                                              create_dem_from_las)
+        if not native_available():
+            pytest.skip("native decoder not built")
+        fn, x, y, z, cls = self._write_cloud(tmp_path)
+        # LAS quantizes to the scale (1 mm): compare against gridding
+        # the decoded coordinates, not the pre-write ones
+        from neilpy_tpu.io.las_native import read_las_arrays
+        d = read_las_arrays(fn)
+        a, ta = create_dem(d["x"], d["y"], d["z"], cellsize=1,
+                           bin_type="min", device_bin=True)
+        b, tb = create_dem_from_las(fn, cellsize=1, bin_type="min",
+                                    chunk_points=9000)
+        assert list(ta) == list(tb)
+        np.testing.assert_array_equal(
+            np.nan_to_num(np.asarray(a), nan=9e9),
+            np.nan_to_num(np.asarray(b), nan=9e9))
+
+    def test_create_dem_from_las_class_filter(self, tmp_path):
+        from neilpy_tpu.io.las_native import (native_available,
+                                              read_las_arrays)
+        from neilpy_tpu.ops.pointgrid import (create_dem,
+                                              create_dem_from_las)
+        if not native_available():
+            pytest.skip("native decoder not built")
+        fn, *_ = self._write_cloud(tmp_path)
+        d = read_las_arrays(fn)
+        keep = np.isin(d["class"], [2, 3])
+        a, _ = create_dem(d["x"][keep], d["y"][keep], d["z"][keep],
+                          cellsize=1, bin_type="max", device_bin=True,
+                          edges=None)
+        b, _ = create_dem_from_las(fn, cellsize=1, bin_type="max",
+                                   chunk_points=8000, classes=(2, 3))
+        # frames may differ (header minmax vs filtered-point minmax):
+        # compare on the intersection via NaN-padded equality of the
+        # filtered-point frame region
+        A = np.asarray(a)
+        B = np.asarray(b)
+        # locate A's frame inside B's (both share cell alignment)
+        assert B.shape[0] >= A.shape[0] and B.shape[1] >= A.shape[1]
+        found = False
+        for r0 in range(B.shape[0] - A.shape[0] + 1):
+            for c0 in range(B.shape[1] - A.shape[1] + 1):
+                sub = B[r0:r0 + A.shape[0], c0:c0 + A.shape[1]]
+                if np.array_equal(np.nan_to_num(sub, nan=9e9),
+                                  np.nan_to_num(A, nan=9e9)):
+                    found = True
+                    break
+            if found:
+                break
+        assert found
