@@ -28,7 +28,8 @@ from .core.codes import (int2base, get_lowest_equivalent,
                          geomorphon_cmap_old)
 
 # ----- I/O ------------------------------------------------------------
-from .io.geotiff import imread, imwrite, read_geotiff, write_geotiff
+from .io.geotiff import (imread, imwrite, read_geotiff, write_geotiff,
+                         GeoTiffSource)
 from .io.las import read_las, write_las
 from .io.worldfile import write_worldfile
 from .io.png import write_paletted_png

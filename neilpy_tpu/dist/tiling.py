@@ -156,7 +156,12 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
     """
     from collections import deque
 
-    Z = np.asarray(Z)
+    # Accept lazy 2-D sources (e.g. io.geotiff.GeoTiffSource, np.memmap)
+    # without materializing: anything with shape/dtype/__getitem__ is
+    # consumed window-by-window in the streaming path below.
+    if not (hasattr(Z, "shape") and hasattr(Z, "dtype")
+            and hasattr(Z, "__getitem__")):
+        Z = np.asarray(Z)
     H, W = Z.shape
     ts = int(tile_size)
     ov = int(overlap)

@@ -15,6 +15,9 @@ grayscale or multi-band (contiguous or planar), uint8/16/32,
 int8/16/32, float32/64, plus the GeoTIFF
 ModelPixelScale/ModelTiepoint tags and GDAL's NODATA ascii tag.  This covers both reference golden rasters
 (verified uncompressed strips) and everything the framework writes.
+Windowed reads (``imread(fn, window=...)`` / :class:`GeoTiffSource`)
+decode only the strips/tiles a pixel rectangle touches, so the
+out-of-core mosaic pipeline streams straight from a (Big)TIFF on disk.
 
 Written files: little-endian baseline TIFF, strip-organised,
 uncompressed by default or LZW/Deflate/ZSTD via ``compress=``, with GeoTIFF
@@ -31,7 +34,8 @@ import numpy as np
 
 from ..core.affine import Affine
 
-__all__ = ["imread", "imwrite", "read_geotiff", "write_geotiff"]
+__all__ = ["imread", "imwrite", "read_geotiff", "write_geotiff",
+           "GeoTiffSource"]
 
 # TIFF tag ids
 _TAG_WIDTH = 256
@@ -168,136 +172,296 @@ def _decompress(raw, compression, expected, predictor, width, dtype,
     return out[:expected]
 
 
-def read_geotiff(fn):
+class GeoTiffSource:
+    """Lazily-windowed GeoTIFF reader: parse the IFD once, then decode
+    only the strips/tiles a requested window intersects (with a small
+    LRU block cache for overlapping windows).
+
+    Duck-types as a read-only 2-D/3-D array — ``shape``, ``dtype``,
+    ``ndim``, ``nbytes``, ``__getitem__`` over slices, ``__array__`` —
+    so out-of-core consumers (:func:`tiled_apply`,
+    :func:`mosaic_terrain_products`) can stream tile windows straight
+    from a (Big)TIFF on disk without ever materializing the raster.
+    The reference leans on rasterio's windowed reads for the same job
+    (``rasterio ... .read(window=...)``; its ``imread`` at
+    neilpy.py:114-158 is full-raster only).
+    """
+
+    def __init__(self, fn, cache_bytes=64 << 20):
+        # memory-map instead of slurping: multi-GB BigTIFF mosaics
+        # read lazily; only touched blocks are ever paged in
+        data = memoryview(np.memmap(fn, dtype=np.uint8, mode="r"))
+        if data[:2] == b"II":
+            en = "<"
+        elif data[:2] == b"MM":
+            en = ">"
+        else:
+            raise ValueError("Not a TIFF file")
+        (magic,) = struct.unpack(en + "H", data[2:4])
+        bigtiff = magic == 43
+        if bigtiff:
+            (first_ifd,) = struct.unpack(en + "Q", data[8:16])
+        else:
+            (first_ifd,) = struct.unpack(en + "L", data[4:8])
+        tags, _ = _read_ifd_entries(data, first_ifd, en, bigtiff)
+
+        g = lambda t, d=None: (_values(tags[t], en) if t in tags else d)
+        self._data = data
+        self._en = en
+        self.width = int(g(_TAG_WIDTH)[0])
+        self.height = int(g(_TAG_HEIGHT)[0])
+        spp = int(g(_TAG_SAMPLESPERPIXEL, (1,))[0])
+        bits = int(g(_TAG_BITSPERSAMPLE, (8,))[0])
+        self._comp = int(g(_TAG_COMPRESSION, (1,))[0])
+        sfmt = int(g(_TAG_SAMPLEFORMAT, (1,))[0])
+        self._planar = int(g(_TAG_PLANARCONFIG, (1,))[0])
+        self._predictor = int(g(_TAG_PREDICTOR, (1,))[0])
+        jpt = tags.get(_TAG_JPEGTABLES)
+        self._jpeg_tables = (bytes(_values(jpt, en))
+                             if jpt is not None else None)
+        self._dtype_raw = _dtype_from(bits, sfmt, en)
+        self._planes = spp if self._planar == 2 else 1
+        self._chans = 1 if self._planar == 2 else spp
+
+        self._tiled = _TAG_TILEOFFSETS in tags
+        if self._tiled:
+            self._tw = int(g(_TAG_TILEWIDTH)[0])
+            self._th = int(g(_TAG_TILELENGTH)[0])
+            self._offsets = g(_TAG_TILEOFFSETS)
+            self._counts = g(_TAG_TILEBYTECOUNTS)
+        else:
+            self._tw = self.width
+            self._th = int(g(_TAG_ROWSPERSTRIP, (self.height,))[0])
+            self._offsets = g(_TAG_STRIPOFFSETS)
+            self._counts = g(_TAG_STRIPBYTECOUNTS)
+        self._bx = (self.width + self._tw - 1) // self._tw
+        self._by = (self.height + self._th - 1) // self._th
+
+        # --- georeferencing ---
+        transform = Affine.identity()
+        scale = g(_TAG_MODELPIXELSCALE)
+        tie = g(_TAG_MODELTIEPOINT)
+        if scale and tie and len(tie) >= 6:
+            sx, sy = float(scale[0]), float(scale[1])
+            i, j, _, x, y, _ = tie[:6]
+            transform = Affine(sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy)
+        self.transform = transform
+
+        nodata = g(_TAG_GDAL_NODATA)
+        if isinstance(nodata, str):
+            try:
+                nodata = float(nodata.strip())
+            except ValueError:
+                nodata = None
+        self.nodata = nodata
+
+        self.crs = None
+        if _TAG_GEOKEYDIRECTORY in tags:
+            keys = g(_TAG_GEOKEYDIRECTORY)
+            # GeoKey 3072 = ProjectedCSTypeGeoKey, 2048 = GeographicType
+            for k in range(4, len(keys), 4):
+                if keys[k] in (3072, 2048) and keys[k + 1] == 0:
+                    self.crs = int(keys[k + 3])
+                    break
+
+        self._cache = {}
+        self._cache_order = []
+        self._cache_bytes = 0
+        self._cache_cap = int(cache_bytes)
+
+    # ---- array-like surface ------------------------------------------
+    @property
+    def dtype(self):
+        return np.dtype(self._dtype_raw.newbyteorder("="))
+
+    @property
+    def nbands(self):
+        return self._planes if self._planar == 2 else self._chans
+
+    @property
+    def ndim(self):
+        return 2 if self.nbands == 1 else 3
+
+    @property
+    def shape(self):
+        if self.nbands == 1:
+            return (self.height, self.width)
+        return (self.height, self.width, self.nbands)
+
+    @property
+    def nbytes(self):
+        n = self.height * self.width * self.nbands
+        return n * self.dtype.itemsize
+
+    def __len__(self):
+        return self.height
+
+    def __array__(self, dtype=None, copy=None):
+        arr = self._window(0, self.height, 0, self.width)
+        return arr.astype(dtype) if dtype is not None else arr
+
+    def __getitem__(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        if len(key) > self.ndim:
+            raise IndexError("too many indices for GeoTiffSource")
+        sq = []
+        bounds = []
+        for ax, (k, n) in enumerate(zip(key, (self.height, self.width))):
+            if isinstance(k, slice):
+                start, stop, step = k.indices(n)
+                if step != 1:
+                    raise IndexError(
+                        "GeoTiffSource supports step-1 slices only")
+                bounds.append((start, max(stop, start)))
+            elif isinstance(k, (int, np.integer)):
+                k = int(k)
+                if k < 0:
+                    k += n
+                if not 0 <= k < n:
+                    raise IndexError(f"index {k} out of range (axis {ax})")
+                bounds.append((k, k + 1))
+                sq.append(ax)
+            else:
+                raise IndexError(
+                    "GeoTiffSource supports int/slice indexing only")
+        while len(bounds) < 2:
+            bounds.append((0, (self.height, self.width)[len(bounds)]))
+        (r0, r1), (c0, c1) = bounds
+        arr = self._window(r0, r1, c0, c1)
+        band = key[2] if len(key) == 3 else None
+        if band is not None:
+            arr = arr[:, :, band]
+        for ax in reversed(sq):
+            arr = np.squeeze(arr, axis=ax)
+        return arr
+
+    # ---- decoding ----------------------------------------------------
+    def _block(self, p, by, bx):
+        """Decoded block (rows, cols, chans) for plane ``p``, block row
+        ``by``, block col ``bx`` — LRU-cached."""
+        key = (p, by, bx)
+        blk = self._cache.get(key)
+        if blk is not None:
+            return blk
+        idx = (p * self._by + by) * self._bx + bx
+        if self._tiled:
+            nrows, ncols = self._th, self._tw
+        else:
+            nrows = min(self._th, self.height - by * self._th)
+            ncols = self.width
+        expected = nrows * ncols * self._chans * self._dtype_raw.itemsize
+        raw = self._data[self._offsets[idx]:
+                         self._offsets[idx] + self._counts[idx]]
+        buf = _decompress(raw, self._comp, expected, self._predictor,
+                          ncols, self._dtype_raw, self._chans,
+                          self._jpeg_tables)
+        blk = np.frombuffer(buf, dtype=self._dtype_raw).reshape(
+            nrows, ncols, self._chans)
+        self._cache[key] = blk
+        self._cache_order.append(key)
+        self._cache_bytes += blk.nbytes
+        while self._cache_bytes > self._cache_cap and len(self._cache) > 1:
+            old = self._cache_order.pop(0)
+            self._cache_bytes -= self._cache.pop(old).nbytes
+        return blk
+
+    def _window(self, r0, r1, c0, c1):
+        if not (0 <= r0 <= r1 <= self.height
+                and 0 <= c0 <= c1 <= self.width):
+            raise ValueError(
+                f"window ({r0}:{r1}, {c0}:{c1}) outside raster "
+                f"{self.height}x{self.width}")
+        h, w = r1 - r0, c1 - c0
+        img = np.zeros((self._planes, h, w, self._chans),
+                       dtype=self._dtype_raw)
+        th, tw = self._th, self._tw
+        for p in range(self._planes):
+            for by in range(r0 // th, min(-(-r1 // th), self._by)):
+                y0 = by * th
+                yv = min(th, self.height - y0)  # valid rows in block
+                ys0, ys1 = max(r0, y0), min(r1, y0 + yv)
+                if ys1 <= ys0:
+                    continue
+                for bx in range(c0 // tw, min(-(-c1 // tw), self._bx)):
+                    x0 = bx * tw
+                    xv = min(tw, self.width - x0)
+                    xs0, xs1 = max(c0, x0), min(c1, x0 + xv)
+                    if xs1 <= xs0:
+                        continue
+                    blk = self._block(p, by, bx)
+                    img[p, ys0 - r0:ys1 - r0, xs0 - c0:xs1 - c0] = \
+                        blk[ys0 - y0:ys1 - y0, xs0 - x0:xs1 - x0]
+        if self._planar == 2:
+            arr = np.moveaxis(img[:, :, :, 0], 0, -1)
+        else:
+            arr = img[0]
+        if arr.shape[-1] == 1:
+            arr = arr[:, :, 0]
+        if self._en == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("="))
+        return arr
+
+    # ---- metadata ----------------------------------------------------
+    def _meta(self, r0, r1, c0, c1):
+        width, height = c1 - c0, r1 - r0
+        # pixel (c0, r0) becomes the new origin: translate the affine
+        a, b, _, d, e, _ = self.transform
+        cx, fy = self.transform * (c0, r0)
+        transform = Affine(a, b, cx, d, e, fy)
+        meta = {
+            "driver": "GTiff", "width": width, "height": height,
+            "count": self.nbands, "dtype": str(self.dtype),
+            "transform": transform, "crs": self.crs,
+            "nodata": self.nodata,
+        }
+        x0, y0 = transform * (0, 0)
+        x1, y1 = transform * (width, height)
+        meta["bounds"] = (min(x0, x1), min(y0, y1),
+                          max(x0, x1), max(y0, y1))
+        cellsizes = np.abs(np.array((transform[0], transform[4])))
+        meta["cellsize"] = (float(np.mean(cellsizes))
+                            if np.diff(cellsizes)[0] < 1e-8 else cellsizes)
+        return meta
+
+    @property
+    def meta(self):
+        return self._meta(0, self.height, 0, self.width)
+
+    def read(self, window=None, return_metadata=True):
+        """Read the whole raster or a ``window`` = ((r0, r1), (c0, c1))
+        pixel rectangle (also accepted: a pair of slices).  Only the
+        strips/tiles the window touches are decoded.  Returns
+        ``(array, metadata)`` with the window's own translated
+        ``transform``/``bounds`` so a windowed read is a first-class
+        georeferenced raster."""
+        if window is None:
+            r0, r1, c0, c1 = 0, self.height, 0, self.width
+        else:
+            rows, cols = window
+            if isinstance(rows, slice):
+                r0, r1, _ = rows.indices(self.height)
+            else:
+                r0, r1 = int(rows[0]), int(rows[1])
+            if isinstance(cols, slice):
+                c0, c1, _ = cols.indices(self.width)
+            else:
+                c0, c1 = int(cols[0]), int(cols[1])
+        arr = self._window(r0, r1, c0, c1)
+        if return_metadata:
+            return arr, self._meta(r0, r1, c0, c1)
+        return arr
+
+
+def read_geotiff(fn, window=None):
     """Read a (Geo)TIFF.  Returns (array, metadata dict).
 
     Multi-band rasters come back as (H, W, bands) like the reference's
-    ``imread`` (neilpy.py:129).
+    ``imread`` (neilpy.py:129).  ``window=((r0, r1), (c0, c1))`` reads
+    a pixel rectangle, decoding only the strips/tiles it touches (see
+    :class:`GeoTiffSource`).
     """
-    # memory-map instead of slurping: multi-GB BigTIFF mosaics read
-    # lazily, and uncompressed strips view the map zero-copy (the
-    # returned array keeps the mapping alive via the buffer protocol)
-    data = memoryview(np.memmap(fn, dtype=np.uint8, mode="r"))
-    if data[:2] == b"II":
-        en = "<"
-    elif data[:2] == b"MM":
-        en = ">"
-    else:
-        raise ValueError("Not a TIFF file")
-    (magic,) = struct.unpack(en + "H", data[2:4])
-    bigtiff = magic == 43
-    if bigtiff:
-        (first_ifd,) = struct.unpack(en + "Q", data[8:16])
-    else:
-        (first_ifd,) = struct.unpack(en + "L", data[4:8])
-    tags, _ = _read_ifd_entries(data, first_ifd, en, bigtiff)
-
-    g = lambda t, d=None: (_values(tags[t], en) if t in tags else d)
-    width = int(g(_TAG_WIDTH)[0])
-    height = int(g(_TAG_HEIGHT)[0])
-    spp = int(g(_TAG_SAMPLESPERPIXEL, (1,))[0])
-    bits = int(g(_TAG_BITSPERSAMPLE, (8,))[0])
-    comp = int(g(_TAG_COMPRESSION, (1,))[0])
-    sfmt = int(g(_TAG_SAMPLEFORMAT, (1,))[0])
-    planar = int(g(_TAG_PLANARCONFIG, (1,))[0])
-    predictor = int(g(_TAG_PREDICTOR, (1,))[0])
-    jpt = tags.get(_TAG_JPEGTABLES)
-    jpeg_tables = bytes(_values(jpt, en)) if jpt is not None else None
-    dtype = _dtype_from(bits, sfmt, en)
-
-    if _TAG_TILEOFFSETS in tags:
-        tw = int(g(_TAG_TILEWIDTH)[0])
-        th = int(g(_TAG_TILELENGTH)[0])
-        offsets = g(_TAG_TILEOFFSETS)
-        counts = g(_TAG_TILEBYTECOUNTS)
-        tiles_x = (width + tw - 1) // tw
-        tiles_y = (height + th - 1) // th
-        planes = spp if planar == 2 else 1
-        chans = 1 if planar == 2 else spp
-        img = np.zeros((planes, height, width, chans), dtype=dtype)
-        idx = 0
-        for p in range(planes):
-            for ty in range(tiles_y):
-                for tx in range(tiles_x):
-                    raw = data[offsets[idx]:offsets[idx] + counts[idx]]
-                    expected = tw * th * chans * dtype.itemsize
-                    buf = _decompress(raw, comp, expected, predictor, tw,
-                                      dtype, chans, jpeg_tables)
-                    tile = np.frombuffer(buf, dtype=dtype).reshape(
-                        th, tw, chans)
-                    y0, x0 = ty * th, tx * tw
-                    ys, xs = min(th, height - y0), min(tw, width - x0)
-                    img[p, y0:y0 + ys, x0:x0 + xs] = tile[:ys, :xs]
-                    idx += 1
-    else:
-        offsets = g(_TAG_STRIPOFFSETS)
-        counts = g(_TAG_STRIPBYTECOUNTS)
-        rps = int(g(_TAG_ROWSPERSTRIP, (height,))[0])
-        planes = spp if planar == 2 else 1
-        chans = 1 if planar == 2 else spp
-        strips_per_plane = (height + rps - 1) // rps
-        img = np.zeros((planes, height, width, chans), dtype=dtype)
-        idx = 0
-        for p in range(planes):
-            row = 0
-            for s in range(strips_per_plane):
-                nrows = min(rps, height - row)
-                expected = nrows * width * chans * dtype.itemsize
-                raw = data[offsets[idx]:offsets[idx] + counts[idx]]
-                buf = _decompress(raw, comp, expected, predictor, width,
-                                  dtype, chans, jpeg_tables)
-                img[p, row:row + nrows] = np.frombuffer(
-                    buf, dtype=dtype).reshape(nrows, width, chans)
-                row += nrows
-                idx += 1
-
-    if planar == 2:
-        arr = np.moveaxis(img[:, :, :, 0], 0, -1)
-    else:
-        arr = img[0]
-    if arr.shape[-1] == 1:
-        arr = arr[:, :, 0]
-    if en == ">":
-        arr = arr.astype(arr.dtype.newbyteorder("="))
-
-    # --- georeferencing ---
-    transform = Affine.identity()
-    scale = g(_TAG_MODELPIXELSCALE)
-    tie = g(_TAG_MODELTIEPOINT)
-    if scale and tie and len(tie) >= 6:
-        sx, sy = float(scale[0]), float(scale[1])
-        i, j, _, x, y, _ = tie[:6]
-        transform = Affine(sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy)
-
-    nodata = g(_TAG_GDAL_NODATA)
-    if isinstance(nodata, str):
-        try:
-            nodata = float(nodata.strip())
-        except ValueError:
-            nodata = None
-
-    crs = None
-    if _TAG_GEOKEYDIRECTORY in tags:
-        keys = g(_TAG_GEOKEYDIRECTORY)
-        # GeoKey 3072 = ProjectedCSTypeGeoKey, 2048 = GeographicTypeGeoKey
-        for k in range(4, len(keys), 4):
-            if keys[k] in (3072, 2048) and keys[k + 1] == 0:
-                crs = int(keys[k + 3])
-                break
-
-    meta = {
-        "driver": "GTiff", "width": width, "height": height,
-        "count": 1 if arr.ndim == 2 else arr.shape[2],
-        "dtype": str(arr.dtype), "transform": transform, "crs": crs,
-        "nodata": nodata,
-    }
-    x0, y0 = transform * (0, 0)
-    x1, y1 = transform * (width, height)
-    meta["bounds"] = (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
-    cellsizes = np.abs(np.array((transform[0], transform[4])))
-    meta["cellsize"] = (float(np.mean(cellsizes))
-                        if np.diff(cellsizes)[0] < 1e-8 else cellsizes)
-    return arr, meta
+    return GeoTiffSource(fn).read(window=window)
 
 
 def _np_to_sampleformat(dt):
@@ -487,11 +651,17 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
 # ----------------------------------------------------------------------
 # Reference-parity wrappers
 # ----------------------------------------------------------------------
-def imread(fn, return_metadata=True, fix_nodata=False, force_float=False):
+def imread(fn, return_metadata=True, fix_nodata=False, force_float=False,
+           window=None):
     """GeoTIFF (or PNG via PIL fallback) read with metadata
-    (parity: neilpy.py:114-158)."""
+    (parity: neilpy.py:114-158).  ``window=((r0, r1), (c0, c1))``
+    reads a pixel rectangle of a TIFF, decoding only the strips/tiles
+    it touches — the metadata's transform/bounds describe the window
+    itself."""
     if str(fn).lower().endswith((".tif", ".tiff")):
-        X, metadata = read_geotiff(fn)
+        X, metadata = read_geotiff(fn, window=window)
+    elif window is not None:
+        raise ValueError("window= is only supported for TIFF reads")
     else:
         from PIL import Image
         X = np.asarray(Image.open(fn))

@@ -204,8 +204,12 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
 
     # Global Moran's z-normalization: one cheap streaming pass for the
     # global mean/variance (the tile kernel must not normalize locally
-    # or tiled != untiled).
-    Z = np.asarray(Z)
+    # or tiled != untiled).  Lazy 2-D sources (io.geotiff.GeoTiffSource,
+    # np.memmap) pass through un-materialized: both this pass and
+    # tiled_apply read them window-by-window.
+    if not (hasattr(Z, "shape") and hasattr(Z, "dtype")
+            and hasattr(Z, "__getitem__")):
+        Z = np.asarray(Z)
     gsum = 0.0
     gsq = 0.0
     n_finite = 0

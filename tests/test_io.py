@@ -1120,3 +1120,157 @@ class TestLasStreaming:
             if found:
                 break
         assert found
+
+
+class TestGeoTiffSource:
+    """Windowed reads: decode only the strips/tiles a pixel rectangle
+    touches.  The reference gets this from rasterio's window= reads;
+    its own imread (neilpy.py:114-158) is full-raster only."""
+
+    def _write(self, tmp_path, rng, shape=(500, 300), compress="none",
+               dtype=np.float32):
+        a = rng.normal(size=shape).astype(dtype)
+        if np.issubdtype(dtype, np.integer):
+            a = (rng.random(shape) * 200).astype(dtype)
+        fn = str(tmp_path / f"src_{compress}.tif")
+        write_geotiff(fn, a, transform=from_origin(500000, 4200000, 10, 10),
+                      crs=32618, nodata=-9999.0, compress=compress)
+        return fn, a
+
+    @pytest.mark.parametrize("compress", ["none", "lzw", "deflate"])
+    def test_window_matches_full(self, tmp_path, rng, compress):
+        from neilpy_tpu.io.geotiff import GeoTiffSource
+        fn, a = self._write(tmp_path, rng, compress=compress)
+        src = GeoTiffSource(fn)
+        assert src.shape == a.shape and src.dtype == a.dtype
+        # windows crossing strip boundaries (writer strips are 1 MB
+        # ~= 873 rows at 300 f32 cols; use several spans)
+        for (r0, r1, c0, c1) in [(0, 10, 0, 300), (100, 400, 50, 200),
+                                 (499, 500, 299, 300), (0, 500, 0, 300)]:
+            w, meta = src.read(window=((r0, r1), (c0, c1)))
+            np.testing.assert_array_equal(w, a[r0:r1, c0:c1])
+            assert meta["width"] == c1 - c0 and meta["height"] == r1 - r0
+            # window origin georeferenced correctly
+            full = src.transform
+            assert meta["transform"] * (0, 0) == full * (c0, r0)
+
+    def test_multistrip_partial_decode(self, tmp_path, rng):
+        """A small window of a multi-strip file must not decode every
+        strip (the out-of-core point)."""
+        from neilpy_tpu.io.geotiff import GeoTiffSource
+        fn, a = self._write(tmp_path, rng, shape=(4000, 512))
+        src = GeoTiffSource(fn)
+        assert src._by > 3  # really multi-strip
+        w = src.read(window=((0, 16), (0, 512)), return_metadata=False)
+        np.testing.assert_array_equal(w, a[:16])
+        assert len(src._cache) == 1  # decoded exactly one strip
+
+    def test_getitem_ducktype(self, tmp_path, rng):
+        from neilpy_tpu.io.geotiff import GeoTiffSource
+        fn, a = self._write(tmp_path, rng)
+        src = GeoTiffSource(fn)
+        np.testing.assert_array_equal(src[10:20, 30:40], a[10:20, 30:40])
+        np.testing.assert_array_equal(src[42], a[42])
+        np.testing.assert_array_equal(src[-5:], a[-5:])
+        np.testing.assert_array_equal(src[:, -7], a[:, -7])
+        np.testing.assert_array_equal(np.asarray(src), a)
+        assert src.nbytes == a.nbytes and len(src) == a.shape[0]
+        with pytest.raises(IndexError):
+            src[::2]
+        with pytest.raises(IndexError):
+            src[0, 0, 0]
+
+    def test_window_tiled_partial_tiles(self, tmp_path, rng):
+        """Tile-organised file whose edge tiles are partial: window
+        reads clamp the padded tile region."""
+        fn = str(tmp_path / "tiled40.tif")
+        H = W = 40
+        TS = 16
+        a = (rng.random((H, W)) * 250).astype(np.uint8)
+        ntx = -(-W // TS)
+        tiles = []
+        for ty in range(-(-H // TS)):
+            for tx in range(ntx):
+                t = np.zeros((TS, TS), np.uint8)
+                blk = a[ty*TS:min((ty+1)*TS, H), tx*TS:min((tx+1)*TS, W)]
+                t[:blk.shape[0], :blk.shape[1]] = blk
+                tiles.append(t.tobytes())
+
+        def entry(tid, typ, n, val):
+            return struct.pack("<HHL", tid, typ, n) + val
+
+        ntags = 9
+        ifd_off = 8
+        ifd_size = 2 + ntags * 12 + 4
+        noff = len(tiles)
+        offsets_blob_off = ifd_off + ifd_size
+        counts_blob_off = offsets_blob_off + 4 * noff
+        data_off = counts_blob_off + 4 * noff
+        offs, pos = [], data_off
+        for t in tiles:
+            offs.append(pos)
+            pos += len(t)
+        out = bytearray()
+        out += b"II" + struct.pack("<HL", 42, ifd_off)
+        out += struct.pack("<H", ntags)
+        out += entry(256, 4, 1, struct.pack("<L", W))
+        out += entry(257, 4, 1, struct.pack("<L", H))
+        out += entry(258, 3, 1, struct.pack("<HH", 8, 0))
+        out += entry(259, 3, 1, struct.pack("<HH", 1, 0))
+        out += entry(262, 3, 1, struct.pack("<HH", 1, 0))
+        out += entry(322, 4, 1, struct.pack("<L", TS))
+        out += entry(323, 4, 1, struct.pack("<L", TS))
+        out += entry(324, 4, noff, struct.pack("<L", offsets_blob_off))
+        out += entry(325, 4, noff, struct.pack("<L", counts_blob_off))
+        out += struct.pack("<L", 0)
+        out += b"".join(struct.pack("<L", o) for o in offs)
+        out += b"".join(struct.pack("<L", len(t)) for t in tiles)
+        for t in tiles:
+            out += t
+        open(fn, "wb").write(bytes(out))
+
+        from neilpy_tpu.io.geotiff import GeoTiffSource
+        src = GeoTiffSource(fn)
+        for (r0, r1, c0, c1) in [(0, 40, 0, 40), (30, 40, 30, 40),
+                                 (10, 35, 5, 39), (39, 40, 0, 40)]:
+            np.testing.assert_array_equal(
+                src.read(window=((r0, r1), (c0, c1)),
+                         return_metadata=False), a[r0:r1, c0:c1])
+
+    def test_window_multiband(self, tmp_path, rng):
+        from neilpy_tpu.io.geotiff import GeoTiffSource
+        a = (rng.random((60, 50, 3)) * 255).astype(np.uint8)
+        fn = str(tmp_path / "mb.tif")
+        write_geotiff(fn, a)
+        src = GeoTiffSource(fn)
+        assert src.shape == a.shape and src.ndim == 3
+        w = src.read(window=((10, 30), (5, 45)), return_metadata=False)
+        np.testing.assert_array_equal(w, a[10:30, 5:45])
+        np.testing.assert_array_equal(src[3:9, 4:11, 1], a[3:9, 4:11, 1])
+
+    def test_imread_window(self, tmp_path, rng):
+        fn, a = self._write(tmp_path, rng)
+        X, meta = imread(fn, window=((100, 200), (40, 120)))
+        np.testing.assert_array_equal(X, a[100:200, 40:120])
+        assert meta["crs"] == 32618 and meta["nodata"] == -9999.0
+        # bounds are the window's own
+        assert meta["bounds"][3] == 4200000 - 100 * 10
+        with pytest.raises(ValueError):
+            imread(str(tmp_path / "x.png"), window=((0, 1), (0, 1)))
+
+    def test_window_bigtiff(self, tmp_path, rng):
+        from neilpy_tpu.io.geotiff import GeoTiffSource
+        a = rng.normal(size=(700, 256)).astype(np.float32)
+        fn = str(tmp_path / "big.tif")
+        write_geotiff(fn, a, bigtiff=True)
+        src = GeoTiffSource(fn)
+        np.testing.assert_array_equal(
+            src.read(window=((650, 700), (0, 256)),
+                     return_metadata=False), a[650:])
+
+    def test_cache_eviction(self, tmp_path, rng):
+        from neilpy_tpu.io.geotiff import GeoTiffSource
+        fn, a = self._write(tmp_path, rng, shape=(4000, 512))
+        src = GeoTiffSource(fn, cache_bytes=1 << 20)  # < one strip
+        np.testing.assert_array_equal(np.asarray(src), a)
+        assert len(src._cache) == 1  # evicted down to the cap floor

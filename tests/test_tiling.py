@@ -237,3 +237,38 @@ def test_apply_parallel_reference_signature():
     t2 = nt.apply_parallel(fn2, Z, 64, 5, extra_arguments=(2,),
                            extra_keywords={"lookup_pixels": 5})
     np.testing.assert_array_equal(t2, tiled)
+
+
+def test_mosaic_from_geotiff_source(tmp_path, rng):
+    """Out-of-core from DISK: mosaic_terrain_products consumes a lazy
+    GeoTiffSource window-by-window (never materializing the raster)
+    and produces exactly what the in-RAM array produces."""
+    from neilpy_tpu.io.geotiff import write_geotiff, GeoTiffSource
+    from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+    Z = rng.normal(size=(96, 80)).cumsum(axis=0).astype(np.float32)
+    fn = str(tmp_path / "dem.tif")
+    write_geotiff(fn, Z, compress="deflate")
+    kw = dict(cellsize=1, lookup_pixels=3, windows=np.array([1]),
+              gi_radius=1, tile_size=48)
+    G1, O1, M1 = mosaic_terrain_products(Z, **kw)
+    src = GeoTiffSource(fn)
+    G2, O2, M2 = mosaic_terrain_products(src, **kw)
+    np.testing.assert_array_equal(G1, G2)
+    np.testing.assert_array_equal(O1, O2)
+    np.testing.assert_allclose(M1, M2, atol=1e-6)
+
+
+def test_tiled_apply_lazy_source_streaming(tmp_path, rng):
+    """tiled_apply's true streaming path (device_input=False) slices
+    windows straight off a lazy source."""
+    from neilpy_tpu.io.geotiff import write_geotiff, GeoTiffSource
+    from neilpy_tpu.dist.tiling import tiled_apply
+    import jax
+    Z = rng.normal(size=(70, 90)).astype(np.float32)
+    fn = str(tmp_path / "z.tif")
+    write_geotiff(fn, Z)
+    f = jax.jit(lambda a: a * 2 + 1)
+    want = np.asarray(f(Z))
+    got = tiled_apply(f, GeoTiffSource(fn), tile_size=32, overlap=4,
+                      device_input=False)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
