@@ -59,7 +59,7 @@ from .ops.inpaint import (inpaint_nans_by_springs, inpaint_nans_by_fda,
 from .ops.morphology import (grey_erosion_disk, grey_dilation_disk,
                              opening_disk, opening, erosion, dilation)
 from .ops.spline import interp_spline_2d
-from .pipelines.smrf import smrf, progressive_filter
+from .pipelines.smrf import smrf, smrf_las, progressive_filter
 from .dist.tiling import tiled_apply, apply_parallel, TileCheckpoint
 
 # ----- statistics -----------------------------------------------------

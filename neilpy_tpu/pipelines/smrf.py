@@ -26,7 +26,7 @@ from ..ops.morphology import _disk_morph
 from ..ops.spline import spline_coefficients_2d, spline_ev_2d
 from ..core.shift import gradient2d
 
-__all__ = ["progressive_filter", "smrf"]
+__all__ = ["progressive_filter", "smrf", "smrf_las"]
 
 
 @partial(jax.jit, static_argnames=("windows", "return_when_dropped"))
@@ -244,3 +244,129 @@ def _smrf_exact(x, y, z, cellsize, windows, slope_threshold,
         }
         return Zpro, t, object_cells, is_object_point, extras
     return Zpro, t, object_cells, is_object_point
+
+
+def smrf_las(filename, out_filename, cellsize=1, windows=5,
+             slope_threshold=.15, elevation_threshold=.5,
+             elevation_scaler=1.25, low_filter_slope=5,
+             low_outlier_fill=False, chunk_points=4_000_000,
+             ground_class=2, object_class=1):
+    """Streamed end-to-end SMRF over a whole LAS file: grid, filter,
+    classify every point, and write the ASPRS classification codes
+    back — in the fixed memory of one chunk, whatever the file size.
+
+    The reference's workflow for this (examples/"SMRF Classification
+    using laspy*.ipynb") materializes the full cloud three times:
+    read_las -> smrf -> laspy re-write.  Here pass 1 streams the file
+    through the native decoder into the device scatter
+    (``create_dem_from_las``), the raster stage runs once on device,
+    and pass 2 re-streams the points through the fused spline-lift
+    classifier chunk by chunk.  The output file is a byte-exact copy
+    of the input — every attribute, VLR and waveform block preserved —
+    with ONLY the per-record classification field rewritten
+    (``ground_class`` / ``object_class``; PDRF 0-5 keep their
+    synthetic/keypoint/withheld flag bits, PDRF 6-10 their separate
+    flag byte).
+
+    Returns ``(Zpro, t, object_cells, stats)`` — the provisional DTM,
+    its affine transform, the object-cell grid, and a dict with
+    ``n_points`` / ``n_ground`` / ``n_object``.
+
+    The grid frame comes from the LAS header's min/max block (see
+    ``create_dem_from_las``); classification decisions match
+    ``smrf(x, y, z, ...)`` run in-memory on the same frame
+    (reference pipeline: neilpy.py:1685-1808).
+    """
+    import os
+    import shutil
+
+    from ..ops.pointgrid import create_dem_from_las
+    from ..io.las_native import native_available
+
+    if os.path.abspath(str(filename)) == os.path.abspath(str(out_filename)):
+        raise ValueError("out_filename must differ from the input file")
+    for name, v in (("ground_class", ground_class),
+                    ("object_class", object_class)):
+        if not 0 <= int(v) <= 255:
+            raise ValueError(f"{name} must be a uint8 ASPRS code")
+
+    if np.isscalar(windows):
+        windows = np.arange(windows) + 1
+    windows = np.atleast_1d(np.asarray(windows))
+
+    # ---- pass 1: streamed min-surface gridding + raster stage ----
+    Zmin_raw, t = create_dem_from_las(filename, cellsize=cellsize,
+                                      bin_type="min",
+                                      chunk_points=chunk_points)
+    thresholds = jnp.asarray(slope_threshold * (windows * cellsize),
+                             dtype=jnp.float32)
+    Zpro, object_cells, _, coeffs_Z, coeffs_S = _smrf_raster(
+        Zmin_raw, tuple(int(w) for w in windows), thresholds,
+        jnp.float32(low_filter_slope * cellsize), float(cellsize),
+        bool(low_outlier_fill), False)
+
+    # ---- header facts for the classification byte-patch ----
+    if native_available():
+        from ..io.las_native import read_header, read_las_chunks
+        hdr = read_header(filename)
+        chunks = read_las_chunks(filename, chunk_points=chunk_points)
+    else:
+        from ..io.las import read_las
+        hdr, df = read_las(filename)
+        chunks = iter([{"x": np.asarray(df.x, dtype=np.float64),
+                        "y": np.asarray(df.y, dtype=np.float64),
+                        "z": np.asarray(df.z, dtype=np.float64)}])
+    pdrf = int(hdr["point_data_format_id"])
+    reclen = int(hdr["point_data_record_length"])
+    off0 = int(hdr["point_data_offset"])
+    n = int(hdr["num_point_records"])
+    # classification byte: PDRF 0-5 share it with the 3 flag bits
+    # (LAS 1.1-1.3 spec table 8); PDRF 6-10 give it a full byte
+    cls_off = 15 if pdrf <= 5 else 16
+
+    # ---- pass 2: copy, then re-stream points -> classify -> patch ----
+    shutil.copyfile(filename, out_filename)
+    mm = np.memmap(out_filename, dtype=np.uint8, mode="r+")
+    # strided writable view over each record's classification byte
+    cls_view = mm[off0 + cls_off: off0 + (n - 1) * reclen + cls_off + 1:
+                  reclen]
+
+    pad_to = min(int(chunk_points), max(n, 1))
+    n_object = 0
+    pos = 0
+    for chunk in chunks:
+        x64 = np.asarray(chunk["x"], dtype=np.float64)
+        y64 = np.asarray(chunk["y"], dtype=np.float64)
+        z64 = np.asarray(chunk["z"], dtype=np.float64)
+        m = x64.size
+        c, r = (~t) * (x64, y64)
+        rr = np.asarray(r, dtype=np.float32)
+        cc = np.asarray(c, dtype=np.float32)
+        zz = np.asarray(z64, dtype=np.float32)
+        if m < pad_to:  # fixed shape -> one device compile
+            pad = pad_to - m
+            rr = np.concatenate([rr, np.zeros(pad, np.float32)])
+            cc = np.concatenate([cc, np.zeros(pad, np.float32)])
+            zz = np.concatenate([zz, np.zeros(pad, np.float32)])
+        is_obj, _ = _smrf_points(coeffs_Z, coeffs_S, jnp.asarray(rr),
+                             jnp.asarray(cc), jnp.asarray(zz),
+                             jnp.float32(elevation_threshold),
+                             jnp.float32(elevation_scaler))
+        is_obj = np.asarray(is_obj)[:m]
+        cls = np.where(is_obj, np.uint8(object_class),
+                       np.uint8(ground_class)).astype(np.uint8)
+        if pdrf <= 5:
+            cls_view[pos:pos + m] = ((cls_view[pos:pos + m] & 0xE0)
+                                     | (cls & 0x1F))
+        else:
+            cls_view[pos:pos + m] = cls
+        n_object += int(is_obj.sum())
+        pos += m
+    mm.flush()
+    if pos != n:
+        raise RuntimeError(
+            f"classified {pos} of {n} header-declared points — "
+            "truncated or inconsistent LAS file")
+    stats = {"n_points": n, "n_object": n_object,
+             "n_ground": n - n_object}
+    return Zpro, t, object_cells, stats

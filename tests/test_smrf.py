@@ -169,3 +169,94 @@ def test_smrf_exact_bitmatch_all_isprs(s):
         assert margin[diff].max() < 1e-8, (
             "differing cell is not a threshold tie: "
             f"margins {margin[diff]}")
+
+
+class TestSmrfLas:
+    """Streamed LAS -> SMRF -> LAS classification (smrf_las)."""
+
+    def _cloud(self, rng, n=6000):
+        # coords pre-rounded to the LAS 1 mm scale grid so the header
+        # min/max frame == the point-derived frame exactly
+        x = np.round(rng.uniform(0, 80, n), 3)
+        y = np.round(rng.uniform(0, 60, n), 3)
+        ground = 3 * np.sin(x / 15) + 2 * np.cos(y / 10)
+        objects = (rng.random(n) < 0.15) * rng.uniform(2, 8, n)
+        z = np.round(ground + objects, 3)
+        return x, y, z
+
+    @pytest.mark.parametrize("pdrf", [0, 6])
+    def test_matches_in_memory_smrf(self, tmp_path, rng, pdrf):
+        from neilpy_tpu.io.las import write_las, read_las
+        from neilpy_tpu.pipelines.smrf import smrf, smrf_las
+        x, y, z = self._cloud(rng)
+        fn = str(tmp_path / "in.las")
+        out = str(tmp_path / "out.las")
+        write_las(fn, x, y, z, pdrf=pdrf)
+        kw = dict(cellsize=1, windows=np.array([1, 2]),
+                  slope_threshold=.15, elevation_threshold=.5,
+                  elevation_scaler=1.25)
+        Zpro, t, cells, stats = smrf_las(fn, out, **kw)
+        _, df = read_las(fn)
+        Zp2, t2, cells2, is_obj = smrf(df.x, df.y, df.z, **kw)
+        assert t == t2
+        np.testing.assert_array_equal(np.asarray(cells),
+                                      np.asarray(cells2))
+        _, dfo = read_las(out)
+        want = np.where(np.asarray(is_obj), 1, 2)
+        np.testing.assert_array_equal(np.asarray(dfo["class"]), want)
+        assert stats["n_points"] == x.size
+        assert stats["n_object"] == int(np.asarray(is_obj).sum())
+        assert stats["n_ground"] + stats["n_object"] == x.size
+
+    def test_chunked_equals_single(self, tmp_path, rng):
+        from neilpy_tpu.io.las import write_las
+        from neilpy_tpu.io.las_native import native_available
+        from neilpy_tpu.pipelines.smrf import smrf_las
+        if not native_available():
+            pytest.skip("chunked streaming needs the native decoder")
+        x, y, z = self._cloud(rng)
+        fn = str(tmp_path / "in.las")
+        write_las(fn, x, y, z)
+        a, b = str(tmp_path / "a.las"), str(tmp_path / "b.las")
+        kw = dict(cellsize=1, windows=np.array([1, 2]))
+        smrf_las(fn, a, **kw)
+        smrf_las(fn, b, chunk_points=1700, **kw)
+        assert open(a, "rb").read() == open(b, "rb").read()
+
+    def test_preserves_everything_but_classification(self, tmp_path, rng):
+        from neilpy_tpu.io.las import write_las, las_point_dtype
+        from neilpy_tpu.pipelines.smrf import smrf_las
+        x, y, z = self._cloud(rng, n=3000)
+        n = x.size
+        # PDRF 3: intensity + gpstime + rgb, plus flag bits riding the
+        # classification byte (synthetic/keypoint/withheld, LAS spec)
+        flags = (rng.integers(0, 8, n).astype(np.uint8) << 5)
+        fn = str(tmp_path / "in.las")
+        out = str(tmp_path / "out.las")
+        write_las(fn, x, y, z, pdrf=3,
+                  intensity=rng.integers(0, 65535, n).astype(np.uint16),
+                  gpstime=np.sort(rng.random(n) * 1e5),
+                  rgb=tuple(rng.integers(0, 65535, n).astype(np.uint16)
+                            for _ in range(3)),
+                  classification=flags | 5)
+        smrf_las(fn, out, cellsize=1, windows=np.array([1]))
+        raw_in = np.frombuffer(open(fn, "rb").read(), np.uint8)
+        raw_out = np.frombuffer(open(out, "rb").read(), np.uint8)
+        assert raw_in.size == raw_out.size
+        reclen = las_point_dtype(3).itemsize
+        off0 = raw_in.size - n * reclen  # points run to EOF here
+        recs_in = raw_in[off0:].reshape(n, reclen)
+        recs_out = raw_out[off0:].reshape(n, reclen)
+        # header + every non-classification byte identical
+        np.testing.assert_array_equal(raw_in[:off0], raw_out[:off0])
+        keep = np.ones(reclen, bool)
+        keep[15] = False  # classification byte for PDRF 0-5
+        np.testing.assert_array_equal(recs_in[:, keep], recs_out[:, keep])
+        # flag bits preserved, class code rewritten to ground/object
+        assert (recs_out[:, 15] & 0xE0 == flags).all()
+        assert np.isin(recs_out[:, 15] & 0x1F, (1, 2)).all()
+
+    def test_same_file_rejected(self, tmp_path):
+        from neilpy_tpu.pipelines.smrf import smrf_las
+        with pytest.raises(ValueError):
+            smrf_las(str(tmp_path / "a.las"), str(tmp_path / "a.las"))
