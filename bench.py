@@ -226,7 +226,60 @@ def bench_geomorphons():
         except Exception as e:
             log("pallas fast probe failed:", str(e)[:200])
 
+        # reference-scale exact ladder (8192²): interior tiles dominate
+        # so this is the deployable big-raster rate (secondary; the
+        # headline shape stays 2048x4096 for round-over-round
+        # comparability)
+        sbudget = int(os.environ.get("PALLAS_SCALE_BENCH_TIMEOUT", "900"))
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import bench; bench._pallas_scale_probe()"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=sbudget)
+            for line in proc.stdout.splitlines():
+                if line.startswith("PALLAS_SCALE_MPIX"):
+                    log(f"pallas geomorphons exact 8192x8192: "
+                        f"{float(line.split()[1]):.0f} Mpix/s "
+                        "(reference-scale secondary)")
+        except subprocess.TimeoutExpired:
+            log(f"pallas 8192² probe exceeded {sbudget}s (Mosaic compile)")
+        except Exception as e:
+            log("pallas 8192² probe failed:", str(e)[:200])
+
     return max(results.values())
+
+
+def _pallas_scale_probe():
+    """Exact ladder at reference scale (8192², interior tiles dominate
+    — the reference's Poland workload is ~10⁸ px): prints
+    'PALLAS_SCALE_MPIX <value>'.  Run in a subprocess like the other
+    Pallas probes (own Mosaic compile, ~250 s cold)."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from neilpy_tpu.ops.pallas_scan import geomorphons_pallas
+
+    N_SIDE = 8192
+    N = 6
+    rng = np.random.default_rng(0)
+    Z = rng.normal(size=(N_SIDE, N_SIDE)).astype(np.float32).cumsum(axis=0)
+    Zd = jax.device_put(jnp.asarray(Z))
+    rep = _repeat_in_one_program(
+        lambda z: geomorphons_pallas(z, cellsize=10,
+                                     lookup_pixels=BENCH_LOOKUP), N)
+    t0 = time.time()
+    np.asarray(rep(Zd).ravel()[:1])
+    log(f"pallas 8192² compile+first run (x{N} scan): "
+        f"{time.time() - t0:.1f}s")
+    dts = []
+    for _ in range(2):
+        t0 = time.time()
+        np.asarray(rep(Zd).ravel()[:1])
+        dts.append((time.time() - t0) / N)
+    dt = min(dts)
+    print(f"PALLAS_SCALE_MPIX {N_SIDE * N_SIDE / dt / 1e6:.1f}",
+          flush=True)
 
 
 def bench_gridding():

@@ -83,7 +83,10 @@ compile time): projected ~20.5-21 ms, but 9 Mosaic programs at
 cache — every fresh process would pay ~15-20 min cold.  Rejected as
 a default.  Throughput well above ~440 at this shape needs more
 chips (dist/halo.py shards this kernel bit-exactly), a raster where
-interior tiles dominate (10,000^2 measured 413 Mpix/s in r2), or the
+interior tiles dominate (r3 measured: 8192^2 exact 150 ms = 447
+Mpix/s and fast 58 ms = 1.15 Gpix/s; 10,000^2 exact 413 Mpix/s in
+r2 — both above the r2 review's 420 target, which the 2048x4096
+shape's 440 Mpix/s maskless floor caps by construction), or the
 ``fast`` progressive ladder (745 Mpix/s measured).  Sweeps confirmed
 the operating point: tiles (512,1024)/(256,2048)/(128,1024) and chunk
 sizes 16/25 are all equal or worse than (256,1024)xCH=8.
