@@ -134,3 +134,11 @@ def test_spatial_autocorrelation(tmp_path, monkeypatch, capsys):
     import neilpy_tpu as nt
     G, _ = nt.imread(str(tmp_path / "curvature_hotspots.tif"))
     assert set(np.unique(G)) <= {-3, -2, -1, 0, 1, 2, 3}
+
+
+def test_out_of_core_pipeline(tmp_path, monkeypatch, capsys):
+    _run("out_of_core_pipeline.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "out-of-core pipeline complete" in out
+    assert (tmp_path / "geomorphons.tif").exists()
+    assert (tmp_path / "cloud_classified.las").exists()
