@@ -494,7 +494,12 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
     memory-mapped mosaics are written without a second in-RAM copy.
     """
     im = np.asarray(im)
-    if im.ndim == 3 and im.shape[0] < min(im.shape[1:]) and im.shape[0] <= 4:
+    # (bands, H, W) convenience input: reinterpret channels-first ONLY
+    # when the trailing axis cannot itself be a band count — otherwise
+    # a small (H, W, bands) raster like (2, 3, 3) would be misread as
+    # channels-first (found by fuzzing, tests/test_fuzz.py)
+    if (im.ndim == 3 and im.shape[0] <= 4
+            and im.shape[0] < min(im.shape[1:]) and im.shape[2] > 4):
         im = np.moveaxis(im, 0, -1)
     if im.ndim == 2:
         im = im[:, :, None]
