@@ -187,7 +187,7 @@ class GeoTiffSource:
     neilpy.py:114-158 is full-raster only).
     """
 
-    def __init__(self, fn, cache_bytes=64 << 20):
+    def __init__(self, fn, cache_bytes=64 << 20, level=0):
         # memory-map instead of slurping: multi-GB BigTIFF mosaics
         # read lazily; only touched blocks are ever paged in
         data = memoryview(np.memmap(fn, dtype=np.uint8, mode="r"))
@@ -203,7 +203,28 @@ class GeoTiffSource:
             (first_ifd,) = struct.unpack(en + "Q", data[8:16])
         else:
             (first_ifd,) = struct.unpack(en + "L", data[4:8])
-        tags, _ = _read_ifd_entries(data, first_ifd, en, bigtiff)
+
+        # walk the whole IFD chain: level 0 is the full raster, later
+        # IFDs are overviews/pyramids (GDAL .ovr sidecars are bare
+        # TIFFs whose level 0 is already a reduced image)
+        all_tags = []
+        off = first_ifd
+        while off:
+            t, off = _read_ifd_entries(data, off, en, bigtiff)
+            all_tags.append(t)
+            if len(all_tags) > 64:
+                raise ValueError("TIFF IFD chain too long (corrupt?)")
+        self.levels = []
+        for t in all_tags:
+            gv = lambda tg: _values(t[tg], en)
+            self.levels.append((int(gv(_TAG_HEIGHT)[0]),
+                                int(gv(_TAG_WIDTH)[0])))
+        if not -len(all_tags) <= level < len(all_tags):
+            raise ValueError(
+                f"level {level} out of range: file has "
+                f"{len(all_tags)} IFD(s) {self.levels}")
+        self.level = level % len(all_tags)
+        tags = all_tags[self.level]
 
         g = lambda t, d=None: (_values(tags[t], en) if t in tags else d)
         self._data = data
@@ -241,6 +262,18 @@ class GeoTiffSource:
         transform = Affine.identity()
         scale = g(_TAG_MODELPIXELSCALE)
         tie = g(_TAG_MODELTIEPOINT)
+        if (not (scale and tie)) and self.level > 0:
+            # overview IFDs usually carry no geo tags; GDAL convention
+            # is that overviews share the full raster's extent, so
+            # scale level 0's georeferencing by the size ratio
+            g0 = lambda t, d=None: (_values(all_tags[0][t], en)
+                                    if t in all_tags[0] else d)
+            scale0 = g0(_TAG_MODELPIXELSCALE)
+            tie = g0(_TAG_MODELTIEPOINT)
+            if scale0:
+                h0, w0 = self.levels[0]
+                scale = (float(scale0[0]) * w0 / self.width,
+                         float(scale0[1]) * h0 / self.height)
         if scale and tie and len(tie) >= 6:
             sx, sy = float(scale[0]), float(scale[1])
             i, j, _, x, y, _ = tie[:6]
@@ -453,15 +486,18 @@ class GeoTiffSource:
         return arr
 
 
-def read_geotiff(fn, window=None):
+def read_geotiff(fn, window=None, level=0):
     """Read a (Geo)TIFF.  Returns (array, metadata dict).
 
     Multi-band rasters come back as (H, W, bands) like the reference's
     ``imread`` (neilpy.py:129).  ``window=((r0, r1), (c0, c1))`` reads
     a pixel rectangle, decoding only the strips/tiles it touches (see
-    :class:`GeoTiffSource`).
+    :class:`GeoTiffSource`).  ``level`` selects an IFD from the
+    pyramid chain (0 = full resolution; overview transforms are
+    derived from level 0 when the overview IFD has no geo tags, per
+    the GDAL shared-extent convention).
     """
-    return GeoTiffSource(fn).read(window=window)
+    return GeoTiffSource(fn, level=level).read(window=window)
 
 
 def _np_to_sampleformat(dt):
@@ -657,16 +693,18 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
 # Reference-parity wrappers
 # ----------------------------------------------------------------------
 def imread(fn, return_metadata=True, fix_nodata=False, force_float=False,
-           window=None):
+           window=None, level=0):
     """GeoTIFF (or PNG via PIL fallback) read with metadata
     (parity: neilpy.py:114-158).  ``window=((r0, r1), (c0, c1))``
     reads a pixel rectangle of a TIFF, decoding only the strips/tiles
     it touches — the metadata's transform/bounds describe the window
-    itself."""
-    if str(fn).lower().endswith((".tif", ".tiff")):
-        X, metadata = read_geotiff(fn, window=window)
-    elif window is not None:
-        raise ValueError("window= is only supported for TIFF reads")
+    itself.  ``level`` selects a pyramid/overview IFD (works on GDAL
+    ``.ovr`` sidecars too — they are bare TIFF pyramids)."""
+    if str(fn).lower().endswith((".tif", ".tiff", ".ovr")):
+        X, metadata = read_geotiff(fn, window=window, level=level)
+    elif window is not None or level != 0:
+        raise ValueError("window=/level= are only supported for TIFF "
+                         "reads")
     else:
         from PIL import Image
         X = np.asarray(Image.open(fn))

@@ -1274,3 +1274,107 @@ class TestGeoTiffSource:
         src = GeoTiffSource(fn, cache_bytes=1 << 20)  # < one strip
         np.testing.assert_array_equal(np.asarray(src), a)
         assert len(src._cache) == 1  # evicted down to the cap floor
+
+
+class TestTiffPyramids:
+    """Multi-IFD (overview/pyramid) reads, incl. GDAL .ovr sidecars."""
+
+    def _two_ifd(self, tmp_path, rng, geo=True):
+        """Hand-built classic TIFF: IFD0 8x8 f32 (+geo tags), IFD1 4x4
+        reduced image with no geo tags."""
+        full = rng.normal(size=(8, 8)).astype("<f4")
+        ov = full.reshape(4, 2, 4, 2).mean(axis=(1, 3)).astype("<f4")
+
+        def entry(tid, typ, n, val):
+            return struct.pack("<HHL", tid, typ, n) + val
+
+        out = bytearray(b"II" + struct.pack("<HL", 42, 8))
+
+        def ifd(a, nxt_ptr_pos_out, geo_tags):
+            h, w = a.shape
+            tags = [
+                (254, 4, 1, struct.pack("<L", 0 if a is full else 1)),
+                (256, 4, 1, struct.pack("<L", w)),
+                (257, 4, 1, struct.pack("<L", h)),
+                (258, 3, 1, struct.pack("<HH", 32, 0)),
+                (259, 3, 1, struct.pack("<HH", 1, 0)),
+                (262, 3, 1, struct.pack("<HH", 1, 0)),
+                (278, 4, 1, struct.pack("<L", h)),
+                (339, 3, 1, struct.pack("<HH", 3, 0)),
+            ]
+            ext = b""
+            ifd_off = len(out)
+            # geo tags (ModelPixelScale 33550 d[3], Tiepoint 33922 d[6])
+            ngeo = 2 if geo_tags else 0
+            ntags = len(tags) + 2 + ngeo  # + strip offset/count tags
+            ifd_size = 2 + ntags * 12 + 4
+            data_off = ifd_off + ifd_size
+            if geo_tags:
+                scale = struct.pack("<3d", 10.0, 10.0, 0.0)
+                tie = struct.pack("<6d", 0, 0, 0, 500000.0, 4200000.0, 0)
+                tags.append((33550, 12, 3, struct.pack("<L", data_off)))
+                tags.append((33922, 12, 6,
+                             struct.pack("<L", data_off + len(scale))))
+                ext = scale + tie
+            strip_off = data_off + len(ext)
+            tags.append((273, 4, 1, struct.pack("<L", strip_off)))
+            tags.append((279, 4, 1, struct.pack("<L", a.nbytes)))
+            tags.sort()
+            out.extend(struct.pack("<H", ntags))
+            for t in tags:
+                out.extend(entry(*t))
+            nxt_pos = len(out)
+            out.extend(struct.pack("<L", 0))
+            out.extend(ext)
+            out.extend(a.tobytes())
+            return ifd_off, nxt_pos
+
+        off0, nxt0 = ifd(full, None, geo)
+        off1, _ = ifd(ov, None, False)
+        struct.pack_into("<L", out, 4, off0)
+        struct.pack_into("<L", out, nxt0, off1)
+        fn = str(tmp_path / "pyramid.tif")
+        open(fn, "wb").write(bytes(out))
+        return fn, full, ov
+
+    def test_levels(self, tmp_path, rng):
+        from neilpy_tpu.io.geotiff import GeoTiffSource, read_geotiff
+        fn, full, ov = self._two_ifd(tmp_path, rng)
+        src = GeoTiffSource(fn)
+        assert src.levels == [(8, 8), (4, 4)] and src.level == 0
+        np.testing.assert_array_equal(np.asarray(src), full)
+        a1, m1 = read_geotiff(fn, level=1)
+        np.testing.assert_array_equal(a1, ov)
+        # overview transform: level-0 georef scaled by the size ratio
+        a0, m0 = read_geotiff(fn)
+        assert m0["transform"][0] == 10.0
+        assert m1["transform"][0] == 20.0
+        assert m1["transform"] * (0, 0) == m0["transform"] * (0, 0)
+        assert m1["bounds"] == m0["bounds"]
+        np.testing.assert_array_equal(
+            read_geotiff(fn, level=-1)[0], ov)
+        with pytest.raises(ValueError):
+            GeoTiffSource(fn, level=2)
+
+    def test_real_ovr_sidecar(self):
+        """The reference mount's sample_dem.tif is absent, but its GDAL
+        .ovr sidecar carries the REAL Mt. Washington terrain at 2x/4x
+        reduction — readable as a bare TIFF pyramid, stats matching
+        the aux.xml record of the missing full-res file."""
+        fn = "/root/reference/sample_data/sample_dem.tif.ovr"
+        if not os.path.exists(fn):
+            pytest.skip("reference .ovr sidecar not mounted")
+        from neilpy_tpu.io.geotiff import GeoTiffSource
+        src = GeoTiffSource(fn)
+        assert src.levels == [(424, 770), (212, 385)]
+        Z = np.asarray(src)
+        # aux.xml: min 243.43 max 1899.94 mean 726.88 sd 291.80 — a
+        # resampled overview tracks the moments closely (cubic
+        # resampling overshoots the extrema slightly)
+        assert abs(np.nanmean(Z) - 726.88) < 10
+        assert abs(np.nanstd(Z) - 291.80) < 10
+        assert abs(np.nanmin(Z) - 243.43) < 20
+        assert abs(np.nanmax(Z) - 1899.94) < 40
+        Z1 = src.read(window=None, return_metadata=False)
+        np.testing.assert_array_equal(Z1, Z)
+        assert GeoTiffSource(fn, level=1).shape == (212, 385)
