@@ -19,10 +19,12 @@ Windowed reads (``imread(fn, window=...)`` / :class:`GeoTiffSource`)
 decode only the strips/tiles a pixel rectangle touches, so the
 out-of-core mosaic pipeline streams straight from a (Big)TIFF on disk.
 
-Written files: little-endian baseline TIFF, strip-organised,
-uncompressed by default or LZW/Deflate/ZSTD via ``compress=``, with GeoTIFF
-georeferencing, optional palette (PhotometricInterpretation=3 +
-ColorMap) and GDAL_NODATA.
+Written files: little-endian baseline TIFF, strip-organised by default
+or ``tiled=True`` for COG-style tile organisation, uncompressed or
+LZW/Deflate/ZSTD via ``compress=``, optional overview pyramids
+(``overviews=(2, 4, ...)``, NaN-aware block-average for floats /
+nearest for classes), GeoTIFF georeferencing, optional palette
+(PhotometricInterpretation=3 + ColorMap) and GDAL_NODATA.
 """
 
 from __future__ import annotations
@@ -514,20 +516,53 @@ _COMPRESS_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
                  "zstd": 50000}
 
 
+_TAG_NEWSUBFILETYPE = 254
+
+
+def _overview_downsample(a, k, method):
+    """(H, W, B) -> (ceil(H/k), ceil(W/k), B) reduced image."""
+    if method == "nearest":
+        return a[::k, ::k]
+    h, w, b = a.shape
+    hh, ww = -(-h // k), -(-w // k)
+    ap = np.pad(a, ((0, hh * k - h), (0, ww * k - w), (0, 0)),
+                mode="edge").astype(np.float64)
+    blocks = ap.reshape(hh, k, ww, k, b)
+    import warnings
+    with warnings.catch_warnings():
+        # all-NaN blocks legitimately stay NaN
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        out = np.nanmean(blocks, axis=(1, 3))
+    return out.astype(a.dtype)
+
+
 def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
-                  colormap=None, bigtiff=None, compress="none"):
-    """Write a strip-organised GeoTIFF.
+                  colormap=None, bigtiff=None, compress="none",
+                  tiled=False, tile_size=256, overviews=(),
+                  overview_resampling=None):
+    """Write a (Geo)TIFF, strip-organised by default.
 
     ``im`` may be (H, W) or (H, W, bands) or (bands, H, W); uint8/16/32,
     int16/32, float32/64.  ``colormap`` is a {value: (r, g, b)} dict
     producing a paletted single-band file.  ``compress`` is one of
-    'none' | 'deflate' | 'lzw' (per-strip, own encoders — the reference
-    delegates compressed writes to rasterio, neilpy.py:165-190).
+    'none' | 'deflate' | 'lzw' | 'zstd' (per-block, own encoders — the
+    reference delegates compressed writes to rasterio,
+    neilpy.py:165-190).
+
+    ``tiled=True`` writes ``tile_size``² tiles instead of strips, and
+    ``overviews=(2, 4, ...)`` appends reduced-resolution IFDs to the
+    pyramid chain (NewSubfileType=1; block-averaged for float data,
+    nearest for integer/palette data unless ``overview_resampling``
+    forces 'nearest'/'average') — together these make the output
+    cloud-optimized-style: ``GeoTiffSource`` window reads of a tiled
+    file decode only touched tiles, and ``imread(..., level=)`` serves
+    the pyramid.
 
     ``bigtiff=None`` auto-selects BigTIFF (version 43, 8-byte offsets)
     when the payload approaches the classic 4 GB limit — the 100k x
-    100k mosaic outputs need it.  Strips are streamed to the file, so
-    memory-mapped mosaics are written without a second in-RAM copy.
+    100k mosaic outputs need it.  Full-resolution uncompressed blocks
+    are streamed to the file, so memory-mapped mosaics are written
+    without a second in-RAM copy.
     """
     im = np.asarray(im)
     # (bands, H, W) convenience input: reinterpret channels-first ONLY
@@ -541,89 +576,86 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
         im = im[:, :, None]
     height, width, bands = im.shape
     dt = im.dtype.newbyteorder("<")
-    im = im.astype(dt)
-
-    tags = []
-
-    def tag(tid, typ, vals):
-        tags.append((tid, typ, vals))
+    im = im.astype(dt, copy=False)
 
     if compress not in ("none", "deflate", "lzw", "zstd"):
         raise ValueError(
             "compress must be 'none', 'deflate', 'lzw' or 'zstd'")
-    tag(_TAG_WIDTH, 4, [width])
-    tag(_TAG_HEIGHT, 4, [height])
-    tag(_TAG_BITSPERSAMPLE, 3, [dt.itemsize * 8] * bands)
-    tag(_TAG_COMPRESSION, 3, [_COMPRESS_IDS[compress]])
-    photometric = 1
-    if colormap is not None:
-        photometric = 3
-    elif bands >= 3:
-        photometric = 2
-    tag(_TAG_PHOTOMETRIC, 3, [photometric])
-    tag(_TAG_SAMPLESPERPIXEL, 3, [bands])
-    rows_per_strip = max(1, min(height, (1 << 20) // max(1, width * bands * dt.itemsize)))
-    nstrips = (height + rows_per_strip - 1) // rows_per_strip
-    tag(_TAG_ROWSPERSTRIP, 4, [rows_per_strip])
-    tag(_TAG_PLANARCONFIG, 3, [1])
-    tag(_TAG_SAMPLEFORMAT, 3, [_np_to_sampleformat(dt)] * bands)
-    if colormap is not None:
-        if dt != np.dtype("<u1"):
-            raise ValueError("colormap requires uint8 data")
-        cm = np.zeros((3, 256), dtype="<u2")
-        for value, rgb in colormap.items():
-            cm[:, int(value)] = [c * 257 for c in rgb[:3]]
-        tag(_TAG_COLORMAP, 3, list(cm.ravel()))
-    if transform is not None:
-        t = transform
-        tag(_TAG_MODELPIXELSCALE, 12, [abs(t[0]), abs(t[4]), 0.0])
-        tag(_TAG_MODELTIEPOINT, 12, [0.0, 0.0, 0.0, t[2], t[5], 0.0])
-    if crs is not None:
-        epsg = int(crs)
-        model, key = (1, 3072) if epsg not in range(4000, 5000) else (2, 2048)
-        keys = [1, 1, 0, 3,
-                1024, 0, 1, model,
-                1025, 0, 1, 1,
-                key, 0, 1, epsg]
-        tag(_TAG_GEOKEYDIRECTORY, 3, keys)
-    if nodata is not None:
-        nd = (f"{nodata:.18g}" if isinstance(nodata, float)
-              else str(nodata)) + "\x00"
-        tag(_TAG_GDAL_NODATA, 2, nd.encode())
+    tile_size = int(tile_size)
+    if tiled and (tile_size % 16 or tile_size < 16):
+        raise ValueError("tile_size must be a positive multiple of 16")
+    ovs = sorted(int(k) for k in overviews)
+    if any(k < 2 for k in ovs):
+        raise ValueError("overview factors must be >= 2")
+    if overview_resampling is None:
+        overview_resampling = ("average" if dt.kind == "f"
+                               and colormap is None else "nearest")
+    if overview_resampling not in ("average", "nearest"):
+        raise ValueError("overview_resampling must be "
+                         "'average' or 'nearest'")
 
-    # strip layout; uncompressed strips are streamed from ``im`` at
-    # write time, compressed strips are encoded up front (their sizes
-    # feed StripByteCounts)
-    row_bytes = width * bands * dt.itemsize
-    strip_blobs = None
-    if compress == "none":
-        strip_counts = [min(rows_per_strip, height - s * rows_per_strip)
-                        * row_bytes for s in range(nstrips)]
-    else:
+    if colormap is not None and dt != np.dtype("<u1"):
+        raise ValueError("colormap requires uint8 data")
+
+    enc = None
+    if compress != "none":
         from .tiff_codec import lzw_encode, zstd_encode
         enc = {"lzw": lzw_encode,
                "zstd": zstd_encode}.get(compress,
                                         lambda b: zlib.compress(b, 6))
-        strip_blobs = [
-            enc(np.ascontiguousarray(
-                im[s * rows_per_strip:(s + 1) * rows_per_strip]
-            ).tobytes()) for s in range(nstrips)]
-        strip_counts = [len(b) for b in strip_blobs]
-    total_data = sum(strip_counts)
+
+    levels = [im] + [_overview_downsample(im, k, overview_resampling)
+                     for k in ovs]
+
+    # --- per-level block layout -------------------------------------
+    # blocks are produced lazily (callables) so uncompressed
+    # full-resolution data streams from a memmap without a second copy
+    level_specs = []
+    for a in levels:
+        h, w = a.shape[:2]
+        if tiled:
+            tw = th = tile_size
+            nbx, nby = -(-w // tw), -(-h // th)
+
+            def block_bytes(a=a, tw=tw, th=th, nbx=nbx, h=h, w=w):
+                for by in range(-(-h // th)):
+                    for bx in range(-(-w // tw)):
+                        t = a[by * th:(by + 1) * th, bx * tw:(bx + 1) * tw]
+                        if t.shape[:2] != (th, tw):
+                            t = np.pad(t, ((0, th - t.shape[0]),
+                                           (0, tw - t.shape[1]), (0, 0)))
+                        yield np.ascontiguousarray(t).tobytes()
+            layout = {"tiled": True, "tw": tw, "th": th}
+            n_blocks = nbx * nby
+            raw_counts = [th * tw * bands * dt.itemsize] * n_blocks
+        else:
+            rps = max(1, min(h, (1 << 20) // max(1, w * bands
+                                                 * dt.itemsize)))
+            n_blocks = (h + rps - 1) // rps
+
+            def block_bytes(a=a, rps=rps, n=n_blocks):
+                for s in range(n):
+                    yield np.ascontiguousarray(
+                        a[s * rps:(s + 1) * rps]).tobytes()
+            layout = {"tiled": False, "rps": rps}
+            raw_counts = [min(rps, h - s * rps) * w * bands * dt.itemsize
+                          for s in range(n_blocks)]
+        if enc is None:
+            counts, blobs = raw_counts, None
+        else:
+            blobs = [enc(b) for b in block_bytes()]
+            counts = [len(b) for b in blobs]
+        level_specs.append({"a": a, "layout": layout, "counts": counts,
+                            "blobs": blobs, "gen": block_bytes})
+
+    total_data = sum(sum(s["counts"]) for s in level_specs)
     if bigtiff is None:
         bigtiff = total_data > (2 ** 32 - 2 ** 26)  # 64 MB of headroom
 
     off_type = 16 if bigtiff else 4        # LONG8 vs LONG
     entry_size = 20 if bigtiff else 12
     inline_cap = 8 if bigtiff else 4
-    ifd_off = 16 if bigtiff else 8
-
-    all_tags = (tags + [(_TAG_STRIPOFFSETS, off_type, [0] * nstrips),
-                        (_TAG_STRIPBYTECOUNTS, off_type, strip_counts)])
-    all_tags.sort(key=lambda x: x[0])
-    n_entries = len(all_tags)
-    ifd_size = ((8 + n_entries * entry_size + 8) if bigtiff
-                else (2 + n_entries * entry_size + 4))
+    first_ifd = 16 if bigtiff else 8
 
     def pack_vals(typ, vals):
         if typ == 2:
@@ -631,62 +663,127 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
         fmt = _TYPE_FMT[typ]
         return b"".join(struct.pack("<" + fmt, v) for v in vals)
 
-    # layout: header + IFD + external tag values + strip data.
-    # External-value sizes don't depend on the strip offsets, so the
-    # data start is known up front and entries are emitted in one pass.
-    ext_size = 0
-    for tid, typ, vals in all_tags:
-        raw = pack_vals(typ, vals)
-        if len(raw) > inline_cap:
-            ext_size += len(raw) + (len(raw) % 2)
-    data_start = ifd_off + ifd_size + ext_size
-
-    offsets, pos = [], data_start
-    for c in strip_counts:
-        offsets.append(pos)
-        pos += c
-
-    entries, ext_blobs = [], []
-    ext_off = ifd_off + ifd_size
-    for tid, typ, vals in all_tags:
-        if tid == _TAG_STRIPOFFSETS:
-            vals = offsets
-        raw = pack_vals(typ, vals)
-        n = len(raw) if typ == 2 else len(vals)
-        if len(raw) <= inline_cap:
-            payload = raw.ljust(inline_cap, b"\x00")
+    def level_tags(spec, is_overview):
+        a, layout, counts = spec["a"], spec["layout"], spec["counts"]
+        h, w = a.shape[:2]
+        tags = [(_TAG_WIDTH, 4, [w]), (_TAG_HEIGHT, 4, [h]),
+                (_TAG_BITSPERSAMPLE, 3, [dt.itemsize * 8] * bands),
+                (_TAG_COMPRESSION, 3, [_COMPRESS_IDS[compress]]),
+                (_TAG_SAMPLESPERPIXEL, 3, [bands]),
+                (_TAG_PLANARCONFIG, 3, [1]),
+                (_TAG_SAMPLEFORMAT, 3, [_np_to_sampleformat(dt)] * bands)]
+        photometric = 1
+        if colormap is not None:
+            photometric = 3
+        elif bands >= 3:
+            photometric = 2
+        tags.append((_TAG_PHOTOMETRIC, 3, [photometric]))
+        if is_overview:
+            tags.append((_TAG_NEWSUBFILETYPE, 4, [1]))
+        if layout["tiled"]:
+            tags += [(_TAG_TILEWIDTH, 4, [layout["tw"]]),
+                     (_TAG_TILELENGTH, 4, [layout["th"]]),
+                     (_TAG_TILEOFFSETS, off_type, [0] * len(counts)),
+                     (_TAG_TILEBYTECOUNTS, off_type, counts)]
         else:
-            payload = struct.pack("<Q" if bigtiff else "<L", ext_off)
-            ext_blobs.append(raw if len(raw) % 2 == 0 else raw + b"\x00")
-            ext_off += len(raw) + (len(raw) % 2)
+            tags += [(_TAG_ROWSPERSTRIP, 4, [layout["rps"]]),
+                     (_TAG_STRIPOFFSETS, off_type, [0] * len(counts)),
+                     (_TAG_STRIPBYTECOUNTS, off_type, counts)]
+        if not is_overview:
+            if colormap is not None:
+                cm = np.zeros((3, 256), dtype="<u2")
+                for value, rgb in colormap.items():
+                    cm[:, int(value)] = [c * 257 for c in rgb[:3]]
+                tags.append((_TAG_COLORMAP, 3, list(cm.ravel())))
+            if transform is not None:
+                t = transform
+                tags.append((_TAG_MODELPIXELSCALE, 12,
+                             [abs(t[0]), abs(t[4]), 0.0]))
+                tags.append((_TAG_MODELTIEPOINT, 12,
+                             [0.0, 0.0, 0.0, t[2], t[5], 0.0]))
+            if crs is not None:
+                epsg = int(crs)
+                model, key = ((1, 3072) if epsg not in range(4000, 5000)
+                              else (2, 2048))
+                tags.append((_TAG_GEOKEYDIRECTORY, 3,
+                             [1, 1, 0, 3,
+                              1024, 0, 1, model,
+                              1025, 0, 1, 1,
+                              key, 0, 1, epsg]))
+            if nodata is not None:
+                nd = (f"{nodata:.18g}" if isinstance(nodata, float)
+                      else str(nodata)) + "\x00"
+                tags.append((_TAG_GDAL_NODATA, 2, nd.encode()))
+        tags.sort(key=lambda x: x[0])
+        return tags
+
+    # --- serialize the chain: [IFDi + ext values][level-i data] ... --
+    offsets_tag = {True: _TAG_TILEOFFSETS, False: _TAG_STRIPOFFSETS}
+    pos = first_ifd
+    serialized = []
+    for li, spec in enumerate(level_specs):
+        tags = level_tags(spec, li > 0)
+        n_entries = len(tags)
+        ifd_size = ((8 + n_entries * entry_size + 8) if bigtiff
+                    else (2 + n_entries * entry_size + 4))
+        ext_size = 0
+        for tid, typ, vals in tags:
+            raw = pack_vals(typ, vals)
+            if len(raw) > inline_cap:
+                ext_size += len(raw) + (len(raw) % 2)
+        data_start = pos + ifd_size + ext_size
+        offs, p = [], data_start
+        for c in spec["counts"]:
+            offs.append(p)
+            p += c
+        next_ifd = p if li + 1 < len(level_specs) else 0
+
+        entries, ext_blobs = [], []
+        ext_off = pos + ifd_size
+        for tid, typ, vals in tags:
+            if tid == offsets_tag[spec["layout"]["tiled"]]:
+                vals = offs
+            raw = pack_vals(typ, vals)
+            n = len(raw) if typ == 2 else len(vals)
+            if len(raw) <= inline_cap:
+                payload = raw.ljust(inline_cap, b"\x00")
+            else:
+                payload = struct.pack("<Q" if bigtiff else "<L", ext_off)
+                ext_blobs.append(raw if len(raw) % 2 == 0
+                                 else raw + b"\x00")
+                ext_off += len(raw) + (len(raw) % 2)
+            if bigtiff:
+                entries.append(struct.pack("<HHQ", tid, typ, n) + payload)
+            else:
+                entries.append(struct.pack("<HHL", tid, typ, n) + payload)
+
+        head = bytearray()
         if bigtiff:
-            entries.append(struct.pack("<HHQ", tid, typ, n) + payload)
+            head += struct.pack("<Q", n_entries)
         else:
-            entries.append(struct.pack("<HHL", tid, typ, n) + payload)
+            head += struct.pack("<H", n_entries)
+        for e in entries:
+            head += e
+        head += struct.pack("<Q" if bigtiff else "<L", next_ifd)
+        for blob in ext_blobs:
+            head += blob
+        assert pos + len(head) == data_start, (pos, len(head), data_start)
+        serialized.append(head)
+        pos = p
 
-    head = bytearray()
-    if bigtiff:
-        head += b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
-        head += struct.pack("<Q", n_entries)
-    else:
-        head += b"II" + struct.pack("<HL", 42, ifd_off)
-        head += struct.pack("<H", n_entries)
-    for e in entries:
-        head += e
-    head += struct.pack("<Q" if bigtiff else "<L", 0)
-    for blob in ext_blobs:
-        head += blob
-    assert len(head) == data_start, (len(head), data_start)
     with open(fn, "wb") as f:
-        f.write(bytes(head))
-        if strip_blobs is not None:
-            for b in strip_blobs:
-                f.write(b)
+        if bigtiff:
+            f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, first_ifd))
         else:
-            for s in range(nstrips):
-                r0 = s * rows_per_strip
-                f.write(np.ascontiguousarray(
-                    im[r0:r0 + rows_per_strip]).tobytes())
+            f.write(b"II" + struct.pack("<HL", 42, first_ifd))
+        for spec, head in zip(level_specs, serialized):
+            f.write(bytes(head))
+            if spec["blobs"] is not None:
+                for b in spec["blobs"]:
+                    f.write(b)
+            else:
+                for b in spec["gen"]():
+                    f.write(b)
 
 
 # ----------------------------------------------------------------------

@@ -54,12 +54,19 @@ class TestGeoTiffFuzz:
         if zstd_available():
             comps.append("zstd")
         comp = data.draw(st.sampled_from(comps), label="compress")
+        tiled = data.draw(st.booleans(), label="tiled")
+        ovs = data.draw(st.sampled_from([(), (2,), (2, 4)]),
+                        label="overviews")
         a = _array(data.draw, h, w, bands, dtype)
         fn = str(tmp_path / f"f_{h}_{w}_{bands}_{dtype.name}_{comp}.tif")
-        write_geotiff(fn, a, compress=comp)
+        write_geotiff(fn, a, compress=comp, tiled=tiled, tile_size=16,
+                      overviews=ovs)
         back, meta = read_geotiff(fn)
         np.testing.assert_array_equal(back, a)
         assert back.dtype == a.dtype
+        for li, k in enumerate(ovs, start=1):
+            o, _ = read_geotiff(fn, level=li)
+            assert o.shape[:2] == (-(-h // k), -(-w // k))
 
     @settings(**_SETTINGS)
     @given(st.data())

@@ -1378,3 +1378,93 @@ class TestTiffPyramids:
         Z1 = src.read(window=None, return_metadata=False)
         np.testing.assert_array_equal(Z1, Z)
         assert GeoTiffSource(fn, level=1).shape == (212, 385)
+
+
+class TestTiledWriterAndOverviews:
+    """write_geotiff(tiled=, overviews=): COG-style outputs."""
+
+    @pytest.mark.parametrize("compress", ["none", "deflate", "lzw"])
+    def test_tiled_roundtrip_and_pil(self, tmp_path, rng, compress):
+        from neilpy_tpu.io.geotiff import write_geotiff, read_geotiff
+        from PIL import Image
+        a = rng.normal(size=(90, 140)).astype(np.float32)
+        fn = str(tmp_path / f"t_{compress}.tif")
+        write_geotiff(fn, a, tiled=True, tile_size=64, compress=compress)
+        back, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(back, a)
+        np.testing.assert_array_equal(np.asarray(Image.open(fn)), a)
+
+    def test_overviews_average_oracle(self, tmp_path, rng):
+        from neilpy_tpu.io.geotiff import write_geotiff, read_geotiff
+        a = rng.normal(size=(100, 130)).astype(np.float32)
+        fn = str(tmp_path / "ov.tif")
+        write_geotiff(fn, a, transform=from_origin(0, 1000, 10, 10),
+                      overviews=(2, 4))
+        o2, m2 = read_geotiff(fn, level=1)
+        exp = a.reshape(50, 2, 65, 2).mean(axis=(1, 3),
+                                           dtype=np.float64)
+        np.testing.assert_allclose(o2, exp.astype(np.float32), atol=1e-6)
+        assert m2["transform"][0] == 20.0  # derived from level 0
+        o4, m4 = read_geotiff(fn, level=2)
+        # shared-extent convention (as GDAL): 130 cols * 10 m / 33 cols
+        assert o4.shape == (25, 33)
+        np.testing.assert_allclose(m4["transform"][0], 1300 / 33)
+
+    def test_overviews_nan_aware(self, tmp_path, rng):
+        from neilpy_tpu.io.geotiff import write_geotiff, read_geotiff
+        a = rng.normal(size=(8, 8)).astype(np.float32)
+        a[0, 0] = np.nan      # hole: block mean of the finite 3
+        a[4:6, 4:6] = np.nan  # fully-NaN block stays NaN
+        fn = str(tmp_path / "nan.tif")
+        write_geotiff(fn, a, overviews=(2,))
+        o, _ = read_geotiff(fn, level=1)
+        exp = np.nanmean([a[0, 1], a[1, 0], a[1, 1]]).astype(np.float32)
+        assert o[0, 0] == exp
+        assert np.isnan(o[2, 2])
+
+    def test_overviews_nearest_for_classes(self, tmp_path, rng):
+        from neilpy_tpu.io.geotiff import write_geotiff, read_geotiff
+        g = (rng.random((61, 47)) * 9 + 1).astype(np.uint8)
+        fn = str(tmp_path / "cls.tif")
+        write_geotiff(fn, g, colormap={i: (i, i, i) for i in range(11)},
+                      tiled=True, tile_size=32, overviews=(2,))
+        o, _ = read_geotiff(fn, level=1)
+        np.testing.assert_array_equal(o, g[::2, ::2])
+        assert o.dtype == np.uint8
+
+    def test_bigtiff_tiled_overviews(self, tmp_path, rng):
+        from neilpy_tpu.io.geotiff import write_geotiff, GeoTiffSource
+        a = rng.normal(size=(130, 90)).astype(np.float32)
+        fn = str(tmp_path / "big.tif")
+        write_geotiff(fn, a, bigtiff=True, tiled=True, tile_size=64,
+                      overviews=(2,), compress="deflate")
+        src = GeoTiffSource(fn)
+        assert src.levels == [(130, 90), (65, 45)]
+        np.testing.assert_array_equal(np.asarray(src), a)
+        np.testing.assert_array_equal(
+            GeoTiffSource(fn, level=1).read(return_metadata=False),
+            a.reshape(65, 2, 45, 2).mean(axis=(1, 3),
+                                         dtype=np.float64
+                                         ).astype(np.float32))
+
+    def test_validation(self, tmp_path, rng):
+        from neilpy_tpu.io.geotiff import write_geotiff
+        a = rng.normal(size=(8, 8)).astype(np.float32)
+        with pytest.raises(ValueError):
+            write_geotiff(str(tmp_path / "x.tif"), a, tiled=True,
+                          tile_size=20)
+        with pytest.raises(ValueError):
+            write_geotiff(str(tmp_path / "x.tif"), a, overviews=(1,))
+        with pytest.raises(ValueError):
+            write_geotiff(str(tmp_path / "x.tif"), a,
+                          overviews=(2,), overview_resampling="cubic")
+
+    def test_multiband_tiled(self, tmp_path, rng):
+        from neilpy_tpu.io.geotiff import write_geotiff, read_geotiff
+        a = (rng.random((70, 90, 3)) * 255).astype(np.uint8)
+        fn = str(tmp_path / "rgb.tif")
+        write_geotiff(fn, a, tiled=True, tile_size=32, overviews=(2,))
+        back, _ = read_geotiff(fn)
+        np.testing.assert_array_equal(back, a)
+        o, _ = read_geotiff(fn, level=1)
+        np.testing.assert_array_equal(o, a[::2, ::2])
