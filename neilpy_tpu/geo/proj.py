@@ -1143,7 +1143,7 @@ def _is_wgs84_equiv(geod_code):
     try:
         row = db.execute(
             "SELECT e.semi_major_axis, e.inv_flattening, "
-            "e.semi_minor_axis FROM geodetic_crs g "
+            "e.semi_minor_axis, e.uom_code FROM geodetic_crs g "
             "JOIN geodetic_datum d ON d.code = g.datum_code "
             "AND d.auth_name = g.datum_auth_name "
             "JOIN ellipsoid e ON e.code = d.ellipsoid_code "
@@ -1154,8 +1154,9 @@ def _is_wgs84_equiv(geod_code):
         db.close()
     if row is None:
         return False
-    a, invf, b = row
-    f = 1.0 / invf if invf else (a - b) / a
+    a, invf, b, ell_uom = row
+    a *= _linear_factor(ell_uom)   # Clarke-foot/link-defined ellipsoids
+    f = 1.0 / invf if invf else (a - b * _linear_factor(ell_uom)) / a
     if abs(a - _WGS84_A) > 0.5 or abs(f - _WGS84_F) > 1e-6:
         return False
     return _helmert_at(geod_code, a, f, np.nan, np.nan) is None
@@ -1382,8 +1383,8 @@ def _epsg_db_params(code):
         # ellipsoid: must be GRS80/WGS84-class (no datum shift engine)
         c.execute(
             "SELECT e.semi_major_axis, e.inv_flattening, "
-            "e.semi_minor_axis, e.name, pm.longitude, pm.uom_code "
-            "FROM geodetic_crs g "
+            "e.semi_minor_axis, e.name, pm.longitude, pm.uom_code, "
+            "e.uom_code FROM geodetic_crs g "
             "JOIN geodetic_datum d ON d.code = g.datum_code "
             "AND d.auth_name = g.datum_auth_name "
             "JOIN ellipsoid e ON e.code = d.ellipsoid_code "
@@ -1392,8 +1393,14 @@ def _epsg_db_params(code):
             "AND pm.auth_name = d.prime_meridian_auth_name "
             "WHERE g.auth_name='EPSG' AND g.code=?", (geod_code,))
         ell = c.fetchone()
-        a, invf, b, ell_name, pm_lon, pm_uom = ell
-        f = 1.0 / invf if invf else (a - b) / a
+        a, invf, b, ell_name, pm_lon, pm_uom, ell_uom = ell
+        # a handful of ellipsoids (Clarke 1858/1880, Everest 1830) are
+        # DEFINED in feet/links in the EPSG registry — convert to
+        # metres or every projection on them is ~wholesale wrong
+        # (found by the registry-wide round-trip sweep)
+        a *= _linear_factor(ell_uom)
+        f = (1.0 / invf if invf
+             else (a - b * _linear_factor(ell_uom)) / a)
         # non-Greenwich prime meridian (Paris, Rome, ...): longitude
         # parameters fold the meridian offset in, so all internal
         # geographic coordinates stay Greenwich-referenced
@@ -1620,7 +1627,7 @@ def _epsg_db_geographic(code):
     try:
         row = db.execute(
             "SELECT g.type, e.semi_major_axis, e.inv_flattening, "
-            "e.semi_minor_axis, e.name FROM geodetic_crs g "
+            "e.semi_minor_axis, e.name, e.uom_code FROM geodetic_crs g "
             "JOIN geodetic_datum d ON d.code = g.datum_code "
             "AND d.auth_name = g.datum_auth_name "
             "JOIN ellipsoid e ON e.code = d.ellipsoid_code "
@@ -1631,8 +1638,9 @@ def _epsg_db_geographic(code):
         db.close()
     if row is None or not row[0].startswith("geographic"):
         return None
-    _, a, invf, b, ell_name = row
-    f = 1.0 / invf if invf else (a - b) / a
+    _, a, invf, b, ell_name, ell_uom = row
+    a *= _linear_factor(ell_uom)
+    f = 1.0 / invf if invf else (a - b * _linear_factor(ell_uom)) / a
     return {"a": a, "f": f,
             "geod": _datum_eligibility(code, a, f, code, ell_name)}
 
