@@ -226,28 +226,36 @@ def bench_geomorphons():
         except Exception as e:
             log("pallas fast probe failed:", str(e)[:200])
 
-        # reference-scale exact ladder (8192²): interior tiles dominate
-        # so this is the deployable big-raster rate (secondary; the
-        # headline shape stays 2048x4096 for round-over-round
-        # comparability)
-        sbudget = int(os.environ.get("PALLAS_SCALE_BENCH_TIMEOUT", "900"))
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c",
-                 "import bench; bench._pallas_scale_probe()"],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True, text=True, timeout=sbudget)
-            for line in proc.stdout.splitlines():
-                if line.startswith("PALLAS_SCALE_MPIX"):
-                    log(f"pallas geomorphons exact 8192x8192: "
-                        f"{float(line.split()[1]):.0f} Mpix/s "
-                        "(reference-scale secondary)")
-        except subprocess.TimeoutExpired:
-            log(f"pallas 8192² probe exceeded {sbudget}s (Mosaic compile)")
-        except Exception as e:
-            log("pallas 8192² probe failed:", str(e)[:200])
-
     return max(results.values())
+
+
+def bench_scale():
+    """Reference-scale exact ladder (8192²): interior tiles dominate,
+    so this is the deployable big-raster rate (secondary; the headline
+    shape stays 2048x4096 for round-over-round comparability).  Runs
+    AFTER the headline JSON is printed — its Mosaic compile must not
+    be able to delay the record."""
+    import os
+    import subprocess
+    import jax
+    if jax.default_backend() != "tpu":
+        return
+    sbudget = int(os.environ.get("PALLAS_SCALE_BENCH_TIMEOUT", "900"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import bench; bench._pallas_scale_probe()"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=sbudget)
+        for line in proc.stdout.splitlines():
+            if line.startswith("PALLAS_SCALE_MPIX"):
+                log(f"pallas geomorphons exact 8192x8192: "
+                    f"{float(line.split()[1]):.0f} Mpix/s "
+                    "(reference-scale secondary)")
+    except subprocess.TimeoutExpired:
+        log(f"pallas 8192² probe exceeded {sbudget}s (Mosaic compile)")
+    except Exception as e:
+        log("pallas 8192² probe failed:", str(e)[:200])
 
 
 def _pallas_scale_probe():
@@ -476,6 +484,10 @@ def main():
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 1),
     }), flush=True)
+    try:
+        bench_scale()
+    except Exception as e:
+        log("scale bench failed:", e)
     try:
         bench_gridding()
     except Exception as e:
