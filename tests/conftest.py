@@ -8,6 +8,20 @@ reference's trust in ``apply_parallel`` tiling (SURVEY.md §4).
 
 import os
 
+# Long suite runs (hundreds of XLA CPU compiles in one process) have
+# segfaulted inside LLVM during a deep _smrf_exact f64 compile with the
+# default 8 MB main-thread stack; the same tests pass in a fresh
+# process.  Raise the stack soft limit to the hard limit (unlimited
+# here) so recursive compiler passes can't blow the main stack.
+try:
+    import resource
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    if _soft != resource.RLIM_INFINITY and (_hard == resource.RLIM_INFINITY
+                                            or _hard > _soft):
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except Exception:  # platform without RLIMIT_STACK semantics
+    pass
+
 os.environ.setdefault(
     "XLA_FLAGS",
     (os.environ.get("XLA_FLAGS", "") +
