@@ -148,27 +148,33 @@ def test_smrf_exact_bitmatch_all_isprs(s):
     solver produced the inpainted surface — the reference itself flips
     them across scipy versions.  Any differing cell must have oracle
     decision margin < 1e-8 (i.e. be such a tie), and there may be at
-    most a handful."""
+    most a handful.
+
+    Each sample runs in its OWN interpreter
+    (``tests/_exact_bitmatch_runner.py``): three full-suite runs
+    segfaulted inside the XLA CPU compile of the f64 exact program
+    after hundreds of prior compiles in one process, while the same
+    check passes in a fresh one (jax 0.9.0 CPU-client state
+    accumulation; stack-rlimit raise did not help)."""
+    import json
     import os
-    import pandas as pd
-    from .reference_impls import np_smrf
+    import subprocess
+    import sys
     fn = isprs_path(f"samp{s}.txt")
     if not os.path.exists(fn):
         pytest.skip("ISPRS data not mounted")
-    df = pd.read_csv(fn, header=None, names=["x", "y", "z", "g"],
-                     delimiter="\t")
-    ref_pts, ref_obj, margin = np_smrf(df.x, df.y, df.z, 1, 18, .15, .5,
-                                       1.25, return_margin=True)
-    _, _, ex_obj, ex_pts = smrf(df.x, df.y, df.z, 1, 18, .15, .5, 1.25,
-                                precision="exact")
-    assert np.array_equal(np.asarray(ex_pts), ref_pts)
-    diff = np.asarray(ex_obj) != ref_obj
-    n_diff = int(diff.sum())
-    assert n_diff <= 10, f"{n_diff} differing cells"
-    if n_diff:
-        assert margin[diff].max() < 1e-8, (
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "tests._exact_bitmatch_runner", str(s)],
+        capture_output=True, text=True, cwd=root, timeout=1800)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    v = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert v["pts_equal"], "point labels differ from the f64 oracle"
+    assert v["n_diff"] <= 10, f"{v['n_diff']} differing cells"
+    if v["n_diff"]:
+        assert v["max_margin"] < 1e-8, (
             "differing cell is not a threshold tie: "
-            f"margins {margin[diff]}")
+            f"max margin {v['max_margin']}")
 
 
 class TestSmrfLas:
