@@ -42,7 +42,8 @@ from .ops.surface import (esri_slope, slope, aspect, curvature,
                           evans_curvature, wilson_gallant_curvature,
                           hillshade, multiple_illumination, pssm,
                           z_factor, triangle_height, vip_score, std,
-                          reduce_peaks, topographic_position_index,
+                          std2, reduce_peaks,
+                          topographic_position_index,
                           scaled_morphometry)
 
 # ----- visibility / geomorphons --------------------------------------
@@ -87,6 +88,15 @@ from .photo.exif import (exif_dict_to_dd, dd_to_exif_tuple,
 
 # ----- misc -----------------------------------------------------------
 from .utils import voxelize, write_voxel_stl, set_print_options
+
+# Compatibility: the reference exposes its install directory as a
+# module global for locating packaged assets (neilpy.py:83, via an
+# inspect.stack() hack).  This framework's LUTs are procedural, so
+# nothing here *needs* the path, but user code that referenced
+# ``neilpy_dir`` keeps working against the package directory.
+import os as _os
+neilpy_dir = _os.path.dirname(_os.path.abspath(__file__))
+del _os
 
 # ----- observability ---------------------------------------------------
 from .profiling import Throughput, trace, compile_report

@@ -491,6 +491,26 @@ def std(X, strel):
     return jnp.sqrt(V)
 
 
+def std2(X, strel):
+    """Windowed RMS deviation from the local mean — the reference's
+    older std prototype (neilpy.py:2051-2053), made runnable.
+
+    The reference body is dead code (references an undefined ``Z`` and
+    returns nothing; its own comment calls it "not correct, but leaving
+    for further re-examination").  This computes what that body wrote,
+    with the obvious Z->X fix and a return: sqrt of the windowed mean
+    of (local_mean - X)^2.  Note this is NOT the windowed standard
+    deviation — each squared deviation is taken against its *own*
+    window's mean; prefer :func:`std`.  Exported for inventory
+    completeness only.
+    """
+    X = jnp.asarray(X, dtype=jnp.float32)
+    s = np.asarray(strel, dtype=np.float32)
+    s = s / s.sum()
+    M = _uniform_correlate(X, s)
+    return jnp.sqrt(_uniform_correlate((M - X) ** 2, s))
+
+
 def reduce_peaks(Z, radius, blend_rate=2, kernel_rate="auto"):
     """Distance-kernel smoothing blended by inverse local variability
     (neilpy.py:2056-2087)."""

@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 import scipy.ndimage as ndi
@@ -139,6 +141,25 @@ def test_std_matches_convolution(terrain):
     V = (Xss - 2 * Xm * Xsum + strel.sum() * Xm ** 2) / strel.sum()
     V[V < 0] = 0
     np.testing.assert_allclose(ours, np.sqrt(V), atol=1e-2)
+
+
+def test_std2_matches_corrected_reference_body(terrain):
+    # reference neilpy.py:2051-2053 is dead code (undefined Z, no
+    # return); this checks our resurrected version against what that
+    # body computes with the Z->X fix applied
+    strel = np.ones((5, 5))
+    ours = np.asarray(sf.std2(terrain, strel))
+    M = ndi.convolve(terrain, strel / strel.sum(), mode="nearest")
+    exp = ndi.convolve((M - terrain) ** 2, strel / strel.sum(),
+                       mode="nearest") ** 0.5
+    np.testing.assert_allclose(ours, exp, atol=1e-2)
+
+
+def test_neilpy_dir_compat_global():
+    import neilpy_tpu
+    assert os.path.isdir(neilpy_tpu.neilpy_dir)
+    assert os.path.isfile(os.path.join(neilpy_tpu.neilpy_dir,
+                                       "__init__.py"))
 
 
 def test_tpi(terrain):
