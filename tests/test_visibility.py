@@ -137,6 +137,35 @@ def test_geomorphons_fullscale_golden_agreement(lookup, enhance, fast):
             f"non-tie disagreement: margins {np.sort(margin[diff])[-5:]}")
 
 
+def test_lookup_exceeding_raster_dims(rng):
+    """lookup_pixels larger than BOTH raster dimensions must degrade
+    gracefully: every ray leaves the raster before exhausting its
+    lookup budget, so the result equals the f64 reference loop (which
+    clips at the edge) — not wrap around, index out of range, or
+    saturate differently (verify-skill 'worth probing' item)."""
+    from .reference_impls import np_openness, np_geomorphons
+    Z = rng.normal(size=(24, 32)).astype(np.float32).cumsum(axis=0)
+    R = 100  # > max(H, W)
+    o = np.asarray(openness(Z, cellsize=1, lookup_pixels=R))
+    np.testing.assert_allclose(
+        o, np_openness(Z, cellsize=1, lookup_pixels=R), atol=2e-4)
+    for fast in (False, True):
+        g = np.asarray(geomorphons(Z, cellsize=1, lookup_pixels=R,
+                                   threshold_angle=1, engine="xla",
+                                   fast=fast))
+        ref = np_geomorphons(Z.astype(np.float64), cellsize=1,
+                             lookup_pixels=R, threshold_angle=1,
+                             fast=fast)
+        assert np.mean(g == ref) == 1.0
+        # the Pallas scan pads an aligned NaN halo of R on every side,
+        # so a halo larger than the raster itself must still classify
+        # identically (interpret mode on CPU)
+        from neilpy_tpu.ops.pallas_scan import geomorphons_pallas
+        p = np.asarray(geomorphons_pallas(Z, cellsize=1, lookup_pixels=R,
+                                          fast=fast))
+        assert np.mean(p == ref) == 1.0
+
+
 def test_skyview_factor_range(terrain):
     svf = np.asarray(skyview_factor(terrain, lookup_pixels=5))
     assert svf.shape == terrain.shape
