@@ -115,6 +115,30 @@ class TestCreateDem:
             create_dem(x, y, z, device_bin=True, method="sort",
                        chunks=2)
 
+    def test_points_exactly_on_cell_edges(self):
+        """Points landing EXACTLY on interior cell edges are
+        lower-edge-inclusive, like the reference's
+        ``floor(~affine * (x, y))`` (neilpy.py:1142-1144).  With
+        cellsize=1 the grid edges sit on half-integers, so half-integer
+        coordinates are exact edge hits in both f64 and f32 — the host
+        and device binning paths must agree bit-for-bit here
+        (verify-skill 'worth probing' item)."""
+        x = np.array([0.0, 0.5, 1.0, 1.5])
+        y = np.array([0.0, 0.5, 1.0, 1.5])
+        z = np.array([10.0, 20.0, 30.0, 40.0])
+        # edges: x [-0.5, 0.5, 1.5, 2.5], y [2.5, 1.5, 0.5, -0.5]
+        # cols = floor(x + 0.5) -> 0, 1, 1, 2
+        # rows = floor(2.5 - y) -> 2, 2, 1, 1
+        expect = {(2, 0): 10.0, (2, 1): 20.0, (1, 1): 30.0, (1, 2): 40.0}
+        for device_bin in (False, True):
+            I, t = create_dem(x, y, z, cellsize=1, bin_type="max",
+                              device_bin=device_bin)
+            I = np.asarray(I)
+            assert I.shape == (3, 3)
+            assert np.isfinite(I).sum() == 4
+            for (r, c), v in expect.items():
+                assert I[r, c] == v, (device_bin, r, c, I)
+
     def test_north_up_orientation(self):
         # a single point at high y must land in a low row index
         x = np.array([5.0, 5.0])
