@@ -111,7 +111,7 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
                 checkpoint=None, progress=False, pipeline_depth=2,
                 decode=None, device_input="auto",
                 device_input_budget=4 << 30, wire_fn=None,
-                wire_specs=None):
+                wire_specs=None, mesh=None, mesh_wire_fn=None):
     """Apply ``fn`` (array -> array, same HxW) to overlapping tiles of
     ``Z``, cropping the overlap — semantics of
     ``skimage.util.apply_parallel(fn, Z, tile_size, overlap)``
@@ -153,6 +153,18 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
     ``_unpack_host`` spec list) describes the packing; ``decode`` maps
     unpacked wire products back to caller products.  ``fn`` is ignored
     when ``wire_fn`` is given.
+
+    ``mesh`` + ``mesh_wire_fn`` compose the tile stream with MULTI-CHIP
+    execution (BASELINE config 5: out-of-core AND mesh-sharded at
+    once): tiles are dispatched in groups of ``D = mesh.size``, stacked
+    as a host ``(D, B, B)`` batch, device_put sharded over the mesh's
+    single flattened axis (one tile per device), and
+    ``mesh_wire_fn(blocks) -> (D, tile_size, n_bytes)`` runs the fused
+    tile program per shard (a shard_map with NO collective — each tile
+    carries its own halo).  Per-device output shards are read back
+    independently and checkpoint-marked per TILE, so kill-and-resume
+    works mid-group.  A final partial group pads with copies of its
+    last tile (discarded on readback).
     """
     from collections import deque
 
@@ -203,13 +215,11 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
         return dev_state["slicer"](dev_state["Zpad"], np.int32(r0),
                                    np.int32(c0))
 
-    def flush_one():
+    def store(key, bounds, res):
+        """Decode, crop, and store one tile's wire products; mark the
+        checkpoint only after the data is safely in ``out``."""
         nonlocal out
-        key, (r0, r1, c0, c1), payload, specs = inflight.popleft()
-        if specs is not None:
-            res = _unpack_host(_collect_readback(payload[0]), specs)
-        else:
-            res = tuple(_collect_readback(ch) for ch in payload)
+        r0, r1, c0, c1 = bounds
         if decode is not None:
             res = decode(res)
         res = tuple(a[: r1 - r0, : c1 - c0] for a in res)
@@ -224,6 +234,90 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
             ckpt.mark(key)
         if progress:
             print(f"tile {key} / ({n_ty},{n_tx})", flush=True)
+
+    def flush_one():
+        key, bounds, payload, specs = inflight.popleft()
+        if specs is not None:
+            res = _unpack_host(_collect_readback(payload[0]), specs)
+        else:
+            res = tuple(_collect_readback(ch) for ch in payload)
+        store(key, bounds, res)
+
+    def host_block(r0, r1, c0, c1):
+        """Overlapped read window, clipped to the raster, padded to the
+        uniform (ts + 2 ov) shape so jit reuses one compilation; edge
+        replication preserves local stencils."""
+        rr0, cc0 = max(r0 - ov, 0), max(c0 - ov, 0)
+        rr1, cc1 = min(r1 + ov, H), min(c1 + ov, W)
+        block = np.asarray(Z[rr0:rr1, cc0:cc1], dtype=np.float32)
+        ph = (ov - (r0 - rr0), ov - (rr1 - r1))
+        pw = (ov - (c0 - cc0), ov - (cc1 - c1))
+        fh = ts - (r1 - r0)
+        fw = ts - (c1 - c0)
+        return np.pad(block, ((ph[0], ph[1] + fh),
+                              (pw[0], pw[1] + fw)), mode="edge")
+
+    if mesh_wire_fn is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as JP
+        D = int(np.prod([v for v in mesh.shape.values()]))
+        axis = tuple(mesh.shape.keys())[0]
+        sharding = NamedSharding(mesh, JP(axis))
+        if multi is None:
+            multi = True
+
+        def flush_group():
+            keys, bounds_list, shard_datas = inflight.popleft()
+            for key, bounds, sd in zip(keys, bounds_list, shard_datas):
+                # each shard is (1, ts, ts, n_bytes): one tile's packed
+                # wire buffer with its leading shard axis
+                buf = np.asarray(sd)[0]
+                store(key, bounds, _unpack_host(buf, wire_specs))
+
+        def dispatch_group(keys, bounds_list, blocks):
+            # pad a final partial group by repeating its last tile —
+            # the duplicate shards are simply never read back
+            n_real = len(keys)
+            while len(blocks) < D:
+                blocks.append(blocks[-1])
+            stacked = jax.device_put(np.stack(blocks), sharding)
+            wirebuf = mesh_wire_fn(stacked)
+            shards = sorted(wirebuf.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            datas = [s.data for s in shards[:n_real]]
+            for d in datas:
+                try:
+                    d.copy_to_host_async()
+                except Exception:
+                    pass
+            inflight.append((keys, bounds_list, datas))
+            while len(inflight) > max(int(pipeline_depth), 0):
+                flush_group()
+
+        g_keys, g_bounds, g_blocks = [], [], []
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                key = (ty, tx)
+                if ckpt and ckpt.is_done(key):
+                    continue
+                r0, c0 = ty * ts, tx * ts
+                r1, c1 = min(r0 + ts, H), min(c0 + ts, W)
+                g_keys.append(key)
+                g_bounds.append((r0, r1, c0, c1))
+                g_blocks.append(host_block(r0, r1, c0, c1))
+                if len(g_keys) == D:
+                    dispatch_group(g_keys, g_bounds, g_blocks)
+                    g_keys, g_bounds, g_blocks = [], [], []
+        if g_keys:
+            dispatch_group(g_keys, g_bounds, g_blocks)
+        while inflight:
+            flush_group()
+        if out is None:
+            raise ValueError(
+                "checkpoint marks every tile done but no `out` arrays "
+                "were given to resume into — pass the previous outputs "
+                "via `out=` or delete the checkpoint file to recompute")
+        return out if multi else out[0]
 
     for ty in range(n_ty):
         for tx in range(n_tx):

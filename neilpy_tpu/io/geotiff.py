@@ -282,22 +282,37 @@ class GeoTiffSource:
             transform = Affine(sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy)
         self.transform = transform
 
-        nodata = g(_TAG_GDAL_NODATA)
-        if isinstance(nodata, str):
-            try:
-                nodata = float(nodata.strip())
-            except ValueError:
-                nodata = None
-        self.nodata = nodata
+        def _nodata_from(tagmap):
+            if _TAG_GDAL_NODATA not in tagmap:
+                return None
+            nd = _values(tagmap[_TAG_GDAL_NODATA], en)
+            if isinstance(nd, str):
+                try:
+                    return float(nd.strip())
+                except ValueError:
+                    return None
+            return nd
 
-        self.crs = None
-        if _TAG_GEOKEYDIRECTORY in tags:
-            keys = g(_TAG_GEOKEYDIRECTORY)
+        def _crs_from(tagmap):
+            if _TAG_GEOKEYDIRECTORY not in tagmap:
+                return None
+            keys = _values(tagmap[_TAG_GEOKEYDIRECTORY], en)
             # GeoKey 3072 = ProjectedCSTypeGeoKey, 2048 = GeographicType
             for k in range(4, len(keys), 4):
                 if keys[k] in (3072, 2048) and keys[k + 1] == 0:
-                    self.crs = int(keys[k + 3])
-                    break
+                    return int(keys[k + 3])
+            return None
+
+        self.nodata = _nodata_from(tags)
+        self.crs = _crs_from(tags)
+        if self.level > 0:
+            # overview IFDs usually carry no nodata/CRS tags either —
+            # inherit from level 0 the same way georeferencing does,
+            # so masked reads work at every pyramid level
+            if self.nodata is None:
+                self.nodata = _nodata_from(all_tags[0])
+            if self.crs is None:
+                self.crs = _crs_from(all_tags[0])
 
         self._cache = {}
         self._cache_order = []
@@ -519,20 +534,30 @@ _COMPRESS_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
 _TAG_NEWSUBFILETYPE = 254
 
 
-def _overview_downsample(a, k, method):
-    """(H, W, B) -> (ceil(H/k), ceil(W/k), B) reduced image."""
+def _overview_downsample(a, k, method, nodata=None):
+    """(H, W, B) -> (ceil(H/k), ceil(W/k), B) reduced image.
+
+    A numeric ``nodata`` is masked out of the average exactly like NaN
+    (GDAL's convention), and blocks that are all-nodata get the nodata
+    value back — otherwise a -9999 border would bleed into every
+    overview pixel it touches."""
     if method == "nearest":
         return a[::k, ::k]
     h, w, b = a.shape
     hh, ww = -(-h // k), -(-w // k)
     ap = np.pad(a, ((0, hh * k - h), (0, ww * k - w), (0, 0)),
                 mode="edge").astype(np.float64)
+    numeric_nodata = nodata is not None and not np.isnan(nodata)
+    if numeric_nodata:
+        ap[ap == float(nodata)] = np.nan
     blocks = ap.reshape(hh, k, ww, k, b)
     import warnings
     with warnings.catch_warnings():
         # all-NaN blocks legitimately stay NaN
         warnings.simplefilter("ignore", category=RuntimeWarning)
         out = np.nanmean(blocks, axis=(1, 3))
+    if numeric_nodata:
+        out = np.where(np.isnan(out), float(nodata), out)
     return out.astype(a.dtype)
 
 
@@ -604,7 +629,8 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
                "zstd": zstd_encode}.get(compress,
                                         lambda b: zlib.compress(b, 6))
 
-    levels = [im] + [_overview_downsample(im, k, overview_resampling)
+    levels = [im] + [_overview_downsample(im, k, overview_resampling,
+                                          nodata=nodata)
                      for k in ovs]
 
     # --- per-level block layout -------------------------------------

@@ -153,7 +153,13 @@ def read_las_chunks(filename, chunk_points=4_000_000, stride=1,
         raise ValueError("chunk_points must be >= 1")
     hdr = read_header(filename)
     n = hdr["num_point_records"]
-    for first in range(0, n, chunk_points):
-        count = min(chunk_points, n - first)
+    # the decoder restarts its stride phase at `first`, so chunk
+    # boundaries must sit on stride multiples — otherwise the streamed
+    # decimation would select a different subset than the one-shot
+    # read_las_arrays(stride=) path
+    stride = max(1, int(stride))
+    step = max(stride, (int(chunk_points) // stride) * stride)
+    for first in range(0, n, step):
+        count = min(step, n - first)
         yield _decode(filename, first, count, stride, bbox, n_threads,
                       hdr, count)

@@ -113,6 +113,7 @@ except Exception:  # pragma: no cover
 
 __all__ = ["openness_counts_pallas", "openness_counts_pallas_block",
            "directional_extrema_pallas", "geomorphons_pallas",
+           "openness_pallas", "skyview_pallas", "ternary_pallas",
            "HAS_PALLAS"]
 
 

@@ -165,6 +165,9 @@ def _segment_reduce_sorted(idx, z, n_cells, bin_type):
     return jnp.where(hit, scanned[pc], jnp.nan)
 
 
+_INT32_MAX = 2**31 - 1
+
+
 @partial(jax.jit, static_argnames=("n_cells", "bin_type", "method"))
 def scatter_reduce(flat_index, z, valid, n_cells, bin_type="max",
                    method="scatter"):
@@ -174,9 +177,20 @@ def scatter_reduce(flat_index, z, valid, n_cells, bin_type="max",
     out-of-grid sentinel bin (sort) so padded / out-of-range entries
     never contribute — this keeps the call jittable with a fixed
     point-count (pad freely).
+
+    Grids with more than 2**31-1 cells cannot be addressed by the flat
+    int32 index this kernel uses — they raise here rather than
+    overflowing silently (the reference's pandas groupby is int64
+    throughout, neilpy.py:1142-1151); `create_dem` routes such grids
+    through the 2-D row/column scatter automatically.
     """
     if bin_type not in ("max", "min"):
         raise ValueError("This type not supported.")
+    if n_cells > _INT32_MAX:
+        raise ValueError(
+            f"n_cells={n_cells} exceeds the int32 flat-index range; "
+            "use the 2-D (row, col) scatter path (create_dem handles "
+            "this automatically)")
     z = jnp.asarray(z, dtype=jnp.float32)
     idx = jnp.asarray(flat_index, dtype=jnp.int32)
     if method == "sort":
@@ -196,35 +210,73 @@ def scatter_reduce(flat_index, z, valid, n_cells, bin_type="max",
         return jnp.where(jnp.isposinf(grid), jnp.nan, grid)
 
 
+@partial(jax.jit, static_argnames=("ny", "nx", "bin_type"))
+def _scatter_reduce_rc(r, c, z, valid, ny, nx, bin_type):
+    """2-D (row, col) min/max scatter into an (ny, nx) grid.  Each
+    index component fits int32 even when ny*nx exceeds 2**31 cells, so
+    this is the overflow-safe path for ≥46,341² grids (the flat-index
+    kernel would wrap silently)."""
+    z = jnp.asarray(z, dtype=jnp.float32)
+    r = jnp.asarray(r, dtype=jnp.int32)
+    c = jnp.asarray(c, dtype=jnp.int32)
+    if bin_type == "max":
+        ident = -jnp.inf
+        z = jnp.where(valid, z, ident)
+        grid = jnp.full((ny, nx), ident, dtype=jnp.float32)
+        grid = grid.at[r, c].max(z, mode="drop")
+        return jnp.where(jnp.isneginf(grid), jnp.nan, grid)
+    ident = jnp.inf
+    z = jnp.where(valid, z, ident)
+    grid = jnp.full((ny, nx), ident, dtype=jnp.float32)
+    grid = grid.at[r, c].min(z, mode="drop")
+    return jnp.where(jnp.isposinf(grid), jnp.nan, grid)
+
+
 @partial(jax.jit, static_argnames=("ny", "nx", "bin_type", "method"))
 def _grid_fused(x_rel, y_rel, z, inv_cs, ny, nx, bin_type, method):
     """One fused device program: floor-binning + validity + segment
-    reduction.  Runs entirely on device; the host only subtracted the
-    grid origin (see ``bin_points_device``)."""
+    reduction, returning the (ny, nx) grid.  Runs entirely on device;
+    the host only subtracted the grid origin (see
+    ``bin_points_device``).  When the grid exceeds the int32 flat-index
+    range, the scatter method switches to the 2-D (row, col) kernel."""
     c = jnp.floor(x_rel * inv_cs).astype(jnp.int32)
     r = jnp.floor(y_rel * inv_cs).astype(jnp.int32)
     valid = (c >= 0) & (c < nx) & (r >= 0) & (r < ny)
+    if method == "scatter" and ny * nx > _INT32_MAX:
+        return _scatter_reduce_rc(r, c, z, valid, ny, nx, bin_type)
     flat = jnp.where(valid, r * nx + c, ny * nx)
-    return scatter_reduce(flat, z, valid, ny * nx, bin_type=bin_type,
+    grid = scatter_reduce(flat, z, valid, ny * nx, bin_type=bin_type,
                           method=method)
+    return jnp.reshape(grid, (ny, nx))
 
 
 @partial(jax.jit, static_argnames=("ny", "nx", "bin_type"),
          donate_argnums=(0,))
 def _grid_scatter_accum(grid, x_rel, y_rel, z, inv_cs, ny, nx, bin_type):
     """One streamed chunk: floor-binning + scatter min/max into the
-    carried sentinel grid (±inf empty cells; NaN conversion happens
-    once at the end of the stream).  The carry is donated, so the grid
-    is updated in place on device across chunks."""
+    carried (ny, nx) sentinel grid (±identity empty cells; NaN
+    conversion happens once at the end of the stream).  The carry is
+    donated, so the grid is updated in place on device across chunks.
+    Indexing is 2-D (row, col) int32 — safe for grids beyond 2**31
+    cells where a flat index would overflow."""
     c = jnp.floor(x_rel * inv_cs).astype(jnp.int32)
     r = jnp.floor(y_rel * inv_cs).astype(jnp.int32)
     valid = (c >= 0) & (c < nx) & (r >= 0) & (r < ny)
-    idx = jnp.where(valid, r * nx + c, 0)
+    rr = jnp.where(valid, r, 0)
+    cc = jnp.where(valid, c, 0)
     ident = -jnp.inf if bin_type == "max" else jnp.inf
     zv = jnp.where(valid, z, ident)
     if bin_type == "max":
-        return grid.at[idx].max(zv, mode="drop")
-    return grid.at[idx].min(zv, mode="drop")
+        return grid.at[rr, cc].max(zv, mode="drop")
+    return grid.at[rr, cc].min(zv, mode="drop")
+
+
+def _sentinel_to_nan(grid, bin_type):
+    """Map only the reduction identity (never a legitimate ±inf data
+    value) to NaN — matches scatter_reduce's empty-cell convention."""
+    empty = (jnp.isneginf(grid) if bin_type == "max"
+             else jnp.isposinf(grid))
+    return jnp.where(empty, jnp.nan, grid)
 
 
 def grid_points_device(x, y, z, cellsize=1, bin_type="max", edges=None,
@@ -247,7 +299,7 @@ def grid_points_device(x, y, z, cellsize=1, bin_type="max", edges=None,
                            jnp.asarray(z, dtype=jnp.float32),
                            jnp.float32(1.0 / t.a), ny, nx, bin_type,
                            method)
-        return jnp.reshape(grid, (ny, nx)), t
+        return grid, t
     if method != "scatter":
         raise ValueError("chunked streaming requires method='scatter' "
                          "(min/max scatter is order-independent; the "
@@ -261,7 +313,7 @@ def grid_points_device(x, y, z, cellsize=1, bin_type="max", edges=None,
     from .binning_native import origin_shift_native
     n = x.size
     ident = -np.inf if bin_type == "max" else np.inf
-    grid = jnp.full((ny * nx,), np.float32(ident), dtype=jnp.float32)
+    grid = jnp.full((ny, nx), np.float32(ident), dtype=jnp.float32)
     inv = jnp.float32(1.0 / t.a)
     size = -(-n // int(chunks))
     for lo in range(0, n, size):
@@ -285,8 +337,7 @@ def grid_points_device(x, y, z, cellsize=1, bin_type="max", edges=None,
         grid = _grid_scatter_accum(grid, jnp.asarray(xr),
                                    jnp.asarray(yr), jnp.asarray(zc),
                                    inv, ny, nx, bin_type)
-    grid = jnp.where(jnp.isinf(grid), jnp.nan, grid)
-    return jnp.reshape(grid, (ny, nx)), t
+    return _sentinel_to_nan(grid, bin_type), t
 
 
 def create_dem_from_las(filename, cellsize=1, bin_type="max",
@@ -345,7 +396,7 @@ def create_dem_from_las(filename, cellsize=1, bin_type="max",
     class_arr = (None if classes is None
                  else np.asarray(list(classes), dtype=np.uint8))
     ident = -np.inf if bin_type == "max" else np.inf
-    grid = jnp.full((ny * nx,), np.float32(ident), dtype=jnp.float32)
+    grid = jnp.full((ny, nx), np.float32(ident), dtype=jnp.float32)
     inv = jnp.float32(1.0 / t.a)
     pad_to = -(-min(chunk_points, hdr["num_point_records"]) // stride)
     for chunk in read_las_chunks(filename, chunk_points=chunk_points,
@@ -370,7 +421,7 @@ def create_dem_from_las(filename, cellsize=1, bin_type="max",
         grid = _grid_scatter_accum(grid, jnp.asarray(xr),
                                    jnp.asarray(yr), jnp.asarray(zc),
                                    inv, ny, nx, bin_type)
-    I = jnp.reshape(jnp.where(jnp.isinf(grid), jnp.nan, grid), (ny, nx))
+    I = _sentinel_to_nan(grid, bin_type)
     if inpaint:
         from .inpaint import inpaint_nans_by_springs
         I = inpaint_nans_by_springs(I)
@@ -403,9 +454,21 @@ def create_dem(x, y, z, cellsize=1, bin_type="max", inpaint=False,
     z = np.asarray(z, dtype=np.float64)
     flat, valid, (ny, nx), t = bin_points(x, y, cellsize=cellsize,
                                           edges=edges)
-    grid = scatter_reduce(flat, z, valid, ny * nx, bin_type=bin_type,
-                          method=method)
-    I = jnp.reshape(grid, (ny, nx))
+    if ny * nx > _INT32_MAX:
+        # the flat int64 host index does not fit the device's int32 —
+        # split into (row, col) components, each of which does
+        if method != "scatter":
+            raise ValueError("grids beyond 2**31 cells require "
+                             "method='scatter' (the sort path keys on "
+                             "a flat int32 index)")
+        r = (flat // nx).astype(np.int32)
+        c = (flat % nx).astype(np.int32)
+        I = _scatter_reduce_rc(r, c, z.astype(np.float32), valid,
+                               ny, nx, bin_type)
+    else:
+        grid = scatter_reduce(flat, z, valid, ny * nx,
+                              bin_type=bin_type, method=method)
+        I = jnp.reshape(grid, (ny, nx))
     if inpaint:
         from .inpaint import inpaint_nans_by_springs
         I = inpaint_nans_by_springs(I)

@@ -9,6 +9,15 @@ classes, local Moran's I, SMRF object cells), with tile-granular
 checkpoint/resume (SURVEY.md §5: "tile-granular restart for the
 100k x 100k mosaic config is the one real need").
 
+Composing with the mesh (config-5's actual topology): pass ``mesh=``
+and the tile stream is round-robined across the mesh devices — each
+device runs the SAME fused tile program on its own tile under
+``shard_map`` (tiles carry their own overlap halo, so no cross-device
+collective is needed; upload/readback per device overlap through the
+async dispatch queue).  Out-of-core streaming and multi-chip execution
+then compose: a 100k x 100k mosaic on a v5e-8 runs 8 tiles per
+dispatch with per-tile checkpoint keys.
+
 The overlap is chosen for exactness, not vibes:
 
 * geomorphons at lookup L need an L-px halo;
@@ -19,11 +28,12 @@ The overlap is chosen for exactness, not vibes:
   z-normalization is global and is computed in a first streaming
   pass over the raw tiles).
 
-so ``overlap = max(lookup, 2*sum(windows), gi_radius + 1)`` makes the
-tiled result equal the untiled one everywhere except within
-``overlap`` pixels of the *global* mosaic boundary, where tile edge
-padding approximates each kernel's own boundary convention (asserted
-in tests, same contract the reference accepted from apply_parallel).
+so ``overlap = max(lookup, 2*sum(windows), gi_radius + 1)`` (over the
+*requested* products only) makes the tiled result equal the untiled
+one everywhere except within ``overlap`` pixels of the *global* mosaic
+boundary, where tile edge padding approximates each kernel's own
+boundary convention (asserted in tests, same contract the reference
+accepted from apply_parallel).
 """
 
 from __future__ import annotations
@@ -42,37 +52,66 @@ from ..ops.stats import local_morans_i
 __all__ = ["mosaic_terrain_products", "required_overlap"]
 
 
-def required_overlap(lookup_pixels=0, windows=(), gi_radius=0):
-    """Exactness halo for the fused tile kernel (see module docstring)."""
-    ladder = int(2 * np.sum(windows)) if np.size(windows) else 0
-    gi = int(gi_radius) + 1 if gi_radius else 0
-    return max(int(lookup_pixels), ladder, gi)
+#: fixed product order on the wire and in the returned tuple
+_PRODUCT_ORDER = ("geomorphons", "objects", "moran", "gi",
+                  "openness_pos", "openness_neg")
 
 
-@lru_cache(maxsize=16)
-def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
-                      gi_radius, use_pallas, fast, how_fast, compact,
-                      tile_size, overlap, n_chunks, gi_star=False,
-                      with_openness=False):
-    """Build (and cache) the fused jitted tile WIRE kernel: products,
-    overlap crop, byte-packing, and readback chunking all inside one
-    program, so a tile costs ONE dispatch (the tunneled runtime pays
-    up to ~1 s of latency per eager dispatch — an eager epilogue was
-    90% of mosaic wall-clock).
+def required_overlap(lookup_pixels=0, windows=(), gi_radius=0,
+                     products=None):
+    """Exactness halo for the fused tile kernel (see module docstring).
+    With ``products`` given, only the halos of the requested products
+    count — a geomorphons-only mosaic needs just the lookup halo."""
+    if products is None:
+        products = ("geomorphons", "objects", "moran")
+    needs = set(products)
+    lk = (int(lookup_pixels)
+          if needs & {"geomorphons", "openness_pos", "openness_neg"}
+          else 0)
+    ladder = (int(2 * np.sum(windows))
+              if "objects" in needs and np.size(windows) else 0)
+    gi = int(gi_radius) + 1 if needs & {"moran", "gi"} and gi_radius \
+        else 0
+    return max(lk, ladder, gi)
 
-    Caching by static parameters keeps the compiled program alive
-    across ``mosaic_terrain_products`` calls — a fresh closure per call
-    would recompile the (expensive, server-side for Pallas) program
-    inside every mosaic run.  The global Moran moments and the ladder
-    thresholds are traced arguments for the same reason.
+
+def _normalize_products(products, gi_star, openness):
+    if products is None:
+        products = ["geomorphons", "objects", "moran"]
+    else:
+        products = list(products)
+    if gi_star and "gi" not in products:
+        products.append("gi")
+    if openness:
+        for p in ("openness_pos", "openness_neg"):
+            if p not in products:
+                products.append(p)
+    unknown = set(products) - set(_PRODUCT_ORDER)
+    if unknown:
+        raise ValueError(f"unknown mosaic products {sorted(unknown)}; "
+                         f"choose from {_PRODUCT_ORDER}")
+    if ("openness_pos" in products) != ("openness_neg" in products):
+        # one ladder pass produces both; forcing the pair keeps the
+        # wire layout unambiguous
+        raise ValueError("openness_pos/openness_neg come as a pair")
+    return tuple(p for p in _PRODUCT_ORDER if p in products)
+
+
+def _make_product_body(cellsize, lookup_pixels, threshold_angle, win,
+                       gi_radius, use_pallas, fast, how_fast, compact,
+                       tile_size, overlap, products):
+    """Pure fused tile program: ``(block, thresholds, mean, s2, n) ->
+    packed (tile_size, n_bytes) uint8`` — every requested product,
+    overlap crop, and byte-packing in one traceable body, shared by the
+    single-chip wire kernel and the per-shard mesh kernel.
 
     ``compact`` selects the wire encoding: geomorphon class and object
-    bit share one uint8 (class 1-10 needs 7 bits; bit 7 carries the
-    object flag — lossless) and Moran's I travels as bfloat16 (~3
-    significant digits; the only lossy leg).  That is 3 B/px on the
-    wire instead of 6 — the device->host link is the mosaic
-    bottleneck, not the kernel.
-    """
+    bit share one uint8 when both are requested (class 1-10 needs 7
+    bits; bit 7 carries the object flag — lossless) and float products
+    travel as bfloat16 (~3 significant digits; the only lossy leg).
+    That is 3 B/px on the wire instead of 6 for the default product
+    set — the device->host link is the mosaic bottleneck, not the
+    kernel."""
     from ..ops.morphology import _disk_morph
     from ..dist.tiling import _pack_device
 
@@ -90,76 +129,174 @@ def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
                                     engine="xla")
 
     ts, ov = tile_size, overlap
+    combine = compact and ("geomorphons" in products
+                           and "objects" in products)
 
-    @jax.jit
-    def tile_kernel(block, thresholds, mean, s2, n):
-        g = geo(block)
-        mi = local_morans_i(block, footprint=gi_radius, mean=mean,
-                            s2=s2)
-        last = block
-        objects = jnp.zeros(block.shape, dtype=bool)
-        for i, w in enumerate(win):
-            opened = _disk_morph(_disk_morph(last, w, jnp.minimum), w,
-                                 jnp.maximum)
-            objects = objects | ((last - opened) > thresholds[i])
-            last = opened
-        if gi_star:
+    def body(block, thresholds, mean, s2, n):
+        vals = {}
+        if "geomorphons" in products:
+            vals["geomorphons"] = geo(block)
+        if "objects" in products:
+            last = block
+            objects = jnp.zeros(block.shape, dtype=bool)
+            for i, w in enumerate(win):
+                opened = _disk_morph(_disk_morph(last, w, jnp.minimum),
+                                     w, jnp.maximum)
+                objects = objects | ((last - opened) > thresholds[i])
+                last = opened
+            vals["objects"] = objects
+        if "moran" in products:
+            vals["moran"] = local_morans_i(block, footprint=gi_radius,
+                                           mean=mean, s2=s2)
+        if "gi" in products:
             from ..ops.stats import rasterGi
             _, _, gi = rasterGi(block, footprint=gi_radius, star=True,
                                 global_mean=mean, global_var=s2,
                                 global_n=n)
-        if with_openness:
+            vals["gi"] = gi
+        if "openness_pos" in products:
             from ..ops.visibility import openness
             eng = "pallas" if use_pallas else "xla"
-            op = openness(block, cellsize=cellsize,
-                          lookup_pixels=lookup_pixels, fast=fast,
-                          how_fast=how_fast, engine=eng)
-            on = openness(-block, cellsize=cellsize,
-                          lookup_pixels=lookup_pixels, fast=fast,
-                          how_fast=how_fast, engine=eng)
-        if compact:
-            res = ((g.astype(jnp.uint8)
-                    | (objects.astype(jnp.uint8) << 7)),
-                   mi.astype(jnp.bfloat16))
-            if gi_star:
-                # the ±3 significance bins (and NaN) are exact in bf16
-                res = res + (gi.astype(jnp.bfloat16),)
-            if with_openness:
-                res = res + (op.astype(jnp.bfloat16),
-                             on.astype(jnp.bfloat16))
-        else:
-            res = (g.astype(jnp.uint8), objects, mi)
-            if gi_star:
-                res = res + (gi,)
-            if with_openness:
-                res = res + (op, on)
+            vals["openness_pos"] = openness(
+                block, cellsize=cellsize, lookup_pixels=lookup_pixels,
+                fast=fast, how_fast=how_fast, engine=eng)
+            vals["openness_neg"] = openness(
+                -block, cellsize=cellsize, lookup_pixels=lookup_pixels,
+                fast=fast, how_fast=how_fast, engine=eng)
+
+        res = []
+        for p in products:
+            a = vals[p]
+            if combine and p == "geomorphons":
+                a = (a.astype(jnp.uint8)
+                     | (vals["objects"].astype(jnp.uint8) << 7))
+            elif combine and p == "objects":
+                continue  # riding bit 7 of the geomorphon byte
+            elif compact and p in ("moran", "gi", "openness_pos",
+                                   "openness_neg"):
+                # the ±3 Gi significance bins (and NaN) are exact in
+                # bf16; moran/openness round to ~3 significant digits
+                a = a.astype(jnp.bfloat16)
+            elif p == "geomorphons":
+                a = a.astype(jnp.uint8)
+            res.append(a)
         res = tuple(a[ov:ov + ts, ov:ov + ts] for a in res)
         packed, _ = _pack_device(res)
+        return packed
+
+    return body
+
+
+@lru_cache(maxsize=16)
+def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
+                      gi_radius, use_pallas, fast, how_fast, compact,
+                      tile_size, overlap, n_chunks, products):
+    """Build (and cache) the fused jitted single-chip tile WIRE kernel:
+    the product body plus readback chunking inside one program, so a
+    tile costs ONE dispatch (the tunneled runtime pays up to ~1 s of
+    latency per eager dispatch — an eager epilogue was 90% of mosaic
+    wall-clock).
+
+    Caching by static parameters keeps the compiled program alive
+    across ``mosaic_terrain_products`` calls — a fresh closure per call
+    would recompile the (expensive, server-side for Pallas) program
+    inside every mosaic run.  The global Moran moments and the ladder
+    thresholds are traced arguments for the same reason.
+    """
+    body = _make_product_body(cellsize, lookup_pixels, threshold_angle,
+                              win, gi_radius, use_pallas, fast,
+                              how_fast, compact, tile_size, overlap,
+                              products)
+    ts = tile_size
+
+    @jax.jit
+    def tile_kernel(block, thresholds, mean, s2, n):
+        packed = body(block, thresholds, mean, s2, n)
         step = -(-ts // n_chunks)
         return tuple(packed[i:i + step] for i in range(0, ts, step))
 
     return tile_kernel
 
 
-def _wire_specs(compact, gi_star=False, with_openness=False):
-    n_extra = int(gi_star) + 2 * int(with_openness)
-    if compact:
-        specs = [(np.dtype(np.uint8), 1), (np.dtype(jnp.bfloat16), 2)]
-        specs += [(np.dtype(jnp.bfloat16), 2)] * n_extra
-        return specs
-    specs = [(np.dtype(np.uint8), 1), (np.dtype(bool), 1),
-             (np.dtype(np.float32), 4)]
-    specs += [(np.dtype(np.float32), 4)] * n_extra
+@lru_cache(maxsize=16)
+def _make_mesh_tile_kernel(mesh1, cellsize, lookup_pixels,
+                           threshold_angle, win, gi_radius, use_pallas,
+                           fast, how_fast, compact, tile_size, overlap,
+                           products):
+    """Per-GROUP mesh kernel: ``(D, B, B) blocks -> (D, ts, n_bytes)``
+    wire buffers, one tile per device under ``shard_map`` over the flat
+    ``tile`` axis.  Tiles are independent (each carries its own overlap
+    halo), so the program contains no collective — D fused tile
+    programs run concurrently, one per chip, and the sharded output's
+    per-device shards are read back independently."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    body = _make_product_body(cellsize, lookup_pixels, threshold_angle,
+                              win, gi_radius, use_pallas, fast,
+                              how_fast, compact, tile_size, overlap,
+                              products)
+
+    def local(blocks, thresholds, mean, s2, n):
+        return body(blocks[0], thresholds, mean, s2, n)[None]
+
+    axis = tuple(mesh1.shape.keys())[0]
+    # check_vma=False: the pallas-call output inside the shard does not
+    # carry mesh-axis vma types (same workaround dist.api uses)
+    return jax.jit(shard_map(
+        local, mesh=mesh1,
+        in_specs=(P(axis), P(), P(), P(), P()),
+        out_specs=P(axis), check_vma=False))
+
+
+def _wire_specs(compact, products):
+    combine = compact and ("geomorphons" in products
+                           and "objects" in products)
+    specs = []
+    for p in products:
+        if p == "geomorphons":
+            specs.append((np.dtype(np.uint8), 1))
+        elif p == "objects":
+            if combine:
+                continue
+            specs.append((np.dtype(bool), 1))
+        elif compact:
+            specs.append((np.dtype(jnp.bfloat16), 2))
+        else:
+            specs.append((np.dtype(np.float32), 4))
     return specs
 
 
-def _decode_compact(res):
-    combo, mi = res[0], res[1]
-    out = (combo & 0x7F, combo >= 128,
-           np.asarray(mi).astype(np.float32))
-    for extra in res[2:]:
-        out = out + (np.asarray(extra).astype(np.float32),)
-    return out
+def _make_decode(compact, products):
+    """Host decode: wire products -> caller products (fixed order)."""
+    combine = compact and ("geomorphons" in products
+                           and "objects" in products)
+
+    def decode(res):
+        out = []
+        i = 0
+        for p in products:
+            if combine and p == "geomorphons":
+                combo = res[i]
+                out.append(combo & 0x7F)
+                i += 1
+            elif combine and p == "objects":
+                out.append(res[i - 1] >= 128)
+            elif compact and p in ("moran", "gi", "openness_pos",
+                                   "openness_neg"):
+                out.append(np.asarray(res[i]).astype(np.float32))
+                i += 1
+            else:
+                out.append(res[i])
+                i += 1
+        return tuple(out)
+
+    return decode if (compact or combine) else None
+
+
+_OUT_DTYPE = {"geomorphons": np.uint8, "objects": bool,
+              "moran": np.float32, "gi": np.float32,
+              "openness_pos": np.float32, "openness_neg": np.float32}
 
 
 def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
@@ -169,62 +306,75 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                             out=None, progress=False, use_pallas=None,
                             fast=False, how_fast=20, wire="auto",
                             pipeline_depth=3, wire_chunks=None,
-                            gi_star=False, openness=False):
+                            gi_star=False, openness=False,
+                            products=None, mesh=None):
     """Stream a (possibly memory-mapped) mosaic through one fused tile
-    kernel computing geomorphon classes, SMRF object cells, and local
-    Moran's I; resumable at tile granularity via ``checkpoint``.
+    kernel computing the requested products; resumable at tile
+    granularity via ``checkpoint``.
 
-    Returns ``(geomorphons uint8, object_cells bool, morans_i f32)``;
-    with ``gi_star=True`` a fourth product is appended — the Getis-Ord
-    Gi* ArcGIS-style significance bins (float32 in {0, ±1, ±2, ±3},
-    NaN over NaN cells) with the same ``gi_radius`` square
-    neighbourhood, z-scored against the GLOBAL mosaic moments (bins
-    are small integers, so they stay exact even on the compact wire).
-    With ``openness=True``, positive and negative Yokoyama openness
-    (same ``lookup_pixels`` scan ladder as the geomorphons, so the
-    overlap is already exact) are appended as two float32 products —
-    two extra ladder passes per tile, and on the compact wire they
-    round to bfloat16 like Moran's I.  Products are returned in the
-    fixed order geomorphons, objects, moran [, gi] [, pos, neg].
-    ``out`` may be a tuple of matching preallocated (memory-mapped)
-    arrays for mosaics that do not fit in RAM.
+    ``products`` selects what the tile kernel computes (and pays for):
+    any subset of ``("geomorphons", "objects", "moran", "gi",
+    "openness_pos", "openness_neg")``, returned in that fixed order;
+    default ``("geomorphons", "objects", "moran")`` — the classic
+    config-5 trio.  ``gi_star=True`` / ``openness=True`` append their
+    products (kept for API continuity).  The Gi* product is the
+    ArcGIS-style significance bins (float32 in {0, ±1, ±2, ±3}, NaN
+    over NaN cells) with the same ``gi_radius`` square neighbourhood,
+    z-scored against the GLOBAL mosaic moments; openness is the
+    positive/negative Yokoyama pair on the same ``lookup_pixels``
+    ladder.  The first streaming pass for the global Moran/Gi moments
+    only runs when ``moran``/``gi`` are requested.  ``out`` may be a
+    tuple of matching preallocated (memory-mapped) arrays for mosaics
+    whose products do not fit in RAM.
+
+    ``mesh`` composes the out-of-core stream with multi-chip execution:
+    tiles are round-robined over ``mesh``'s devices (any mesh shape —
+    it is flattened to one ``tile`` axis) and each device runs the same
+    fused tile program on its own tile per dispatch.  Results,
+    checkpoint granularity, and resume semantics are identical to the
+    single-device path (asserted in tests on a virtual 8-device mesh).
 
     ``wire`` controls the device->host encoding of each tile:
     ``'exact'`` sends uint8 + bool + float32 products; ``'compact'``
-    halves the wire (class+object share a byte, Moran's I as bfloat16
-    — classes and object cells stay EXACT, Moran values round to ~3
+    halves the wire (class+object share a byte, float products as
+    bfloat16 — classes and object cells stay EXACT, floats round to ~3
     significant digits).  ``'auto'`` picks compact on the TPU backend,
     where the tunnel/PCIe link — not the kernel — bounds mosaic
     throughput, and exact elsewhere.
     """
+    products = _normalize_products(products, gi_star, openness)
     if np.isscalar(windows):
         windows = np.arange(windows) + 1
     windows = np.atleast_1d(np.asarray(windows))
-    ov = required_overlap(lookup_pixels, windows, gi_radius)
+    ov = required_overlap(lookup_pixels, windows, gi_radius, products)
 
-    # Global Moran's z-normalization: one cheap streaming pass for the
+    # Global Moran/Gi z-normalization: one cheap streaming pass for the
     # global mean/variance (the tile kernel must not normalize locally
     # or tiled != untiled).  Lazy 2-D sources (io.geotiff.GeoTiffSource,
     # np.memmap) pass through un-materialized: both this pass and
-    # tiled_apply read them window-by-window.
+    # tiled_apply read them window-by-window.  Skipped entirely when no
+    # requested product needs the moments.
     if not (hasattr(Z, "shape") and hasattr(Z, "dtype")
             and hasattr(Z, "__getitem__")):
         Z = np.asarray(Z)
-    gsum = 0.0
-    gsq = 0.0
+    mean = s2 = 0.0
     n_finite = 0
-    for r0 in range(0, Z.shape[0], 4096):
-        blk = np.asarray(Z[r0:r0 + 4096], dtype=np.float64)
-        m = np.isfinite(blk)
-        gsum += blk[m].sum()
-        gsq += (blk[m] ** 2).sum()
-        n_finite += int(m.sum())
-    mean = gsum / max(n_finite, 1)
-    s2 = gsq / max(n_finite, 1) - mean * mean
+    if {"moran", "gi"} & set(products):
+        gsum = 0.0
+        gsq = 0.0
+        for r0 in range(0, Z.shape[0], 4096):
+            blk = np.asarray(Z[r0:r0 + 4096], dtype=np.float64)
+            m = np.isfinite(blk)
+            gsum += blk[m].sum()
+            gsq += (blk[m] ** 2).sum()
+            n_finite += int(m.sum())
+        mean = gsum / max(n_finite, 1)
+        s2 = gsq / max(n_finite, 1) - mean * mean
 
     thresholds = jnp.asarray(slope_threshold * (windows * cellsize),
                              dtype=jnp.float32)
-    win = tuple(int(w) for w in windows)
+    win = tuple(int(w) for w in windows) if "objects" in products \
+        else ()
 
     # On TPU the Pallas VMEM-ladder kernel classifies ~10x faster than
     # the XLA scan and treats tile edges with the same edge-replication
@@ -235,13 +385,37 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
         wire = "compact" if jax.default_backend() == "tpu" else "exact"
     compact = wire == "compact"
 
+    specs = _wire_specs(compact, products)
+    px_bytes = sum(nb for _, nb in specs)
+    decode = _make_decode(compact, products)
+    out_dtype = tuple(_OUT_DTYPE[p] for p in products)
+
+    if mesh is not None:
+        from jax.sharding import Mesh
+        devs = mesh.devices.reshape(-1)
+        mesh1 = Mesh(devs, ("tile",))
+        kernel = _make_mesh_tile_kernel(
+            mesh1, float(cellsize), int(lookup_pixels),
+            float(threshold_angle), win, int(gi_radius),
+            bool(use_pallas), bool(fast), int(how_fast), compact,
+            int(tile_size), int(ov), products)
+        mesh_fn = lambda blocks: kernel(blocks, thresholds,
+                                        jnp.float32(mean),
+                                        jnp.float32(s2),
+                                        jnp.float32(n_finite))
+        res = tiled_apply(None, Z, tile_size=tile_size, overlap=ov,
+                          out=out, out_dtype=out_dtype,
+                          checkpoint=checkpoint, progress=progress,
+                          pipeline_depth=pipeline_depth,
+                          wire_specs=specs, decode=decode,
+                          mesh=mesh1, mesh_wire_fn=mesh_fn)
+        return res
+
     # chunk the wire buffer into ~12 MB pieces: several in-flight
     # async host copies measured 2-5x faster than one monolithic
     # transfer through the tunnel, but too many chunks re-serialize
     # on per-transfer latency (16k^2 sweep: 4 chunks at tile 4096
     # beat 8 and 1; see BENCH notes)
-    n_extra = int(gi_star) + 2 * int(openness)
-    px_bytes = (3 + 2 * n_extra) if compact else (6 + 4 * n_extra)
     n_chunks = (int(wire_chunks) if wire_chunks
                 else max(1, min(16, round(tile_size ** 2 * px_bytes
                                           / (12 << 20)))))
@@ -249,16 +423,12 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
         float(cellsize), int(lookup_pixels), float(threshold_angle),
         win, int(gi_radius), bool(use_pallas), bool(fast),
         int(how_fast), compact, int(tile_size), int(ov), n_chunks,
-        bool(gi_star), bool(openness))
+        products)
     wire_fn = lambda b: kernel(b, thresholds, jnp.float32(mean),
                                jnp.float32(s2), jnp.float32(n_finite))
 
-    out_dtype = ((np.uint8, bool, np.float32)
-                 + (np.float32,) * n_extra)
     return tiled_apply(None, Z, tile_size=tile_size, overlap=ov,
                        out=out, out_dtype=out_dtype,
                        checkpoint=checkpoint, progress=progress,
                        pipeline_depth=pipeline_depth, wire_fn=wire_fn,
-                       wire_specs=_wire_specs(compact, gi_star,
-                                              openness),
-                       decode=_decode_compact if compact else None)
+                       wire_specs=specs, decode=decode)

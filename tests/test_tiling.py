@@ -258,6 +258,123 @@ def test_mosaic_from_geotiff_source(tmp_path, rng):
     np.testing.assert_allclose(M1, M2, atol=1e-6)
 
 
+def test_mosaic_products_opt_in(rng):
+    """``products=`` computes (and pays for) only what was asked:
+    a geomorphons-only mosaic needs just the lookup halo, skips the
+    global-moments pass, and returns a 1-tuple equal to the full run's
+    geomorphon product."""
+    from neilpy_tpu.pipelines.mosaic import (mosaic_terrain_products,
+                                             required_overlap)
+    Z = rng.normal(size=(90, 100)).cumsum(axis=0).astype(np.float32)
+    kw = dict(cellsize=1, lookup_pixels=4, windows=np.array([1, 2]),
+              gi_radius=2, tile_size=48)
+    G, O, MI = mosaic_terrain_products(Z, **kw)
+    (G2,) = mosaic_terrain_products(Z, products=("geomorphons",), **kw)
+    np.testing.assert_array_equal(G, G2)
+    (O2,) = mosaic_terrain_products(Z, products=("objects",), **kw)
+    np.testing.assert_array_equal(O, O2)
+    M3, = mosaic_terrain_products(Z, products=("moran",), **kw)
+    np.testing.assert_allclose(MI, M3, atol=1e-6)
+    # overlap scales down with the requested set
+    assert required_overlap(4, np.array([1, 2]), 2,
+                            ("geomorphons",)) == 4
+    assert required_overlap(4, np.array([1, 2]), 2, ("moran",)) == 3
+    assert required_overlap(4, np.array([1, 2]), 2,
+                            ("objects",)) == 6
+    with pytest.raises(ValueError, match="unknown"):
+        mosaic_terrain_products(Z, products=("nope",), **kw)
+    with pytest.raises(ValueError, match="pair"):
+        mosaic_terrain_products(Z, products=("openness_pos",), **kw)
+
+
+class TestMosaicMesh:
+    """Config-5 topology: out-of-core tile streaming COMPOSED with
+    multi-chip execution — tiles round-robined over the (virtual
+    8-device) mesh, one fused tile program per device per dispatch
+    (VERDICT r3 #1).  Results must be identical to the single-device
+    stream, checkpoint/resume included."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        from neilpy_tpu.dist.api import make_mesh
+        return make_mesh()
+
+    def test_mesh_matches_single(self, mesh, rng):
+        from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+        Z = rng.normal(size=(200, 260)).cumsum(axis=0).astype(np.float32)
+        Z[60:63, 70:74] = np.nan  # nodata hole crosses a tile
+        kw = dict(cellsize=2, lookup_pixels=6, windows=np.array([1, 2]),
+                  gi_radius=2, tile_size=48)
+        G1, O1, M1 = mosaic_terrain_products(Z, **kw)
+        G2, O2, M2 = mosaic_terrain_products(Z, mesh=mesh, **kw)
+        np.testing.assert_array_equal(G1, G2)
+        np.testing.assert_array_equal(O1, O2)
+        np.testing.assert_array_equal(np.nan_to_num(M1, nan=9e9),
+                                      np.nan_to_num(M2, nan=9e9))
+
+    def test_mesh_compact_wire_and_subset(self, mesh, rng):
+        from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+        Z = rng.normal(size=(150, 170)).cumsum(axis=1).astype(np.float32)
+        kw = dict(cellsize=1, lookup_pixels=4, windows=np.array([1]),
+                  gi_radius=1, tile_size=48)
+        G1, O1, M1 = mosaic_terrain_products(Z, **kw)
+        G2, O2, M2 = mosaic_terrain_products(Z, mesh=mesh,
+                                             wire="compact", **kw)
+        np.testing.assert_array_equal(G1, G2)  # classes exact on wire
+        np.testing.assert_array_equal(O1, O2)
+        np.testing.assert_allclose(M1, M2, rtol=1e-2, atol=1e-2)
+        (G3,) = mosaic_terrain_products(Z, mesh=mesh,
+                                        products=("geomorphons",), **kw)
+        np.testing.assert_array_equal(G1, G3)
+
+    def test_mesh_checkpoint_resume(self, mesh, tmp_path, rng):
+        """Per-TILE checkpoint keys survive the grouped mesh dispatch:
+        pre-marking an arbitrary subset (as a mid-group kill would
+        leave) resumes only the missing tiles, on any group boundary."""
+        from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+        Z = rng.normal(size=(190, 230)).cumsum(axis=0).astype(np.float32)
+        kw = dict(cellsize=1, lookup_pixels=3, windows=np.array([1]),
+                  gi_radius=1, tile_size=48)
+        G0, O0, M0 = mosaic_terrain_products(Z, **kw)
+
+        ck = str(tmp_path / "mesh_mosaic.json")
+        full = mosaic_terrain_products(Z, mesh=mesh, checkpoint=ck, **kw)
+        # simulate a kill that completed 5 arbitrary tiles: keep their
+        # outputs, drop the rest, resume over the mesh
+        c = TileCheckpoint(str(tmp_path / "partial.json"))
+        done = [(0, 0), (1, 2), (2, 4), (3, 1), (0, 3)]
+        for k in done:
+            c.mark(k)
+        outs = tuple(np.zeros_like(a) for a in full)
+        for (ty, tx) in done:
+            for o, f in zip(outs, full):
+                o[ty * 48:(ty + 1) * 48, tx * 48:(tx + 1) * 48] = \
+                    f[ty * 48:(ty + 1) * 48, tx * 48:(tx + 1) * 48]
+        res = mosaic_terrain_products(
+            Z, mesh=mesh, checkpoint=str(tmp_path / "partial.json"),
+            out=outs, **kw)
+        for r, f in zip(res, (G0, O0, M0)):
+            np.testing.assert_array_equal(np.nan_to_num(r, nan=9e9),
+                                          np.nan_to_num(f, nan=9e9))
+
+    def test_mesh_from_lazy_source(self, mesh, tmp_path, rng):
+        """Out-of-core AND multi-chip at once: a lazy GeoTiffSource
+        streams window-by-window into the mesh-grouped dispatch."""
+        from neilpy_tpu.io.geotiff import write_geotiff, GeoTiffSource
+        from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+        Z = rng.normal(size=(140, 120)).cumsum(axis=0).astype(np.float32)
+        fn = str(tmp_path / "dem.tif")
+        write_geotiff(fn, Z, compress="deflate")
+        kw = dict(cellsize=1, lookup_pixels=3, windows=np.array([1]),
+                  gi_radius=1, tile_size=48)
+        G1, O1, M1 = mosaic_terrain_products(Z, **kw)
+        G2, O2, M2 = mosaic_terrain_products(GeoTiffSource(fn),
+                                             mesh=mesh, **kw)
+        np.testing.assert_array_equal(G1, G2)
+        np.testing.assert_array_equal(O1, O2)
+        np.testing.assert_allclose(M1, M2, atol=1e-6)
+
+
 def test_tiled_apply_lazy_source_streaming(tmp_path, rng):
     """tiled_apply's true streaming path (device_input=False) slices
     windows straight off a lazy source."""
