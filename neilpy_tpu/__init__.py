@@ -47,7 +47,8 @@ from .ops.surface import (esri_slope, slope, aspect, curvature,
                           scaled_morphometry)
 
 # ----- visibility / geomorphons --------------------------------------
-from .ops.visibility import (openness, skyview_factor, count_openness,
+from .ops.visibility import (openness, openness_pair, skyview_factor,
+                             count_openness,
                              geomorphons, geomorphons2,
                              ternary_pattern_from_openness,
                              get_geomorphons, get_geomorphon_from_openness)

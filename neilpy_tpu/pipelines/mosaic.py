@@ -155,13 +155,13 @@ def _make_product_body(cellsize, lookup_pixels, threshold_angle, win,
                                 global_n=n)
             vals["gi"] = gi
         if "openness_pos" in products:
-            from ..ops.visibility import openness
+            # one ladder pass yields BOTH planes (openness_pair); on
+            # the Pallas engine the 8-direction reduction happens
+            # in-kernel — 2 HBM plane writes instead of 16
+            from ..ops.visibility import openness_pair
             eng = "pallas" if use_pallas else "xla"
-            vals["openness_pos"] = openness(
+            vals["openness_pos"], vals["openness_neg"] = openness_pair(
                 block, cellsize=cellsize, lookup_pixels=lookup_pixels,
-                fast=fast, how_fast=how_fast, engine=eng)
-            vals["openness_neg"] = openness(
-                -block, cellsize=cellsize, lookup_pixels=lookup_pixels,
                 fast=fast, how_fast=how_fast, engine=eng)
 
         res = []

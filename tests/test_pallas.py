@@ -158,3 +158,106 @@ def test_ternary_pattern_engine(rng):
     b = np.asarray(ternary_pattern_from_openness(Z, lookup_pixels=5,
                                                  engine="pallas"))
     np.testing.assert_array_equal(a, b)
+
+
+class TestFusedReduction:
+    """The fused in-kernel reduction kernels (VERDICT r3 #4): openness
+    / skyview / ternary reduce the 8 directional extrema inside the
+    Pallas kernel (2/1/1 HBM plane writes instead of 16).  Interpret
+    mode on CPU; the hardware check runs the same kernels via Mosaic."""
+
+    def test_atan_f32_accuracy(self):
+        """In-kernel atan (Mosaic has no atan primitive): Cephes-style
+        f32 range reduction + odd minimax polynomial must stay within
+        ~2e-7 rad of the f64 oracle across 12 decades and the special
+        values."""
+        from neilpy_tpu.ops.pallas_scan import _atan_f32
+        x = np.concatenate([
+            np.linspace(-100, 100, 40001),
+            np.logspace(-8, 8, 4001), -np.logspace(-8, 8, 4001),
+            [0.0, -0.0, np.inf, -np.inf, 1.0, -1.0,
+             0.4142135623730950, 2.414213562373095]]).astype(np.float32)
+        got = np.asarray(_atan_f32(x))
+        want = np.arctan(x.astype(np.float64))
+        assert np.max(np.abs(got - want)) < 2e-7
+        assert got[np.where(x == np.inf)[0][0]] == np.float32(np.pi / 2)
+        assert np.isnan(np.asarray(_atan_f32(np.float32(np.nan))))
+
+    def test_openness_pair_engines(self, rng):
+        """openness_pair: one ladder pass, both planes, both engines;
+        the XLA pair is bit-identical to the two-pass openness(Z) /
+        openness(-Z); the Pallas pair is within the in-kernel atan
+        tolerance."""
+        from neilpy_tpu.ops.visibility import openness, openness_pair
+        Z = rng.normal(size=(90, 110)).cumsum(axis=0).astype(np.float32)
+        Z[20:24, 30:36] = np.nan
+        p2 = np.asarray(openness(Z, cellsize=2, lookup_pixels=8,
+                                 engine="xla"))
+        n2 = np.asarray(openness(-Z, cellsize=2, lookup_pixels=8,
+                                 engine="xla"))
+        p1, n1 = openness_pair(Z, cellsize=2, lookup_pixels=8,
+                               engine="xla")
+        np.testing.assert_array_equal(np.asarray(p1), p2)
+        np.testing.assert_array_equal(np.asarray(n1), n2)
+        pp, nn = openness_pair(Z, cellsize=2, lookup_pixels=8,
+                               engine="pallas")
+        np.testing.assert_allclose(np.asarray(pp), p2, atol=1e-4,
+                                   equal_nan=True)
+        np.testing.assert_allclose(np.asarray(nn), n2, atol=1e-4,
+                                   equal_nan=True)
+
+    def test_openness_unseen_is_inf(self):
+        """A pixel whose every ladder step hits NaN must stay +inf in
+        the fused kernel exactly like _angles_from_extrema."""
+        from neilpy_tpu.ops.pallas_scan import openness_pallas
+        Z = np.full((32, 140), np.nan, dtype=np.float32)
+        Z[16, 70] = 5.0  # isolated pixel: all 8 rays see only NaN
+        p, n = openness_pallas(Z, lookup_pixels=3)
+        assert np.isposinf(np.asarray(p)[16, 70])
+        assert np.isposinf(np.asarray(n)[16, 70])
+
+    def test_skyview_engines(self, rng):
+        from neilpy_tpu.ops.visibility import skyview_factor
+        Z = rng.normal(size=(80, 100)).cumsum(axis=1).astype(np.float32)
+        a = np.asarray(skyview_factor(Z, cellsize=1.5, lookup_pixels=9,
+                                      engine="xla"))
+        b = np.asarray(skyview_factor(Z, cellsize=1.5, lookup_pixels=9,
+                                      engine="pallas"))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_ternary_modes_and_thresholds(self, rng):
+        from neilpy_tpu.ops.visibility import ternary_pattern_from_openness
+        Z = rng.normal(size=(70, 90)).cumsum(axis=0).astype(np.float32)
+        Z[10:12, 20:23] = np.nan
+        for neg in (True, False):
+            for t in (0.0, 2.0):
+                a = np.asarray(ternary_pattern_from_openness(
+                    Z, lookup_pixels=6, threshold_angle=t,
+                    use_negative_openness=neg, engine="xla"))
+                b = np.asarray(ternary_pattern_from_openness(
+                    Z, lookup_pixels=6, threshold_angle=t,
+                    use_negative_openness=neg, engine="pallas"))
+                assert (a == b).mean() == 1.0, (neg, t)
+        # lowest-equivalent LUT composes with the fused kernel
+        a = np.asarray(ternary_pattern_from_openness(
+            Z, lookup_pixels=6, lowest=True, engine="xla"))
+        b = np.asarray(ternary_pattern_from_openness(
+            Z, lookup_pixels=6, lowest=True, engine="pallas"))
+        np.testing.assert_array_equal(a, b)
+
+    def test_fused_fast_ladder_and_odd_shapes(self, rng):
+        """Fast progressive ladder + non-tile-aligned shape + lookup
+        exceeding the tile through the fused openness kernel."""
+        from neilpy_tpu.ops.pallas_scan import openness_pallas
+        from neilpy_tpu.ops.visibility import openness
+        Z = rng.normal(size=(70, 90)).cumsum(axis=0).astype(np.float32)
+        p, _ = openness_pallas(Z, cellsize=2, lookup_pixels=23,
+                               fast=True, tile=(32, 128))
+        w = np.asarray(openness(Z, cellsize=2, lookup_pixels=23,
+                                fast=True, engine="xla"))
+        np.testing.assert_allclose(np.asarray(p), w, atol=1e-4)
+        p2, _ = openness_pallas(Z[:64, :], lookup_pixels=40,
+                                tile=(32, 128))
+        w2 = np.asarray(openness(Z[:64, :], lookup_pixels=40,
+                                 engine="xla"))
+        np.testing.assert_allclose(np.asarray(p2), w2, atol=1e-4)

@@ -1,0 +1,183 @@
+"""Config-5 scale demonstration: >= 2.5e9 px disk-to-disk on real
+hardware (VERDICT r3 #2).
+
+Streams a 50,000 x 50,000 float32 DEM (10 GB memmap on disk) through
+``mosaic_terrain_products`` — geomorphon classes + SMRF object cells +
+local Moran's I, the BASELINE config-5 trio — into memory-mapped
+outputs, then writes the class plane as a tiled BigTIFF.  Tile-granular
+checkpointing makes the run SIGKILL-safe: re-invoking the script
+resumes from the last completed tile (the kill/resume exercise is part
+of the round-4 certification, driven externally).
+
+Reference context: the reference's biggest raster story is the ~1e8 px
+Poland run through apply_parallel (test_neilpy.py:29-47); this is 25x
+that, out-of-core, on one chip, resumable.
+
+Usage:
+    python tools/demo_mosaic_50k.py [--size 50000] [--tile 4096]
+        [--dir /root/mosaic50k] [--products geomorphons,objects,moran]
+        [--verify]
+
+The script accumulates wall-clock across resumed invocations in
+``<dir>/wall.json`` and writes ``DEMO50K.json`` at the repo root on
+completion (picked up by bench.py as a recorded secondary metric).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+LOOKUP = 50
+CELLSIZE = 10.0
+WINDOWS = (1, 2, 4)
+GI_RADIUS = 3
+
+
+def synth_dem(path, n, block=1024, seed=7):
+    """Blocked synthetic terrain straight into a memmap: smooth
+    low-frequency relief + integrated noise, deterministic per row
+    block so generation stays O(block * n) memory."""
+    mm = np.memmap(path, dtype=np.float32, mode="w+", shape=(n, n))
+    xs = np.arange(n, dtype=np.float64)
+    lowx = (400 * np.sin(xs / 9000) + 150 * np.sin(xs / 1300 + 1.7))
+    rng = np.random.default_rng(seed)
+    for r0 in range(0, n, block):
+        r1 = min(r0 + block, n)
+        ys = xs[r0:r1][:, None]
+        low = (300 * np.cos(ys / 11000) + 120 * np.sin(ys / 1700)
+               + lowx[None, :])
+        rough = rng.normal(0, 1.5, (r1 - r0, n)).cumsum(axis=1)
+        rough -= rough.mean(axis=1, keepdims=True)
+        mm[r0:r1] = (low + rough).astype(np.float32)
+    mm.flush()
+    return mm
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=50000)
+    ap.add_argument("--tile", type=int, default=4096)
+    ap.add_argument("--dir", default="/root/mosaic50k")
+    ap.add_argument("--products",
+                    default="geomorphons,objects,moran")
+    ap.add_argument("--verify", action="store_true",
+                    help="recompute random tiles directly and compare")
+    ap.add_argument("--wire", default="compact")
+    args = ap.parse_args()
+
+    n = args.size
+    d = args.dir
+    os.makedirs(d, exist_ok=True)
+    dem_path = os.path.join(d, "dem.f32")
+    products = tuple(args.products.split(","))
+
+    if (not os.path.exists(dem_path)
+            or os.path.getsize(dem_path) != 4 * n * n):
+        print(f"generating {n}x{n} synthetic DEM -> {dem_path}",
+              flush=True)
+        t0 = time.time()
+        synth_dem(dem_path, n)
+        print(f"generated in {time.time()-t0:.0f}s", flush=True)
+    Z = np.memmap(dem_path, dtype=np.float32, mode="r", shape=(n, n))
+
+    if args.verify:
+        return verify(Z, d, n, products)
+
+    dtypes = {"geomorphons": np.uint8, "objects": np.uint8,
+              "moran": np.float32}
+    outs = tuple(np.memmap(os.path.join(d, f"{p}.out"),
+                           dtype=dtypes[p],
+                           mode=("r+" if os.path.exists(
+                               os.path.join(d, f"{p}.out")) else "w+"),
+                           shape=(n, n))
+                 for p in products)
+    outs = tuple(o.view(bool) if p == "objects" else o
+                 for p, o in zip(products, outs))
+
+    wall_path = os.path.join(d, "wall.json")
+    prior = json.load(open(wall_path))["wall_s"] \
+        if os.path.exists(wall_path) else 0.0
+
+    from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+    ck = os.path.join(d, "tiles.json")
+    t0 = time.time()
+    res = mosaic_terrain_products(
+        Z, cellsize=CELLSIZE, lookup_pixels=LOOKUP,
+        windows=np.array(WINDOWS), gi_radius=GI_RADIUS,
+        tile_size=args.tile, checkpoint=ck, out=outs,
+        products=products, wire=args.wire, progress=True)
+    wall = prior + (time.time() - t0)
+    json.dump({"wall_s": wall}, open(wall_path, "w"))
+    for o in res:
+        o.flush() if hasattr(o, "flush") else None
+    print(f"mosaic complete: cumulative wall {wall:.0f}s "
+          f"({n*n/1e6/wall:.1f} Mpix/s)", flush=True)
+
+    # BigTIFF write of the class plane (uint8, 2.5 GB payload -> forced
+    # past the classic limit at 50k; streams blocks from the memmap)
+    from neilpy_tpu.io.geotiff import write_geotiff
+    from neilpy_tpu.core.affine import from_origin
+    tif = os.path.join(d, "geomorphons.tif")
+    t0 = time.time()
+    write_geotiff(tif, res[0],
+                  transform=from_origin(0, n * CELLSIZE, CELLSIZE,
+                                        CELLSIZE),
+                  crs=32633, tiled=True, tile_size=1024)
+    t_tif = time.time() - t0
+    print(f"BigTIFF written in {t_tif:.0f}s "
+          f"({os.path.getsize(tif)/2**30:.2f} GiB)", flush=True)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    json.dump({
+        "metric": "mosaic_50k_disk_to_disk", "pixels": n * n,
+        "products": list(products), "wall_s": round(wall, 1),
+        "mpix_s": round(n * n / 1e6 / wall, 2),
+        "bigtiff_s": round(t_tif, 1),
+        "tile": args.tile, "lookup_pixels": LOOKUP,
+        "date": time.strftime("%Y-%m-%d"),
+    }, open(os.path.join(repo, "DEMO50K.json"), "w"), indent=1)
+    print("wrote DEMO50K.json", flush=True)
+
+
+def verify(Z, d, n, products):
+    """Recompute a few tiles directly (single fused calls on padded
+    windows) and require exact agreement with the stored mosaic
+    products (classes/objects exact; Moran to bf16 wire rounding)."""
+    from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+    from neilpy_tpu.io.geotiff import GeoTiffSource
+    rng = np.random.default_rng(0)
+    G = np.memmap(os.path.join(d, "geomorphons.out"), dtype=np.uint8,
+                  mode="r", shape=(n, n))
+    tif = GeoTiffSource(os.path.join(d, "geomorphons.tif"))
+    ok = True
+    for _ in range(3):
+        # a window fully interior to a random region: recompute with
+        # enough margin that the mosaic's tile seams are irrelevant
+        r = int(rng.integers(LOOKUP + 1, n - 2049))
+        c = int(rng.integers(LOOKUP + 1, n - 2049))
+        w = 1024
+        m = 2 * LOOKUP
+        sub = np.asarray(Z[r - m:r + w + m, c - m:c + w + m])
+        (g_sub,) = mosaic_terrain_products(
+            sub, cellsize=CELLSIZE, lookup_pixels=LOOKUP,
+            tile_size=w + 2 * m, products=("geomorphons",),
+            wire="exact")
+        want = g_sub[m:m + w, m:m + w]
+        got = np.asarray(G[r:r + w, c:c + w])
+        frac = float(np.mean(got == want))
+        tif_got = tif[r:r + w, c:c + w]
+        print(f"window ({r},{c}): mosaic==direct {frac:.6f}, "
+              f"tif==memmap {np.array_equal(tif_got, got)}", flush=True)
+        ok &= frac == 1.0 and np.array_equal(tif_got, got)
+    print("VERIFY", "OK" if ok else "FAIL", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
