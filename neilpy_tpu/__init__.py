@@ -71,7 +71,7 @@ from .ops.stats import (gi_formula, gistar_formula, rasterGi, morans_i,
                         bdr_bootstrap)
 
 # ----- visualization --------------------------------------------------
-from .viz.shading import (swiss_shading, colortable_shade,
+from .viz.shading import (swiss_shading, colortable_shade, swiss_lut,
                           brassel_atmospheric_perspective, corner_lut,
                           lut_shade)
 

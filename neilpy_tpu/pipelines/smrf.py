@@ -129,10 +129,43 @@ def _smrf_points(coeffs_Z, coeffs_S, r, c, z, elevation_threshold,
     return is_object_point, elevation_values
 
 
+def _smrf_points_streamed(coeffs_Z, coeffs_S, r, c, z,
+                          elevation_threshold, elevation_scaler,
+                          chunk_points):
+    """Chunk-streamed point phase: the classification is element-wise
+    per point, so the array splits into fixed-shape chunks that share
+    ONE compile, and every chunk is DISPATCHED before any readback —
+    chunk k+1's host->device transfer rides under chunk k's compute
+    and readback instead of one monolithic blocking transfer (the 5M-
+    point tile previously spent most of its 8-11 s moving ~120 MB in
+    one go).  Bit-identical to the single-call path."""
+    n = r.size
+    chunk = int(min(chunk_points, max(n, 1)))
+    eth = jnp.float32(elevation_threshold)
+    esc = jnp.float32(elevation_scaler)
+    pending = []  # (device refs, valid length)
+    for i in range(0, n, chunk):
+        rr = np.asarray(r[i:i + chunk], dtype=np.float32)
+        cc = np.asarray(c[i:i + chunk], dtype=np.float32)
+        zz = np.asarray(z[i:i + chunk], dtype=np.float32)
+        m = rr.size
+        if m < chunk:  # pad the tail chunk -> same compiled program
+            pad = chunk - m
+            rr = np.concatenate([rr, np.zeros(pad, np.float32)])
+            cc = np.concatenate([cc, np.zeros(pad, np.float32)])
+            zz = np.concatenate([zz, np.zeros(pad, np.float32)])
+        pending.append((_smrf_points(coeffs_Z, coeffs_S,
+                                     jnp.asarray(rr), jnp.asarray(cc),
+                                     jnp.asarray(zz), eth, esc), m))
+    is_obj = np.concatenate([np.asarray(o[0])[:m] for o, m in pending])
+    elev = np.concatenate([np.asarray(o[1])[:m] for o, m in pending])
+    return jnp.asarray(is_obj), jnp.asarray(elev)
+
+
 def smrf(x, y, z, cellsize=1, windows=5, slope_threshold=.15,
          elevation_threshold=.5, elevation_scaler=1.25,
          low_filter_slope=5, low_outlier_fill=False, return_extras=False,
-         precision="fast"):
+         precision="fast", chunk_points=2_000_000):
     """Simple Morphological Filter (parity: neilpy.py:1685-1808).
 
     Returns (Zpro, t, object_cells, is_object_point[, extras]):
@@ -141,7 +174,11 @@ def smrf(x, y, z, cellsize=1, windows=5, slope_threshold=.15,
 
     ``precision='fast'`` (default) runs as exactly three device
     programs: the gridding scatter, the fused raster stage, and the
-    fused point stage — all f32 on the accelerator.
+    fused point stage — all f32 on the accelerator.  Clouds larger
+    than ``chunk_points`` stream the point stage in fixed-shape
+    chunks (one compile; every chunk dispatched before any readback
+    so transfer overlaps compute — the same machinery ``smrf_las``
+    uses for whole files), bit-identical to the one-shot call.
 
     ``precision='exact'`` reruns the same jitted pipeline in float64 on
     the CPU backend (f64 host scatter, CG inpaint at tol=1e-12, f64
@@ -177,10 +214,19 @@ def smrf(x, y, z, cellsize=1, windows=5, slope_threshold=.15,
     x64 = np.asarray(x, dtype=np.float64)
     y64 = np.asarray(y, dtype=np.float64)
     c, r = (~t) * (x64, y64)
-    z_dev = jnp.asarray(np.asarray(z, dtype=np.float64), dtype=jnp.float32)
-    is_object_point, elevation_values = _smrf_points(
-        coeffs_Z, coeffs_S, jnp.asarray(r), jnp.asarray(c), z_dev,
-        jnp.float32(elevation_threshold), jnp.float32(elevation_scaler))
+    z64 = np.asarray(z, dtype=np.float64)
+    if r.size > int(chunk_points):
+        is_object_point, elevation_values = _smrf_points_streamed(
+            coeffs_Z, coeffs_S, r, c, z64, elevation_threshold,
+            elevation_scaler, int(chunk_points))
+        z_dev = jnp.asarray(z64, dtype=jnp.float32)
+    else:
+        z_dev = jnp.asarray(z64, dtype=jnp.float32)
+        is_object_point, elevation_values = _smrf_points(
+            coeffs_Z, coeffs_S, jnp.asarray(r, dtype=jnp.float32),
+            jnp.asarray(c, dtype=jnp.float32), z_dev,
+            jnp.float32(elevation_threshold),
+            jnp.float32(elevation_scaler))
 
     if return_extras:
         rr = np.clip(np.round(r).astype(int), 0, Zpro.shape[0] - 1)

@@ -93,6 +93,27 @@ def test_smrf_return_extras(rng):
     assert pts[~obj].mean() < 0.1
 
 
+def test_smrf_streamed_points_bitmatch(rng):
+    """The chunk-streamed point phase (clouds > chunk_points) must be
+    bit-identical to the one-shot call: same object labels, same
+    above_ground_height, across a non-multiple chunk boundary."""
+    n = 5000
+    x = rng.uniform(0, 80, n)
+    y = rng.uniform(0, 80, n)
+    z = rng.normal(0, 0.1, n) + 8.0 * ((x > 30) & (x < 45) & (y > 10)
+                                       & (y < 25))
+    Zs1, T1, cells1, pts1, ex1 = smrf(x, y, z, cellsize=2, windows=4,
+                                      return_extras=True)
+    Zs2, T2, cells2, pts2, ex2 = smrf(x, y, z, cellsize=2, windows=4,
+                                      return_extras=True,
+                                      chunk_points=1999)
+    np.testing.assert_array_equal(np.asarray(pts1), np.asarray(pts2))
+    np.testing.assert_array_equal(
+        np.asarray(ex1["above_ground_height"]),
+        np.asarray(ex2["above_ground_height"]))
+    np.testing.assert_array_equal(np.asarray(cells1), np.asarray(cells2))
+
+
 @pytest.mark.slow
 def test_smrf_matches_f64_reference_samp41():
     """End-to-end agreement with the f64 scipy reference pipeline

