@@ -199,16 +199,33 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
         """Uniform (ts+2ov)^2 tile window sliced from the device-
         resident, device-edge-padded raster (lazily uploaded on the
         first computed tile, so a fully-checkpointed resume never pays
-        the upload)."""
+        the upload).
+
+        The upload itself is BANDED: ~32 MB row bands dispatched as
+        independent ``device_put`` calls that stay in flight together,
+        then concatenated + edge-padded in one jitted program.  Through
+        the tunneled runtime several in-flight medium transfers move
+        2-5x faster than one monolithic copy (52 vs 11-24 MB/s
+        measured) — for a 16k^2 f32 input this alone saves tens of
+        seconds of serial upload."""
         import jax
         import jax.numpy as jnp
         from jax import lax
         if "Zpad" not in dev_state:
             pb = n_ty * ts - H + ov
             pr = n_tx * ts - W + ov
+            band = max(1, (32 << 20) // max(W * Z.dtype.itemsize, 1))
+            bands = [jax.device_put(np.asarray(Z[i:i + band],
+                                               dtype=np.float32))
+                     for i in range(0, H, band)]
+            # donate the bands: the concatenated+padded copy is the
+            # only live buffer afterwards (half the HBM peak)
             dev_state["Zpad"] = jax.jit(
-                lambda a: jnp.pad(a, ((ov, pb), (ov, pr)), mode="edge")
-            )(jnp.asarray(Z))
+                lambda *bs: jnp.pad(jnp.concatenate(bs, axis=0),
+                                    ((ov, pb), (ov, pr)), mode="edge"),
+                donate_argnums=tuple(range(len(bands)))
+            )(*bands)
+            del bands
             dev_state["slicer"] = jax.jit(
                 lambda a, r, c: lax.dynamic_slice(
                     a, (r, c), (ts + 2 * ov, ts + 2 * ov)))

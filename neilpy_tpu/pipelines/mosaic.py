@@ -360,16 +360,32 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
     mean = s2 = 0.0
     n_finite = 0
     if {"moran", "gi"} & set(products):
-        gsum = 0.0
-        gsq = 0.0
-        for r0 in range(0, Z.shape[0], 4096):
-            blk = np.asarray(Z[r0:r0 + 4096], dtype=np.float64)
-            m = np.isfinite(blk)
-            gsum += blk[m].sum()
-            gsq += (blk[m] ** 2).sum()
-            n_finite += int(m.sum())
-        mean = gsum / max(n_finite, 1)
-        s2 = gsq / max(n_finite, 1) - mean * mean
+        # the moments are a full pass over the (possibly huge, on-disk)
+        # input — cache them next to the tile checkpoint so a resumed
+        # run doesn't re-read the whole mosaic before its first tile
+        import json as _json
+        import os as _os
+        mom_path = (str(checkpoint) + ".moments") if checkpoint else None
+        if mom_path and _os.path.exists(mom_path):
+            mom = _json.load(open(mom_path))
+            mean, s2, n_finite = (mom["mean"], mom["s2"],
+                                  int(mom["n_finite"]))
+        else:
+            gsum = 0.0
+            gsq = 0.0
+            for r0 in range(0, Z.shape[0], 4096):
+                blk = np.asarray(Z[r0:r0 + 4096], dtype=np.float64)
+                m = np.isfinite(blk)
+                gsum += blk[m].sum()
+                gsq += (blk[m] ** 2).sum()
+                n_finite += int(m.sum())
+            mean = gsum / max(n_finite, 1)
+            s2 = gsq / max(n_finite, 1) - mean * mean
+            if mom_path:
+                tmp = mom_path + ".tmp"
+                _json.dump({"mean": mean, "s2": s2,
+                            "n_finite": n_finite}, open(tmp, "w"))
+                _os.replace(tmp, mom_path)
 
     thresholds = jnp.asarray(slope_threshold * (windows * cellsize),
                              dtype=jnp.float32)

@@ -92,12 +92,17 @@ def test_mosaic_terrain_products(tmp_path):
     # schedules: values are O(10-100), allow proportional slack
     np.testing.assert_allclose(MI[s], full_MI[s], rtol=1e-4, atol=1e-3)
 
-    # resume: all tiles done -> no recompute, outputs intact
+    # resume: all tiles done -> no recompute, outputs intact; the
+    # global Moran moments are cached in a checkpoint sidecar so the
+    # resume does not re-read the whole input
+    import os
+    assert os.path.exists(ck + ".moments")
     out = (G.copy(), O.copy(), MI.copy())
     G2, O2, MI2 = mosaic_terrain_products(
         Z, cellsize=1, lookup_pixels=lookup, windows=windows,
         gi_radius=gi_r, tile_size=48, checkpoint=ck, out=out)
     assert (G2 == G).all() and (O2 == O).all()
+    np.testing.assert_array_equal(MI2, MI)
 
 
 def test_mosaic_pallas_tile_kernel_matches(rng):

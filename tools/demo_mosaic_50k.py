@@ -106,7 +106,20 @@ def main():
 
     from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
     ck = os.path.join(d, "tiles.json")
+    # honest wall accounting across SIGKILL: a start marker survives
+    # the kill; on restart the killed invocation's productive time is
+    # recovered as (last checkpoint write - its start) so the final
+    # Mpix/s includes every second actually spent, not just the
+    # completing run's
+    start_path = os.path.join(d, "start.json")
+    if os.path.exists(start_path):
+        t_start = json.load(open(start_path))["t0"]
+        if os.path.exists(ck):
+            lost = max(0.0, os.path.getmtime(ck) - t_start)
+            prior += lost
+            print(f"recovered {lost:.0f}s from a killed run", flush=True)
     t0 = time.time()
+    json.dump({"t0": t0}, open(start_path, "w"))
     res = mosaic_terrain_products(
         Z, cellsize=CELLSIZE, lookup_pixels=LOOKUP,
         windows=np.array(WINDOWS), gi_radius=GI_RADIUS,
@@ -114,6 +127,7 @@ def main():
         products=products, wire=args.wire, progress=True)
     wall = prior + (time.time() - t0)
     json.dump({"wall_s": wall}, open(wall_path, "w"))
+    os.remove(start_path)
     for o in res:
         o.flush() if hasattr(o, "flush") else None
     print(f"mosaic complete: cumulative wall {wall:.0f}s "
