@@ -487,6 +487,24 @@ def bench_smrf():
     return dt, err
 
 
+def bench_demo50k_recorded():
+    """Report the recorded 50k^2 disk-to-disk demonstration
+    (tools/demo_mosaic_50k.py — run separately on hardware because it
+    needs ~25 GB of scratch disk and ~30 min; its DEMO50K.json carries
+    the cumulative wall across the SIGKILL+resume certification)."""
+    import os
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "DEMO50K.json")
+    if not os.path.exists(p):
+        return
+    d = json.load(open(p))
+    log(f"recorded 50k^2 disk-to-disk mosaic ({d['pixels']/1e9:.1f}e9 px, "
+        f"products {','.join(d['products'])}, lookup={d['lookup_pixels']}"
+        f", tile {d['tile']}): {d['wall_s']:.0f}s = {d['mpix_s']} Mpix/s "
+        f"wall incl kill+resume; BigTIFF write {d['bigtiff_s']}s "
+        f"({d['date']})")
+
+
 def main():
     _enable_compile_cache()
     mpix_s = bench_geomorphons()
@@ -540,6 +558,10 @@ def main():
         bench_mosaic()
     except Exception as e:
         log("mosaic bench failed:", e)
+    try:
+        bench_demo50k_recorded()
+    except Exception as e:
+        log("demo50k record read failed:", e)
 
 
 if __name__ == "__main__":

@@ -218,12 +218,12 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
             bands = [jax.device_put(np.asarray(Z[i:i + band],
                                                dtype=np.float32))
                      for i in range(0, H, band)]
-            # donate the bands: the concatenated+padded copy is the
-            # only live buffer afterwards (half the HBM peak)
+            # the bands are freed after this call returns (HBM peak is
+            # input + padded copy; XLA cannot alias donated inputs into
+            # a concatenate, so donation would only warn)
             dev_state["Zpad"] = jax.jit(
                 lambda *bs: jnp.pad(jnp.concatenate(bs, axis=0),
-                                    ((ov, pb), (ov, pr)), mode="edge"),
-                donate_argnums=tuple(range(len(bands)))
+                                    ((ov, pb), (ov, pr)), mode="edge")
             )(*bands)
             del bands
             dev_state["slicer"] = jax.jit(
