@@ -119,6 +119,7 @@ def test_edges_from_it():
     assert ye[0] == 20.0 and ye[-1] == 16.0
 
 
+@pytest.mark.heavy
 def test_remaining_public_exports_smoke(tmp_path):
     """Every public export exercised at least once: the aliases,
     convenience wrappers, and submodule utilities not covered by the

@@ -13,6 +13,10 @@ from neilpy_tpu.ops.visibility import geomorphons, openness
 from neilpy_tpu.ops.surface import hillshade, curvature
 
 
+# full-pipeline integration tests: excluded from the default <5-min
+# dev loop (pytest.ini), still in -m "not slow" and certification runs
+pytestmark = pytest.mark.heavy
+
 @pytest.fixture(scope="module")
 def mesh():
     assert len(jax.devices()) == 8, "conftest should force 8 CPU devices"

@@ -12,6 +12,10 @@ import runpy
 import numpy as np
 import pytest
 
+# full-pipeline integration tests: excluded from the default <5-min
+# dev loop (pytest.ini), still in -m "not slow" and certification runs
+pytestmark = pytest.mark.heavy
+
 _EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 

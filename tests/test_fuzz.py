@@ -141,6 +141,7 @@ class TestCodecFuzz:
 
     @settings(**_SETTINGS)
     @given(st.data())
+    @pytest.mark.heavy
     def test_lzw_repetitive_and_rollover(self, data):
         """Highly repetitive streams exercise table growth; long ones
         the 12-bit rollover/Clear handling."""

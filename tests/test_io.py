@@ -843,6 +843,7 @@ def test_write_las_validation_and_legacy_histogram(tmp_path, rng):
     assert len(df) == n
 
 
+@pytest.mark.heavy
 def test_lzw_table_rollover_large_strip(tmp_path, rng):
     """Strips large enough to fill the 12-bit LZW table and emit
     mid-stream Clear codes (the short-strip tests never reach the

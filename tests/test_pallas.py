@@ -56,6 +56,7 @@ def test_fast_ladder_matches_xla(Z, lookup):
     np.testing.assert_array_equal(G_p, G_x)
 
 
+@pytest.mark.heavy
 def test_fast_ladder_nan_and_boundary():
     rng = np.random.default_rng(9)
     Z = rng.normal(size=(640, 640)).cumsum(axis=0).astype(np.float32)
@@ -93,6 +94,7 @@ def test_non_tile_aligned_shape():
     np.testing.assert_array_equal(G_p, G_x)
 
 
+@pytest.mark.heavy
 def test_lookup_larger_than_tile(Z):
     # halo (R=40) far exceeds the 32-px tile: windows span many tiles
     G_p = np.asarray(geomorphons_pallas(Z[:64, :96], lookup_pixels=40,
@@ -101,6 +103,7 @@ def test_lookup_larger_than_tile(Z):
     np.testing.assert_array_equal(G_p, G_x)
 
 
+@pytest.mark.heavy
 def test_geomorphons_engine_param(rng):
     from neilpy_tpu.ops.visibility import geomorphons
     Z = rng.normal(size=(40, 60)).cumsum(axis=0).astype(np.float32)
@@ -118,6 +121,7 @@ def test_geomorphons_engine_param(rng):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.heavy
 def test_openness_engine_param(rng):
     from neilpy_tpu.ops.visibility import openness
     Z = rng.normal(size=(48, 70)).cumsum(axis=0).astype(np.float32)
@@ -225,6 +229,7 @@ class TestFusedReduction:
                                       engine="pallas"))
         np.testing.assert_allclose(a, b, atol=1e-6)
 
+    @pytest.mark.heavy
     def test_ternary_modes_and_thresholds(self, rng):
         from neilpy_tpu.ops.visibility import ternary_pattern_from_openness
         Z = rng.normal(size=(70, 90)).cumsum(axis=0).astype(np.float32)
@@ -245,6 +250,7 @@ class TestFusedReduction:
             Z, lookup_pixels=6, lowest=True, engine="pallas"))
         np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.heavy
     def test_fused_fast_ladder_and_odd_shapes(self, rng):
         """Fast progressive ladder + non-tile-aligned shape + lookup
         exceeding the tile through the fused openness kernel."""

@@ -256,6 +256,7 @@ class TestInpaint:
         assert not info["converged"]
         assert any("maxiter" in str(r.message) for r in rec)
 
+    @pytest.mark.heavy
     def test_springs_multiscale_same_equilibrium(self, rng):
         """The multigrid-preconditioned solve must converge to the same
         equilibrium as the unpreconditioned one (the preconditioner
@@ -270,6 +271,7 @@ class TestInpaint:
         assert np.abs(a - ref).max() < 5e-3
         assert np.abs(a - b).max() < 1e-2
 
+    @pytest.mark.heavy
     def test_springs_multiscale_fewer_iterations(self, rng):
         """On a large contiguous NaN region the pyramid start must cut
         the CG iteration count substantially."""
@@ -329,6 +331,7 @@ class TestMorphology:
         assert (np.asarray(opening_disk(Z, 4)) <= Z + 1e-6).all()
 
 
+@pytest.mark.heavy
 def test_inpaint_nearest_device_jfa(rng):
     """Device jump-flooding fill: everywhere-filled, values from the
     finite set, >=99.9% of cells take the exactly-nearest seed."""

@@ -63,6 +63,7 @@ class TestISPRS:
 
 @pytest.mark.skipif(not os.path.exists(isprs_path("samp11.txt")),
                     reason="ISPRS sample data not mounted")
+@pytest.mark.heavy
 def test_smrf_samp11_small_windows():
     """End-to-end slice on a second sample with the quick settings."""
     df = pd.read_csv(isprs_path("samp11.txt"), header=None,

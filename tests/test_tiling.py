@@ -6,6 +6,7 @@ from neilpy_tpu.ops.surface import hillshade
 from neilpy_tpu.ops.visibility import geomorphons
 
 
+@pytest.mark.heavy
 def test_tiled_hillshade_matches_interior(rng):
     Z = rng.normal(size=(100, 130)).cumsum(axis=0).astype(np.float32)
     full = np.asarray(hillshade(Z, cellsize=2))
@@ -16,6 +17,7 @@ def test_tiled_hillshade_matches_interior(rng):
     assert (tiled[4:-4, 4:-4] == full[4:-4, 4:-4]).all()
 
 
+@pytest.mark.heavy
 def test_tiled_geomorphons(rng):
     Z = rng.normal(size=(90, 110)).cumsum(axis=0).cumsum(axis=1)
     Z = Z.astype(np.float32)
@@ -59,6 +61,7 @@ def test_partial_resume(tmp_path, rng):
     assert (out[20:, 20:] == Z[20:, 20:] + 1).all()
 
 
+@pytest.mark.heavy
 def test_mosaic_terrain_products(tmp_path):
     """Fused multi-product mosaic pipeline: tiled == untiled in the
     interior for all three products, resumable at tile granularity."""
@@ -105,6 +108,7 @@ def test_mosaic_terrain_products(tmp_path):
     np.testing.assert_array_equal(MI2, MI)
 
 
+@pytest.mark.heavy
 def test_mosaic_pallas_tile_kernel_matches(rng):
     """The Pallas tile kernel (interpret mode on CPU) and the XLA tile
     kernel classify identically through the mosaic pipeline."""
@@ -119,6 +123,7 @@ def test_mosaic_pallas_tile_kernel_matches(rng):
     np.testing.assert_allclose(M1, M2, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_mosaic_compact_wire(rng):
     """Compact wire encoding (class+object packed into one byte,
     Moran's I as bfloat16): classes and object cells stay EXACT; Moran
@@ -136,6 +141,7 @@ def test_mosaic_compact_wire(rng):
     np.testing.assert_allclose(M1, M2, rtol=1e-2, atol=1e-2)
 
 
+@pytest.mark.heavy
 def test_mosaic_gi_star_product(rng):
     """gi_star=True appends the Gi* significance bins as a fourth
     product, z-scored against the GLOBAL mosaic moments: tiled ==
@@ -174,6 +180,7 @@ def test_mosaic_gi_star_product(rng):
                                                    1., 2., 3.}
 
 
+@pytest.mark.heavy
 def test_mosaic_openness_products(rng):
     """openness=True appends positive and negative Yokoyama openness:
     tiled == untiled in the interior (the lookup overlap already
@@ -215,6 +222,7 @@ def test_completed_checkpoint_without_out_raises(tmp_path):
                     checkpoint=ck)
 
 
+@pytest.mark.heavy
 def test_apply_parallel_reference_signature():
     """skimage.util.apply_parallel drop-in (the reference notebooks
     call it directly): interior pixels (> depth from the global edge)
@@ -378,6 +386,21 @@ class TestMosaicMesh:
         np.testing.assert_array_equal(G1, G2)
         np.testing.assert_array_equal(O1, O2)
         np.testing.assert_allclose(M1, M2, atol=1e-6)
+
+
+def test_mosaic_streaming_equals_resident(rng):
+    """The forced out-of-core path (device_input=False, banded per-tile
+    uploads through _banded_put) must produce exactly what the device-
+    resident path does — the 50k/100k disk runs ride on this."""
+    from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+    Z = rng.normal(size=(100, 130)).cumsum(axis=0).astype(np.float32)
+    kw = dict(cellsize=1, lookup_pixels=4, windows=np.array([1, 2]),
+              gi_radius=2, tile_size=48)
+    G1, O1, M1 = mosaic_terrain_products(Z, device_input=True, **kw)
+    G2, O2, M2 = mosaic_terrain_products(Z, device_input=False, **kw)
+    np.testing.assert_array_equal(G1, G2)
+    np.testing.assert_array_equal(O1, O2)
+    np.testing.assert_allclose(M1, M2, atol=1e-5)
 
 
 def test_tiled_apply_lazy_source_streaming(tmp_path, rng):

@@ -137,6 +137,7 @@ def test_geomorphons_fullscale_golden_agreement(lookup, enhance, fast):
             f"non-tie disagreement: margins {np.sort(margin[diff])[-5:]}")
 
 
+@pytest.mark.heavy
 def test_lookup_exceeding_raster_dims(rng):
     """lookup_pixels larger than BOTH raster dimensions must degrade
     gracefully: every ray leaves the raster before exhausting its
