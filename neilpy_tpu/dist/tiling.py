@@ -52,33 +52,69 @@ def _pack_device(res):
     tile needs a single device->host transfer (the tunneled runtime
     pays a per-transfer latency that dwarfs its bandwidth for
     tile-sized arrays).  Returns (packed, specs) where specs drives
-    ``_unpack_host``."""
+    ``_unpack_host``.
+
+    Layout: products are COLUMN BLOCKS — each (H, W) product becomes
+    (H, W*nb) bytes (per-element bytes adjacent) and blocks concatenate
+    along axis 1, giving (H, W*sum(nb)).  A per-pixel interleave
+    (concat on a trailing byte axis) measured ~70x slower to unpack on
+    the host: every access is a 3-byte-stride gather numpy cannot
+    vectorize (1087 ms vs 16 ms per 4096^2 tile — the single-vCPU host
+    was the mosaic bottleneck, not the wire)."""
     import jax.numpy as jnp
     from jax import lax
     parts = []
     specs = []
     for a in res:
+        H, W = a.shape
         if a.dtype == jnp.bool_ or a.dtype.itemsize == 1:
-            b = a.astype(jnp.uint8)[..., None]
+            b = a.astype(jnp.uint8)
+            nb = 1
         else:
-            b = lax.bitcast_convert_type(a, jnp.uint8)
-        specs.append((np.dtype(a.dtype), b.shape[-1]))
+            nb = a.dtype.itemsize
+            b = lax.bitcast_convert_type(a, jnp.uint8).reshape(H, W * nb)
+        specs.append((np.dtype(a.dtype), nb))
         parts.append(b)
-    return jnp.concatenate(parts, axis=-1), specs
+    return jnp.concatenate(parts, axis=1), specs
 
 
 def _unpack_host(buf, specs):
-    """Invert ``_pack_device`` on the host copy."""
+    """Invert ``_pack_device`` on the host copy: contiguous column-
+    block slices + zero-copy dtype views (tens of ms per 4096^2
+    tile)."""
+    H = buf.shape[0]
+    W = buf.shape[1] // sum(nb for _, nb in specs)
     out = []
     ofs = 0
     for dt, nb in specs:
-        chunk = buf[..., ofs:ofs + nb]
-        ofs += nb
+        chunk = buf[:, ofs:ofs + nb * W]
+        ofs += nb * W
         if nb == 1:
-            out.append(chunk[..., 0].astype(dt))
+            out.append(chunk.astype(dt) if dt != np.uint8
+                       else np.ascontiguousarray(chunk))
         else:
-            out.append(np.ascontiguousarray(chunk).view(dt)[..., 0])
+            out.append(np.ascontiguousarray(chunk).view(dt))
     return tuple(out)
+
+
+def _banded_put(block, dev_state, chunk_bytes=24 << 20):
+    """Upload a host tile block as several in-flight ``device_put``
+    bands + one jitted concatenate (cached per band layout) — the
+    same 2-5x monolithic-vs-chunked transfer asymmetry that
+    ``_stage_readback`` exploits on the way down, applied to the way
+    up.  Below one chunk it is a plain device_put."""
+    import jax
+    import jax.numpy as jnp
+    n = max(1, min(block.shape[0], -(-block.nbytes // chunk_bytes)))
+    if n == 1:
+        return jax.device_put(block)
+    step = -(-block.shape[0] // n)
+    bands = [jax.device_put(np.ascontiguousarray(block[i:i + step]))
+             for i in range(0, block.shape[0], step)]
+    if "concat" not in dev_state:
+        dev_state["concat"] = jax.jit(
+            lambda *bs: jnp.concatenate(bs, axis=0))
+    return dev_state["concat"](*bands)
 
 
 def _stage_readback(a, chunk_bytes=6 << 20):
@@ -234,7 +270,11 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
 
     def store(key, bounds, res):
         """Decode, crop, and store one tile's wire products; mark the
-        checkpoint only after the data is safely in ``out``."""
+        checkpoint only after the data is safely in ``out``.  Runs on
+        the single writer thread: decode + (memory-mapped) output
+        writes overlap the dispatch loop's transfers instead of
+        serializing with them (measured ~0.8 s/tile of disk write at
+        tile 4096 on the one-vCPU host)."""
         nonlocal out
         r0, r1, c0, c1 = bounds
         if decode is not None:
@@ -252,13 +292,27 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
         if progress:
             print(f"tile {key} / ({n_ty},{n_tx})", flush=True)
 
+    from concurrent.futures import ThreadPoolExecutor
+    writer = ThreadPoolExecutor(1)  # ONE thread: keeps store order,
+    store_futs = deque()            # and so checkpoint kill-safety
+
+    def submit_store(key, bounds, res):
+        store_futs.append(writer.submit(store, key, bounds, res))
+        while len(store_futs) > 8:
+            store_futs.popleft().result()
+
+    def drain_stores():
+        while store_futs:
+            store_futs.popleft().result()
+        writer.shutdown(wait=True)
+
     def flush_one():
         key, bounds, payload, specs = inflight.popleft()
         if specs is not None:
             res = _unpack_host(_collect_readback(payload[0]), specs)
         else:
             res = tuple(_collect_readback(ch) for ch in payload)
-        store(key, bounds, res)
+        submit_store(key, bounds, res)
 
     def host_block(r0, r1, c0, c1):
         """Overlapped read window, clipped to the raster, padded to the
@@ -286,10 +340,10 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
         def flush_group():
             keys, bounds_list, shard_datas = inflight.popleft()
             for key, bounds, sd in zip(keys, bounds_list, shard_datas):
-                # each shard is (1, ts, ts, n_bytes): one tile's packed
+                # each shard is (1, ts, n_bytes): one tile's packed
                 # wire buffer with its leading shard axis
                 buf = np.asarray(sd)[0]
-                store(key, bounds, _unpack_host(buf, wire_specs))
+                submit_store(key, bounds, _unpack_host(buf, wire_specs))
 
         def dispatch_group(keys, bounds_list, blocks):
             # pad a final partial group by repeating its last tile —
@@ -329,6 +383,7 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
             dispatch_group(g_keys, g_bounds, g_blocks)
         while inflight:
             flush_group()
+        drain_stores()
         if out is None:
             raise ValueError(
                 "checkpoint marks every tile done but no `out` arrays "
@@ -361,6 +416,10 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
                                        (pw[0], pw[1] + fw)),
                                mode="edge")
             if wire_fn is not None:
+                if not _is_device_array(block):
+                    block = _banded_put(np.asarray(block,
+                                                   dtype=np.float32),
+                                        dev_state)
                 chunks = list(wire_fn(block))
                 for c in chunks:
                     try:
@@ -391,6 +450,7 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
                 flush_one()
     while inflight:
         flush_one()
+    drain_stores()
     if out is None:
         raise ValueError(
             "checkpoint marks every tile done but no `out` arrays were "
