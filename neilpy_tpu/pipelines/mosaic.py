@@ -307,7 +307,8 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                             fast=False, how_fast=20, wire="auto",
                             pipeline_depth=3, wire_chunks=None,
                             gi_star=False, openness=False,
-                            products=None, mesh=None):
+                            products=None, mesh=None,
+                            device_input="auto"):
     """Stream a (possibly memory-mapped) mosaic through one fused tile
     kernel computing the requested products; resumable at tile
     granularity via ``checkpoint``.
@@ -341,6 +342,11 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
     significant digits).  ``'auto'`` picks compact on the TPU backend,
     where the tunnel/PCIe link — not the kernel — bounds mosaic
     throughput, and exact elsewhere.
+
+    ``device_input`` forwards to ``dist.tiling.tiled_apply``: ``'auto'``
+    uploads inputs under the device budget once and slices tile windows
+    on device; ``False`` forces the true out-of-core streaming path
+    (what a 50k/100k disk mosaic uses regardless).
     """
     products = _normalize_products(products, gi_star, openness)
     if np.isscalar(windows):
@@ -447,4 +453,5 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                        out=out, out_dtype=out_dtype,
                        checkpoint=checkpoint, progress=progress,
                        pipeline_depth=pipeline_depth, wire_fn=wire_fn,
-                       wire_specs=specs, decode=decode)
+                       wire_specs=specs, decode=decode,
+                       device_input=device_input)
