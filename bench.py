@@ -488,21 +488,22 @@ def bench_smrf():
 
 
 def bench_demo50k_recorded():
-    """Report the recorded 50k^2 disk-to-disk demonstration
-    (tools/demo_mosaic_50k.py — run separately on hardware because it
-    needs ~25 GB of scratch disk and ~30 min; its DEMO50K.json carries
-    the cumulative wall across the SIGKILL+resume certification)."""
+    """Report the recorded disk-to-disk scale demonstrations
+    (tools/demo_mosaic_50k.py — run separately on hardware because they
+    need tens of GB of scratch disk; each DEMO*.json carries the
+    cumulative wall across its SIGKILL+resume certification)."""
+    import glob
     import os
-    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "DEMO50K.json")
-    if not os.path.exists(p):
-        return
-    d = json.load(open(p))
-    log(f"recorded 50k^2 disk-to-disk mosaic ({d['pixels']/1e9:.1f}e9 px, "
-        f"products {','.join(d['products'])}, lookup={d['lookup_pixels']}"
-        f", tile {d['tile']}): {d['wall_s']:.0f}s = {d['mpix_s']} Mpix/s "
-        f"wall incl kill+resume; BigTIFF write {d['bigtiff_s']}s "
-        f"({d['date']})")
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(here, "DEMO*.json"))):
+        d = json.load(open(p))
+        side = int(round(d["pixels"] ** 0.5))
+        log(f"recorded {side//1000}k^2 disk-to-disk mosaic "
+            f"({d['pixels']/1e9:.1f}e9 px, "
+            f"products {','.join(d['products'])}, lookup={d['lookup_pixels']}"
+            f", tile {d['tile']}): {d['wall_s']:.0f}s = {d['mpix_s']} Mpix/s "
+            f"wall incl kill+resume; BigTIFF write {d['bigtiff_s']}s "
+            f"({d['date']})")
 
 
 def main():

@@ -147,7 +147,8 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
                 checkpoint=None, progress=False, pipeline_depth=2,
                 decode=None, device_input="auto",
                 device_input_budget=4 << 30, wire_fn=None,
-                wire_specs=None, mesh=None, mesh_wire_fn=None):
+                wire_specs=None, mesh=None, mesh_wire_fn=None,
+                phase_stats=None, prefetch=False):
     """Apply ``fn`` (array -> array, same HxW) to overlapping tiles of
     ``Z``, cropping the overlap — semantics of
     ``skimage.util.apply_parallel(fn, Z, tile_size, overlap)``
@@ -203,6 +204,23 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
     last tile (discarded on readback).
     """
     from collections import deque
+    import time as _time
+
+    # Wall-clock observability for the out-of-core loop (profiling is
+    # first-class here — SURVEY §5): pass ``phase_stats={}`` and the
+    # dict accumulates cumulative seconds spent in each phase —
+    # 'host_read' (source window + pad) and 'upload' (device_put
+    # dispatch) on the prefetch thread; 'dispatch' (kernel call +
+    # async-copy starts), 'readback_wait' (blocking on device->host
+    # copies) and 'store_wait' (writer-thread backpressure) on the
+    # dispatch thread — plus 'tiles' and 'total'.  Phases overlap each
+    # other and device work by design, so they need not sum to
+    # 'total'; a large 'readback_wait' means the wire is the
+    # bottleneck, a large 'host_read'/'store_wait' means the host is.
+    _ps = phase_stats if phase_stats is not None else {}
+
+    def _phase(name, t0):
+        _ps[name] = _ps.get(name, 0.0) + (_time.perf_counter() - t0)
 
     # Accept lazy 2-D sources (e.g. io.geotiff.GeoTiffSource, np.memmap)
     # without materializing: anything with shape/dtype/__getitem__ is
@@ -298,20 +316,28 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
 
     def submit_store(key, bounds, res):
         store_futs.append(writer.submit(store, key, bounds, res))
+        t0 = _time.perf_counter()
         while len(store_futs) > 8:
             store_futs.popleft().result()
+        _phase("store_wait", t0)
 
     def drain_stores():
+        t0 = _time.perf_counter()
         while store_futs:
             store_futs.popleft().result()
         writer.shutdown(wait=True)
+        _phase("store_wait", t0)
 
     def flush_one():
         key, bounds, payload, specs = inflight.popleft()
+        t0 = _time.perf_counter()
         if specs is not None:
-            res = _unpack_host(_collect_readback(payload[0]), specs)
+            raw = _collect_readback(payload[0])
+            _phase("readback_wait", t0)
+            res = _unpack_host(raw, specs)
         else:
             res = tuple(_collect_readback(ch) for ch in payload)
+            _phase("readback_wait", t0)
         submit_store(key, bounds, res)
 
     def host_block(r0, r1, c0, c1):
@@ -391,66 +417,120 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
                 "via `out=` or delete the checkpoint file to recompute")
         return out if multi else out[0]
 
-    for ty in range(n_ty):
-        for tx in range(n_tx):
-            key = (ty, tx)
-            if ckpt and ckpt.is_done(key):
-                continue
-            r0, c0 = ty * ts, tx * ts
-            r1, c1 = min(r0 + ts, H), min(c0 + ts, W)
-            if device_input:
-                block = _device_block(r0, c0)
+    # Block acquisition (source window read + pad + device upload) can
+    # run on a PREFETCH THREAD feeding a bounded queue
+    # (``prefetch=True``), letting uploads duplex with the readbacks
+    # the dispatch thread blocks on.  On a single-vCPU host the GIL
+    # makes this a wash-to-loss for CPU-bound phases, so it is an
+    # opt-in measured per deployment; the inline path (default) is the
+    # r3-tuned single-threaded loop.  Bounded queue depth keeps at
+    # most 2 acquired-but-undispatched blocks alive (HBM: 2 blocks +
+    # pipeline_depth wire buffers).
+    import queue as _queuemod
+    import threading
+
+    work = [(ty, tx) for ty in range(n_ty) for tx in range(n_tx)
+            if not (ckpt and ckpt.is_done((ty, tx)))]
+    _ps["tiles"] = _ps.get("tiles", 0) + len(work)
+    q = _queuemod.Queue(maxsize=2)
+    stop = threading.Event()
+
+    def _acquire(key):
+        ty, tx = key
+        r0, c0 = ty * ts, tx * ts
+        r1, c1 = min(r0 + ts, H), min(c0 + ts, W)
+        if device_input:
+            t0 = _time.perf_counter()
+            block = _device_block(r0, c0)
+            _phase("upload", t0)
+        else:
+            t0 = _time.perf_counter()
+            block = host_block(r0, r1, c0, c1)
+            _phase("host_read", t0)
+        if wire_fn is not None and not _is_device_array(block):
+            t0 = _time.perf_counter()
+            block = _banded_put(np.asarray(block, dtype=np.float32),
+                                dev_state)
+            _phase("upload", t0)
+        return (key, (r0, r1, c0, c1), block)
+
+    def _producer():
+        try:
+            for key in work:
+                if stop.is_set():
+                    return
+                q.put(_acquire(key))
+            q.put(None)
+        except BaseException as e:  # surfaced on the dispatch thread
+            q.put(("__error__", e))
+
+    def _process(item):
+        key, bounds, block = item
+        nonlocal multi
+        if wire_fn is not None:
+            t0 = _time.perf_counter()
+            chunks = list(wire_fn(block))
+            for c in chunks:
+                try:
+                    c.copy_to_host_async()
+                except Exception:
+                    pass
+            _phase("dispatch", t0)
+            if multi is None:
+                multi = True
+            payload, specs = [chunks], wire_specs
+        else:
+            t0 = _time.perf_counter()
+            res = fn(block)
+            if multi is None:
+                multi = isinstance(res, (tuple, list))
+            res = res if isinstance(res, (tuple, list)) else (res,)
+            # crop the overlap ON DEVICE so only the tile core
+            # crosses the wire (edge tiles keep their uniform
+            # ts x ts shape here; the valid sub-rectangle is cut
+            # on the host)
+            res = tuple(a[ov:ov + ts, ov:ov + ts] for a in res)
+            specs = None
+            if len(res) > 1 and all(_is_device_array(a) for a in res):
+                packed, specs = _pack_device(res)
+                payload = [_stage_readback(packed)]
             else:
-                # overlapped read window, clipped to the raster
-                rr0, cc0 = max(r0 - ov, 0), max(c0 - ov, 0)
-                rr1, cc1 = min(r1 + ov, H), min(c1 + ov, W)
-                block = Z[rr0:rr1, cc0:cc1]
-                # pad to the uniform (ts + 2 ov) shape so jit reuses
-                # one compilation; edge replication preserves local
-                # stencils
-                ph = (ov - (r0 - rr0), ov - (rr1 - r1))
-                pw = (ov - (c0 - cc0), ov - (cc1 - c1))
-                fh = ts - (r1 - r0)
-                fw = ts - (c1 - c0)
-                block = np.pad(block, ((ph[0], ph[1] + fh),
-                                       (pw[0], pw[1] + fw)),
-                               mode="edge")
-            if wire_fn is not None:
-                if not _is_device_array(block):
-                    block = _banded_put(np.asarray(block,
-                                                   dtype=np.float32),
-                                        dev_state)
-                chunks = list(wire_fn(block))
-                for c in chunks:
-                    try:
-                        c.copy_to_host_async()
-                    except Exception:
-                        pass
-                if multi is None:
-                    multi = True
-                payload, specs = [chunks], wire_specs
-            else:
-                res = fn(block)
-                if multi is None:
-                    multi = isinstance(res, (tuple, list))
-                res = res if isinstance(res, (tuple, list)) else (res,)
-                # crop the overlap ON DEVICE so only the tile core
-                # crosses the wire (edge tiles keep their uniform
-                # ts x ts shape here; the valid sub-rectangle is cut
-                # on the host)
-                res = tuple(a[ov:ov + ts, ov:ov + ts] for a in res)
-                specs = None
-                if len(res) > 1 and all(_is_device_array(a) for a in res):
-                    packed, specs = _pack_device(res)
-                    payload = [_stage_readback(packed)]
-                else:
-                    payload = [_stage_readback(a) for a in res]
-            inflight.append((key, (r0, r1, c0, c1), payload, specs))
-            while len(inflight) > max(int(pipeline_depth), 0):
+                payload = [_stage_readback(a) for a in res]
+            _phase("dispatch", t0)
+        inflight.append((key, bounds, payload, specs))
+        while len(inflight) > max(int(pipeline_depth), 0):
+            flush_one()
+
+    t_total = _time.perf_counter()
+    if prefetch:
+        prod = threading.Thread(target=_producer, daemon=True)
+        prod.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if item[0] == "__error__":
+                    raise item[1]
+                _process(item)
+            while inflight:
                 flush_one()
-    while inflight:
-        flush_one()
-    drain_stores()
+            drain_stores()
+        finally:
+            stop.set()
+            while prod.is_alive():  # unblock a q.put on backpressure
+                try:
+                    q.get_nowait()
+                except _queuemod.Empty:
+                    pass
+                prod.join(timeout=0.1)
+    else:
+        for key in work:
+            _process(_acquire(key))
+        while inflight:
+            flush_one()
+        drain_stores()
+    _phase("total", t_total)
     if out is None:
         raise ValueError(
             "checkpoint marks every tile done but no `out` arrays were "

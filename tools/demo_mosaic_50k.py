@@ -69,6 +69,12 @@ def main():
     ap.add_argument("--verify", action="store_true",
                     help="recompute random tiles directly and compare")
     ap.add_argument("--wire", default="compact")
+    ap.add_argument("--moran-f16", action="store_true",
+                    help="store the Moran plane as float16 on disk "
+                    "(halves its footprint; the compact wire already "
+                    "rounds floats to bfloat16, so the extra loss is "
+                    "one mantissa bit of a ~3-digit value — what makes "
+                    "the full config-5 trio fit the 100k^2 disk budget)")
     args = ap.parse_args()
 
     n = args.size
@@ -90,7 +96,7 @@ def main():
         return verify(Z, d, n, products)
 
     dtypes = {"geomorphons": np.uint8, "objects": np.uint8,
-              "moran": np.float32}
+              "moran": np.float16 if args.moran_f16 else np.float32}
     outs = tuple(np.memmap(os.path.join(d, f"{p}.out"),
                            dtype=dtypes[p],
                            mode=("r+" if os.path.exists(
@@ -148,15 +154,16 @@ def main():
           f"({os.path.getsize(tif)/2**30:.2f} GiB)", flush=True)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rec = f"DEMO{n // 1000}K.json" if n % 1000 == 0 else "DEMOSCALE.json"
     json.dump({
-        "metric": "mosaic_50k_disk_to_disk", "pixels": n * n,
+        "metric": f"mosaic_{n//1000}k_disk_to_disk", "pixels": n * n,
         "products": list(products), "wall_s": round(wall, 1),
         "mpix_s": round(n * n / 1e6 / wall, 2),
         "bigtiff_s": round(t_tif, 1),
         "tile": args.tile, "lookup_pixels": LOOKUP,
         "date": time.strftime("%Y-%m-%d"),
-    }, open(os.path.join(repo, "DEMO50K.json"), "w"), indent=1)
-    print("wrote DEMO50K.json", flush=True)
+    }, open(os.path.join(repo, rec), "w"), indent=1)
+    print(f"wrote {rec}", flush=True)
 
 
 def verify(Z, d, n, products):
