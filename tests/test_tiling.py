@@ -403,6 +403,65 @@ def test_mosaic_streaming_equals_resident(rng):
     np.testing.assert_allclose(M1, M2, atol=1e-5)
 
 
+def test_prefetch_thread_equals_inline(rng):
+    """The prefetch-thread acquisition path (tunnel duplexing) must be
+    a pure scheduling change: identical outputs, identical phase keys,
+    and the checkpoint/resume contract preserved."""
+    from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+    Z = rng.normal(size=(100, 130)).cumsum(axis=0).astype(np.float32)
+    kw = dict(cellsize=1, lookup_pixels=4, windows=np.array([1, 2]),
+              gi_radius=2, tile_size=48)
+    outs = {}
+    for pf in (False, True):
+        ps = {}
+        outs[pf] = mosaic_terrain_products(Z, prefetch=pf,
+                                           phase_stats=ps, **kw)
+        assert ps["tiles"] == 9
+        assert ps["total"] > 0
+        assert "dispatch" in ps and "readback_wait" in ps
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prefetch_checkpoint_resume(tmp_path, rng):
+    """Kill-and-resume semantics are unchanged under prefetch: a
+    partially-checkpointed run completes only the missing tiles."""
+    from neilpy_tpu.dist.tiling import tiled_apply, TileCheckpoint
+    import jax
+    Z = rng.normal(size=(70, 90)).astype(np.float32)
+    f = jax.jit(lambda a: a * 3 + 2)
+    want = np.asarray(f(Z))
+    ck = str(tmp_path / "tiles.json")
+    out = np.zeros_like(want)
+    # seed a partial checkpoint: tile (0, 0) marked done, with its
+    # output already stored (as a killed run would have left it)
+    out[:32, :32] = want[:32, :32]
+    TileCheckpoint(ck).mark((0, 0))
+    got = tiled_apply(f, Z, tile_size=32, overlap=4, out=out,
+                      checkpoint=ck, prefetch=True)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_prefetch_producer_error_propagates(rng):
+    """An exception while acquiring a block on the prefetch thread
+    surfaces on the caller, not as a hang."""
+    from neilpy_tpu.dist.tiling import tiled_apply
+    import jax
+
+    class Boom:
+        shape = (64, 64)
+        dtype = np.dtype(np.float32)
+        nbytes = 64 * 64 * 4
+
+        def __getitem__(self, idx):
+            raise RuntimeError("source read failed")
+
+    f = jax.jit(lambda a: a + 1)
+    with pytest.raises(RuntimeError, match="source read failed"):
+        tiled_apply(f, Boom(), tile_size=32, overlap=4,
+                    device_input=False, prefetch=True)
+
+
 def test_tiled_apply_lazy_source_streaming(tmp_path, rng):
     """tiled_apply's true streaming path (device_input=False) slices
     windows straight off a lazy source."""
