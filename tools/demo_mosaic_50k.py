@@ -83,12 +83,21 @@ def main():
     dem_path = os.path.join(d, "dem.f32")
     products = tuple(args.products.split(","))
 
+    # a size check alone is NOT a completeness check: np.memmap(w+)
+    # creates the full-size sparse file instantly, so a killed-during-
+    # generation run (or a concurrent second invocation) would pass it
+    # and silently mosaic a half-written DEM — generation completeness
+    # gets its own marker
+    done_path = dem_path + ".done"
     if (not os.path.exists(dem_path)
-            or os.path.getsize(dem_path) != 4 * n * n):
+            or os.path.getsize(dem_path) != 4 * n * n
+            or not os.path.exists(done_path)):
         print(f"generating {n}x{n} synthetic DEM -> {dem_path}",
               flush=True)
         t0 = time.time()
         synth_dem(dem_path, n)
+        with open(done_path, "w") as f:
+            f.write(str(4 * n * n))
         print(f"generated in {time.time()-t0:.0f}s", flush=True)
     Z = np.memmap(dem_path, dtype=np.float32, mode="r", shape=(n, n))
 
