@@ -33,6 +33,19 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+# persistent compile cache: a resumed (post-SIGKILL) invocation skips
+# recompiling unchanged XLA programs (Mosaic kernel compiles run
+# server-side and bypass this cache; use --engine xla to dodge those
+# too when the wire, not the kernel, bounds throughput)
+try:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 LOOKUP = 50
 CELLSIZE = 10.0
 WINDOWS = (1, 2, 4)
@@ -69,6 +82,13 @@ def main():
     ap.add_argument("--verify", action="store_true",
                     help="recompute random tiles directly and compare")
     ap.add_argument("--wire", default="compact")
+    ap.add_argument("--engine", default="pallas",
+                    choices=("pallas", "xla"),
+                    help="tile-kernel engine; 'xla' compiles from the "
+                    "persistent cache on relaunch (the Pallas ladder "
+                    "is ~3x faster per tile but its Mosaic compile "
+                    "runs server-side and cannot be cached, costing "
+                    "every fresh process ~5-10 min)")
     ap.add_argument("--moran-f16", action="store_true",
                     help="store the Moran plane as float16 on disk "
                     "(halves its footprint; the compact wire already "
@@ -102,7 +122,7 @@ def main():
     Z = np.memmap(dem_path, dtype=np.float32, mode="r", shape=(n, n))
 
     if args.verify:
-        return verify(Z, d, n, products)
+        return verify(Z, d, n, products, engine=args.engine)
 
     dtypes = {"geomorphons": np.uint8, "objects": np.uint8,
               "moran": np.float16 if args.moran_f16 else np.float32}
@@ -139,7 +159,8 @@ def main():
         Z, cellsize=CELLSIZE, lookup_pixels=LOOKUP,
         windows=np.array(WINDOWS), gi_radius=GI_RADIUS,
         tile_size=args.tile, checkpoint=ck, out=outs,
-        products=products, wire=args.wire, progress=True)
+        products=products, wire=args.wire, progress=True,
+        use_pallas=(args.engine == "pallas"))
     wall = prior + (time.time() - t0)
     json.dump({"wall_s": wall}, open(wall_path, "w"))
     os.remove(start_path)
@@ -175,10 +196,12 @@ def main():
     print(f"wrote {rec}", flush=True)
 
 
-def verify(Z, d, n, products):
+def verify(Z, d, n, products, engine="pallas"):
     """Recompute a few tiles directly (single fused calls on padded
     windows) and require exact agreement with the stored mosaic
-    products (classes/objects exact; Moran to bf16 wire rounding)."""
+    products (classes/objects exact; Moran to bf16 wire rounding).
+    ``engine`` must match the run being verified: the Pallas and XLA
+    ladders agree everywhere except exact f32 decision ties."""
     from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
     from neilpy_tpu.io.geotiff import GeoTiffSource
     rng = np.random.default_rng(0)
@@ -197,7 +220,7 @@ def verify(Z, d, n, products):
         (g_sub,) = mosaic_terrain_products(
             sub, cellsize=CELLSIZE, lookup_pixels=LOOKUP,
             tile_size=w + 2 * m, products=("geomorphons",),
-            wire="exact")
+            wire="exact", use_pallas=(engine == "pallas"))
         want = g_sub[m:m + w, m:m + w]
         got = np.asarray(G[r:r + w, c:c + w])
         frac = float(np.mean(got == want))
