@@ -102,6 +102,9 @@ del _os
 # ----- observability ---------------------------------------------------
 from .profiling import Throughput, trace, compile_report
 
+# ----- runtime: persistent compiled-executable cache -------------------
+from . import aot
+
 # ----- multi-chip / out-of-core ---------------------------------------
 from . import dist
 from .pipelines.mosaic import mosaic_terrain_products

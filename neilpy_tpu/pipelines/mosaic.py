@@ -215,7 +215,18 @@ def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
         step = -(-ts // n_chunks)
         return tuple(packed[i:i + step] for i in range(0, ts, step))
 
-    return tile_kernel
+    # Persistent-executable cache: the fused tile program is the single
+    # most expensive compile in the framework (its Pallas ladder
+    # compiles SERVER-SIDE, ~60-430 s, and bypasses jax's persistent
+    # XLA cache), and it is exactly the program a resumed post-SIGKILL
+    # mosaic or a fresh bench process needs again, unchanged.  See
+    # neilpy_tpu.aot for keying/invalidation; falls back to the plain
+    # jitted call when caching is off (default on non-TPU platforms).
+    from ..aot import CachedKernel
+    return CachedKernel(tile_kernel, key=(
+        "mosaic_tile", cellsize, lookup_pixels, threshold_angle, win,
+        gi_radius, use_pallas, fast, how_fast, compact, tile_size,
+        overlap, n_chunks, products))
 
 
 @lru_cache(maxsize=16)

@@ -1,0 +1,160 @@
+"""Persistent compiled-executable cache (neilpy_tpu.aot).
+
+The production win is on the tunneled TPU runtime (server-side Mosaic
+compiles that bypass jax's XLA cache); these tests exercise the cache
+machinery itself on the CPU backend via the NEILPY_AOT_CACHE override:
+store/load round trips, result parity, tracer passthrough, corrupt-file
+recovery, and the fail-open paths.
+"""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neilpy_tpu import aot
+
+
+@pytest.fixture
+def cachedir(tmp_path, monkeypatch):
+    d = str(tmp_path / "aotcache")
+    monkeypatch.setenv("NEILPY_AOT_CACHE", d)
+    return d
+
+
+def _kernel():
+    return jax.jit(lambda a, s: (a * s + 1.0, (a - s).sum()))
+
+
+def _files(d):
+    return sorted(f for f in os.listdir(d) if f.endswith(".jaxexec")) \
+        if os.path.isdir(d) else []
+
+
+def test_compile_store_and_parity(cachedir):
+    f = _kernel()
+    ck = aot.CachedKernel(f, key="t1")
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    got = ck(a, jnp.float32(2.0))
+    want = f(a, jnp.float32(2.0))
+    np.testing.assert_array_equal(np.asarray(got[0]),
+                                  np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]),
+                                  np.asarray(want[1]))
+    assert len(_files(cachedir)) == 1
+
+
+def test_disk_hit_skips_compile(cachedir):
+    a = np.ones((4, 4), np.float32)
+    s = jnp.float32(3.0)
+    ck1 = aot.CachedKernel(_kernel(), key="t2")
+    r1 = np.asarray(ck1(a, s)[0])
+    # a fresh wrapper (fresh process stand-in) must serve from disk:
+    # poison the compile path so any compile attempt fails loudly
+    ck2 = aot.CachedKernel(_kernel(), key="t2")
+    ck2._compile_and_store = None  # would raise TypeError if invoked
+    r2 = np.asarray(ck2(a, s)[0])
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_signature_and_key_separate_entries(cachedir):
+    ck = aot.CachedKernel(_kernel(), key="t3")
+    ck(np.ones((2, 2), np.float32), jnp.float32(1.0))
+    ck(np.ones((3, 2), np.float32), jnp.float32(1.0))  # new shape
+    other = aot.CachedKernel(_kernel(), key="t3b")
+    other(np.ones((2, 2), np.float32), jnp.float32(1.0))
+    assert len(_files(cachedir)) == 3
+
+
+def test_tracer_passthrough(cachedir):
+    ck = aot.CachedKernel(_kernel(), key="t4")
+
+    @jax.jit
+    def outer(a):
+        y, s = ck(a, jnp.float32(2.0))
+        return y + s
+
+    out = np.asarray(outer(np.ones((2, 3), np.float32)))
+    np.testing.assert_allclose(out, -3.0)  # y=3 plus sum(a-s)=-6
+    assert len(_files(cachedir)) == 0  # traced call never hits disk
+
+
+def test_disabled_by_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("NEILPY_AOT_CACHE", "0")
+    assert aot.cache_dir() is None
+    ck = aot.CachedKernel(_kernel(), key="t5")
+    out = ck(np.ones((2, 2), np.float32), jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(out[0]), 2.0)
+
+
+def test_default_off_on_cpu(monkeypatch):
+    monkeypatch.delenv("NEILPY_AOT_CACHE", raising=False)
+    # tests run on the CPU backend, where the default policy is OFF
+    assert aot.cache_dir() is None
+
+
+def test_corrupt_file_recovered(cachedir):
+    a = np.ones((5, 5), np.float32)
+    s = jnp.float32(2.0)
+    ck = aot.CachedKernel(_kernel(), key="t6")
+    want = np.asarray(ck(a, s)[0])
+    (fn,) = _files(cachedir)
+    path = os.path.join(cachedir, fn)
+    with open(path, "wb") as f:
+        f.write(b"not a pickle")
+    ck2 = aot.CachedKernel(_kernel(), key="t6")
+    got = np.asarray(ck2(a, s)[0])
+    np.testing.assert_array_equal(got, want)
+    # the corrupt file was replaced by a fresh valid one
+    (fn2,) = _files(cachedir)
+    with open(os.path.join(cachedir, fn2), "rb") as f:
+        blob, in_tree, out_tree = pickle.load(f)
+    assert isinstance(blob, bytes) and len(blob) > 0
+
+
+def test_non_jit_fn_falls_back(cachedir):
+    plain = lambda a: a + 1  # no .lower: not AOT-able
+    ck = aot.CachedKernel(plain, key="t7")
+    out = ck(np.ones(3, np.float32))
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+    assert len(_files(cachedir)) == 0
+    # and the fallback is remembered (second call same path)
+    out = ck(np.ones(3, np.float32))
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+
+
+def test_clear(cachedir):
+    ck = aot.CachedKernel(_kernel(), key="t8")
+    ck(np.ones((2, 2), np.float32), jnp.float32(1.0))
+    assert len(_files(cachedir)) == 1
+    assert aot.clear() == 1
+    assert len(_files(cachedir)) == 0
+
+
+def test_package_fingerprint_stable():
+    assert aot.package_fingerprint() == aot.package_fingerprint()
+    assert len(aot.package_fingerprint()) == 16
+
+
+def test_mosaic_tile_kernel_uses_cache(cachedir):
+    """End-to-end: a small mosaic run populates the cache and a second
+    run (fresh kernel instance) still matches the direct computation."""
+    from neilpy_tpu.pipelines import mosaic as M
+
+    rng = np.random.default_rng(0)
+    Z = rng.normal(size=(256, 256)).astype(np.float32).cumsum(axis=0)
+    kw = dict(cellsize=1.0, lookup_pixels=8, windows=np.array([1, 2]),
+              gi_radius=2, tile_size=128, products=("geomorphons",
+                                                    "objects", "moran"))
+    M._make_tile_kernel.cache_clear()
+    g1, o1, m1 = M.mosaic_terrain_products(Z, **kw)
+    assert len(_files(cachedir)) >= 1
+    M._make_tile_kernel.cache_clear()  # fresh CachedKernel -> disk load
+    g2, o2, m2 = M.mosaic_terrain_products(Z, **kw)
+    np.testing.assert_array_equal(g1, g2)
+    np.testing.assert_array_equal(o1, o2)
+    np.testing.assert_array_equal(m1, m2)

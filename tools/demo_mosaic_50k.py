@@ -34,9 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 # persistent compile cache: a resumed (post-SIGKILL) invocation skips
-# recompiling unchanged XLA programs (Mosaic kernel compiles run
-# server-side and bypass this cache; use --engine xla to dodge those
-# too when the wire, not the kernel, bounds throughput)
+# recompiling unchanged XLA programs.  Mosaic kernel compiles run
+# server-side and bypass this cache, but the mosaic tile kernel is
+# additionally wrapped in neilpy_tpu.aot's persistent EXECUTABLE cache,
+# so a relaunch reloads the compiled Pallas program in seconds too —
+# --engine xla remains only as a fallback for cache-less environments
 try:
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -84,11 +86,11 @@ def main():
     ap.add_argument("--wire", default="compact")
     ap.add_argument("--engine", default="pallas",
                     choices=("pallas", "xla"),
-                    help="tile-kernel engine; 'xla' compiles from the "
-                    "persistent cache on relaunch (the Pallas ladder "
-                    "is ~3x faster per tile but its Mosaic compile "
-                    "runs server-side and cannot be cached, costing "
-                    "every fresh process ~5-10 min)")
+                    help="tile-kernel engine; the default Pallas "
+                    "ladder is ~3x faster per tile and its compiled "
+                    "executable persists via neilpy_tpu.aot, so a "
+                    "resumed run reloads it in seconds; 'xla' is the "
+                    "fallback for environments without that cache")
     ap.add_argument("--moran-f16", action="store_true",
                     help="store the Moran plane as float16 on disk "
                     "(halves its footprint; the compact wire already "
