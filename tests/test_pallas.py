@@ -85,6 +85,56 @@ def test_nan_hole_in_safe_tile():
     np.testing.assert_array_equal(G_p, G_x)
 
 
+@pytest.mark.parametrize("fast", [False, True])
+def test_9patch_specialization_matches_dynamic(fast):
+    """The static 9-patch boundary specialization must be bit-identical
+    to the dynamic (runtime-cond) kernel — same per-direction routing
+    predicate, folded at compile time — including across a NaN hole in
+    a geometrically-safe tile and non-tile-aligned padding rows."""
+    rng = np.random.default_rng(11)
+    Z = rng.normal(size=(130, 260)).cumsum(axis=1).astype(np.float32)
+    Z[60:64, 120:130] = np.nan
+    kw = dict(cellsize=3.0, lookup_pixels=12, threshold_angle=1.0,
+              tile=(40, 128), fast=fast)
+    np_d, nn_d = openness_counts_pallas(Z, **kw)
+    np_s, nn_s = openness_counts_pallas(Z, specialize=True, **kw)
+    np.testing.assert_array_equal(np.asarray(np_d), np.asarray(np_s))
+    np.testing.assert_array_equal(np.asarray(nn_d), np.asarray(nn_s))
+
+
+def test_9patch_fused_reductions_match_dynamic():
+    """specialize=True parity for the fused in-kernel reductions
+    (openness / skyview / ternary share ``_reduced_kernel``)."""
+    from neilpy_tpu.ops.pallas_scan import (openness_pallas,
+                                            skyview_pallas,
+                                            ternary_pallas)
+    rng = np.random.default_rng(13)
+    Z = (rng.random((96, 260)) * 100).astype(np.float32)
+    Z[40:44, 100:110] = np.nan
+    kw = dict(cellsize=2.0, lookup_pixels=10, tile=(32, 128))
+    for fn, extra in [(openness_pallas, {}),
+                      (skyview_pallas, {}),
+                      (ternary_pallas, {"threshold_angle": 1.0})]:
+        a = fn(Z, **kw, **extra)
+        b = fn(Z, **kw, **extra, specialize=True)
+        if not isinstance(a, tuple):
+            a, b = (a,), (b,)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_9patch_single_region_degenerate():
+    """A raster smaller than one ladder reach in every direction: the
+    9-patch partition collapses to a single all-masked region."""
+    rng = np.random.default_rng(12)
+    Z = rng.normal(size=(24, 40)).cumsum(axis=0).astype(np.float32)
+    kw = dict(cellsize=1.0, lookup_pixels=30, tile=(24, 128))
+    np_d, nn_d = openness_counts_pallas(Z, **kw)
+    np_s, nn_s = openness_counts_pallas(Z, specialize=True, **kw)
+    np.testing.assert_array_equal(np.asarray(np_d), np.asarray(np_s))
+    np.testing.assert_array_equal(np.asarray(nn_d), np.asarray(nn_s))
+
+
 def test_non_tile_aligned_shape():
     r = np.random.default_rng(3)
     Z = r.normal(size=(70, 90)).cumsum(axis=0).astype(np.float32)
