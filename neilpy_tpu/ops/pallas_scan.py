@@ -71,25 +71,30 @@ compiled and timed on hardware, counts asserted equal where valid):
 - every tile forced down the per-direction-cond masked path:
   25.57 ms.
 
-So the production structure sits at a measured equilibrium: on the
+So the dynamic structure sits at a measured equilibrium: on the
 20/32 boundary tiles of this shape, per-direction conds save
 ~(4.6/8 masked dirs) x 6.5 ms of masked work but pay ~2 ms of scf.if
 scheduling — which is why per-tile/per-direction/hybrid restructures
-all land within 0.4 ms.  The only remaining exact-mode lever is
-9-patch STATIC specialization (separate pallas_calls for interior /
-4 edges / 4 corners, each with its unsafe-direction set folded at
-compile time): projected ~20.5-21 ms, but 9 Mosaic programs at
-~1-3 min EACH of server-side compile that BYPASSES the persistent
-cache — every fresh process would pay ~15-20 min cold.  Rejected as
-a default.  Throughput well above ~440 at this shape needs more
-chips (dist/halo.py shards this kernel bit-exactly), a raster where
-interior tiles dominate (r3 measured: 8192^2 exact 150 ms = 447
-Mpix/s and fast 58 ms = 1.15 Gpix/s; 10,000^2 exact 413 Mpix/s in
-r2 — both above the r2 review's 420 target, which the 2048x4096
-shape's 440 Mpix/s maskless floor caps by construction), or the
-``fast`` progressive ladder (745 Mpix/s measured).  Sweeps confirmed
-the operating point: tiles (512,1024)/(256,2048)/(128,1024) and chunk
-sizes 16/25 are all equal or worse than (256,1024)xCH=8.
+all land within 0.4 ms.  The remaining exact-mode lever — built and
+measured in r4 — is the 9-patch STATIC specialization
+(``specialize=True`` / ``_region_calls``: separate pallas_calls per
+boundary region, each with its unsafe-direction set folded at compile
+time, so no scf.if anywhere): 2048x4096 measured 22.30 ms (376
+Mpix/s, from 23.66 dynamic that day) and 8192^2 145.5 ms (461
+Mpix/s, from 149.7), outputs bit-identical, and — decisive — the 9
+cond-free Mosaic programs compile in ~the same total server time as
+the one dynamic program (210 vs 224 s cold), so there is no compile
+tax; r3's projection of ~15-20 min assumed per-program cost equal to
+the cond-heavy dynamic kernel, which measurement disproved.  The
+persistent executable cache (``neilpy_tpu.aot``) makes even that
+one-time cost a per-machine, not per-process, event.  Throughput
+well above the ~440 maskless floor at this shape needs more chips
+(dist/halo.py shards this kernel bit-exactly), a raster where
+interior tiles dominate (8192^2 exact 461 Mpix/s specialized; fast
+58 ms = 1.15 Gpix/s), or the ``fast`` progressive ladder (745 Mpix/s
+measured).  Sweeps confirmed the operating point: tiles
+(512,1024)/(256,2048)/(128,1024) and chunk sizes 16/25 are all equal
+or worse than (256,1024)xCH=8.
 """
 
 from __future__ import annotations
@@ -123,6 +128,20 @@ def _fast_ladder(R, how_fast):
     visit identical L levels."""
     from ..core.codes import progressive_window
     return tuple(int(v) for v in progressive_window(1, R, how_fast))
+
+
+def _resolve_specialize(specialize, interpret, fast):
+    """Resolve ``specialize=None`` to the measured-best default: the
+    9-patch static boundary specialization ON for compiled exact
+    ladders (its 9 cond-free Mosaic programs compile in ~the same
+    total server time as the one dynamic program, and run +6-20%
+    faster), OFF in interpret mode (9x the Python-interpreter passes
+    for no gain) and for the unrolled ``fast`` ladder (~2x cold
+    compile; opt in explicitly — the persistent executable cache
+    makes it a one-time cost)."""
+    if specialize is None:
+        return (not interpret) and not fast
+    return bool(specialize)
 
 
 def _extrema_ladder(win, core, rows, cols, d, *, TH, TW, R, RR, RC, H, W,
@@ -511,17 +530,22 @@ def _counts_kernel(org_ref, nan_ref, Z_hbm, np_ref, nn_ref, win, sem,
 def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
                            threshold_angle=1.0, tile=(256, 1024),
                            interpret=None, fast=False, how_fast=20,
-                           specialize=False):
+                           specialize=None):
     """(num_pos, num_neg) direction counts for geomorphons, computed by
     the blocked Pallas scan.  Equivalent to
     ``ops.visibility.count_openness`` (asserted in tests).
 
-    ``specialize=True`` compiles the 9-patch static variant (one Mosaic
-    program per boundary region, unsafe-direction sets folded at
-    compile time — see ``_counts_call_9patch``): bit-identical outputs,
-    measurably faster on boundary-heavy shapes, at up to 9x the cold
-    Mosaic compile (amortized by the ``neilpy_tpu.aot`` persistent
-    executable cache)."""
+    ``specialize``: the 9-patch static variant (one Mosaic program per
+    boundary region, unsafe-direction sets folded at compile time —
+    see ``_region_calls``): bit-identical outputs (asserted on
+    hardware), measured +6-20% depending on boundary-tile fraction.
+    Default ``None`` resolves to True on the compiled (non-interpret)
+    path for the EXACT ladder — where the 9 cond-free programs compile
+    in ~the same total server time as the one dynamic program — and to
+    False for the ``fast`` unrolled ladder, whose specialized compile
+    measured ~2x (754 s vs 383 s; opt in explicitly, the persistent
+    executable cache makes it a one-time cost: 870 vs 728 Mpix/s at
+    2048x4096)."""
     Z = jnp.asarray(Z, dtype=jnp.float32)
     H, W = Z.shape
     R = int(lookup_pixels)
@@ -541,6 +565,7 @@ def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    specialize = _resolve_specialize(specialize, interpret, fast)
     org = jnp.zeros((2,), dtype=jnp.int32)
     ladder = _fast_ladder(R, how_fast) if fast else None
     if specialize:
@@ -658,9 +683,13 @@ def _region_calls(Zp, org, TH, TW, R, RR, RC, H, W, interpret, ladder,
     at all — the ~2 ms/8.4 Mpix scheduling tax the per-direction
     ``lax.cond`` structure pays; see the module header's roofline
     decomposition).  Costs up to 9 Mosaic programs of server-side
-    compile per (shape, R, tile) configuration — only worth it with
-    the persistent executable cache (``neilpy_tpu.aot``) absorbing the
-    cold cost, which is why ``specialize`` is opt-in.  Outputs are
+    compile per (shape, R, tile) configuration — but measurement
+    showed the 9 cond-free exact-ladder programs compile in ~the same
+    TOTAL server time as the one cond-heavy dynamic program (210 vs
+    224 s cold), so ``specialize=None`` defaults this path ON for
+    compiled exact ladders; only the unrolled ``fast`` ladder pays ~2x
+    and stays opt-in (the ``neilpy_tpu.aot`` persistent executable
+    cache makes that a per-machine one-time cost).  Outputs are
     bit-identical to the dynamic kernel: the per-region sets are
     exactly ``_dir_is_safe``'s predicate evaluated statically, and
     masked vs maskless ladders agree wherever both are valid."""
@@ -903,11 +932,13 @@ def _reduced_kernel(org_ref, nan_ref, Z_hbm, *refs, TH, TW, R, RR, RC,
 
 def _reduced_call(Z, cellsize, lookup_pixels, tile, interpret, mode,
                   threshold_deg=0.0, neg_mode=True, fast=False,
-                  how_fast=20, specialize=False):
+                  how_fast=20, specialize=None):
     """Shared wrapper for the fused-reduction kernels: pad/align like
     ``openness_counts_pallas``, run ``_reduced_kernel``, crop.
     ``specialize`` selects the 9-patch static boundary specialization
-    (``_region_calls``)."""
+    (``_region_calls``); ``None`` resolves like
+    ``openness_counts_pallas`` (True on the compiled exact-ladder
+    path, False for ``fast`` / interpret)."""
     Z = jnp.asarray(Z, dtype=jnp.float32)
     H, W = Z.shape
     R = int(lookup_pixels)
@@ -922,6 +953,7 @@ def _reduced_call(Z, cellsize, lookup_pixels, tile, interpret, mode,
                  constant_values=jnp.nan)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    specialize = _resolve_specialize(specialize, interpret, fast)
     org = jnp.zeros((2,), dtype=jnp.int32)
     ext = (RR, H, RC, W)
     nan_grid = _tile_nan_grid(Zp, TH, TW, RR, RC, ext)
@@ -971,7 +1003,7 @@ def _reduced_call(Z, cellsize, lookup_pixels, tile, interpret, mode,
                                    "specialize"))
 def openness_pallas(Z, cellsize=1.0, lookup_pixels=1, tile=(256, 1024),
                     interpret=None, fast=False, how_fast=20,
-                    specialize=False):
+                    specialize=None):
     """(positive, negative) Yokoyama openness in DEGREES from ONE
     fused ladder pass (reference openness neilpy.py:1325-1356 — the #1
     flagged kernel in SURVEY §3.2): the 8-direction extrema reduce to
@@ -990,7 +1022,7 @@ def openness_pallas(Z, cellsize=1.0, lookup_pixels=1, tile=(256, 1024),
 @partial(jax.jit, static_argnames=("lookup_pixels", "tile", "interpret",
                                    "cellsize", "specialize"))
 def skyview_pallas(Z, cellsize=1.0, lookup_pixels=1, tile=(256, 1024),
-                   interpret=None, specialize=False):
+                   interpret=None, specialize=None):
     """Skyview factor from the fused in-kernel reduction:
     1 - mean_d sin(atan(max(mx_d, 0))) with the algebraic
     sin(atan(t)) = t/sqrt(1+t^2) — one HBM plane write (reference
@@ -1006,7 +1038,7 @@ def skyview_pallas(Z, cellsize=1.0, lookup_pixels=1, tile=(256, 1024),
                                    "specialize"))
 def ternary_pallas(Z, cellsize=1.0, lookup_pixels=1, threshold_angle=0.0,
                    use_negative_openness=True, tile=(256, 1024),
-                   interpret=None, specialize=False):
+                   interpret=None, specialize=None):
     """Base-3 packed 8-direction ternary code (uint16) from the fused
     in-kernel reduction — digits compared exactly in tangent space
     (reference ternary_pattern_from_openness neilpy.py:1404-1430)."""
@@ -1061,16 +1093,16 @@ def openness_counts_pallas_block(block_haloed, origin, global_shape,
 
 def geomorphons_pallas(Z, cellsize=1, lookup_pixels=1, threshold_angle=1,
                        tile=(256, 1024), fast=False, how_fast=20,
-                       specialize=False):
+                       specialize=None):
     """Geomorphon classes from the Pallas scan (drop-in fast path for
     ``ops.visibility.geomorphons`` without the enhance mode; the
     'fast' progressive ladder runs as unrolled static slices).
-    ``specialize`` selects the 9-patch static boundary specialization
-    (see ``openness_counts_pallas``)."""
+    ``specialize`` selects the 9-patch static boundary specialization,
+    ``None`` auto-resolving as in ``openness_counts_pallas``."""
     from .visibility import classes_from_counts
     num_pos, num_neg = openness_counts_pallas(
         Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels),
         threshold_angle=float(threshold_angle), tile=tile,
         fast=bool(fast), how_fast=int(how_fast),
-        specialize=bool(specialize))
+        specialize=specialize)
     return classes_from_counts(num_pos, num_neg)

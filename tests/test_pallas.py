@@ -123,6 +123,20 @@ def test_9patch_fused_reductions_match_dynamic():
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_specialize_default_resolution():
+    """``specialize=None`` resolves to the measured-best default: ON
+    only for compiled (non-interpret) EXACT ladders; interpret mode
+    and the unrolled fast ladder stay dynamic (see
+    ``_resolve_specialize``).  Explicit values pass through."""
+    from neilpy_tpu.ops.pallas_scan import _resolve_specialize
+    assert _resolve_specialize(None, interpret=False, fast=False) is True
+    assert _resolve_specialize(None, interpret=True, fast=False) is False
+    assert _resolve_specialize(None, interpret=False, fast=True) is False
+    assert _resolve_specialize(None, interpret=True, fast=True) is False
+    assert _resolve_specialize(True, interpret=True, fast=True) is True
+    assert _resolve_specialize(False, interpret=False, fast=False) is False
+
+
 def test_9patch_single_region_degenerate():
     """A raster smaller than one ladder reach in every direction: the
     9-patch partition collapses to a single all-masked region."""
