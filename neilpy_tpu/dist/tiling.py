@@ -246,7 +246,13 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
     inflight = deque()
 
     if device_input == "auto":
-        device_input = Z.nbytes <= int(device_input_budget)
+        # the device-resident path computes in JAX's canonical dtype
+        # (f64/int64 become f32/int32 with x64 off) — 'auto' keeps the
+        # dtype-exact host path for those; explicit True opts in to
+        # canonicalization
+        from jax.dtypes import canonicalize_dtype
+        canonical = canonicalize_dtype(Z.dtype) == Z.dtype
+        device_input = canonical and Z.nbytes <= int(device_input_budget)
     dev_state = {}
 
     def _device_block(r0, c0):
@@ -269,8 +275,9 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
             pb = n_ty * ts - H + ov
             pr = n_tx * ts - W + ov
             band = max(1, (32 << 20) // max(W * Z.dtype.itemsize, 1))
-            bands = [jax.device_put(np.asarray(Z[i:i + band],
-                                               dtype=np.float32))
+            # dtype is PRESERVED (apply_parallel drop-in semantics):
+            # coercion is the kernel's decision, not the transport's
+            bands = [jax.device_put(np.asarray(Z[i:i + band]))
                      for i in range(0, H, band)]
             # the bands are freed after this call returns (HBM peak is
             # input + padded copy; XLA cannot alias donated inputs into
@@ -346,7 +353,8 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
         replication preserves local stencils."""
         rr0, cc0 = max(r0 - ov, 0), max(c0 - ov, 0)
         rr1, cc1 = min(r1 + ov, H), min(c1 + ov, W)
-        block = np.asarray(Z[rr0:rr1, cc0:cc1], dtype=np.float32)
+        # np.asarray materializes lazy sources; dtype is preserved
+        block = np.asarray(Z[rr0:rr1, cc0:cc1])
         ph = (ov - (r0 - rr0), ov - (rr1 - r1))
         pw = (ov - (c0 - cc0), ov - (cc1 - c1))
         fh = ts - (r1 - r0)
@@ -365,11 +373,13 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
 
         def flush_group():
             keys, bounds_list, shard_datas = inflight.popleft()
+            t0 = _time.perf_counter()
             for key, bounds, sd in zip(keys, bounds_list, shard_datas):
                 # each shard is (1, ts, n_bytes): one tile's packed
                 # wire buffer with its leading shard axis
                 buf = np.asarray(sd)[0]
                 submit_store(key, bounds, _unpack_host(buf, wire_specs))
+            _phase("readback_wait", t0)
 
         def dispatch_group(keys, bounds_list, blocks):
             # pad a final partial group by repeating its last tile —
@@ -377,7 +387,10 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
             n_real = len(keys)
             while len(blocks) < D:
                 blocks.append(blocks[-1])
+            t0 = _time.perf_counter()
             stacked = jax.device_put(np.stack(blocks), sharding)
+            _phase("upload", t0)
+            t0 = _time.perf_counter()
             wirebuf = mesh_wire_fn(stacked)
             shards = sorted(wirebuf.addressable_shards,
                             key=lambda s: s.index[0].start or 0)
@@ -387,6 +400,7 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
                     d.copy_to_host_async()
                 except Exception:
                     pass
+            _phase("dispatch", t0)
             inflight.append((keys, bounds_list, datas))
             while len(inflight) > max(int(pipeline_depth), 0):
                 flush_group()
@@ -401,7 +415,10 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
                 r1, c1 = min(r0 + ts, H), min(c0 + ts, W)
                 g_keys.append(key)
                 g_bounds.append((r0, r1, c0, c1))
+                t0 = _time.perf_counter()
                 g_blocks.append(host_block(r0, r1, c0, c1))
+                _phase("host_read", t0)
+                _ps["tiles"] = _ps.get("tiles", 0) + 1
                 if len(g_keys) == D:
                     dispatch_group(g_keys, g_bounds, g_blocks)
                     g_keys, g_bounds, g_blocks = [], [], []
@@ -449,8 +466,7 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
             _phase("host_read", t0)
         if wire_fn is not None and not _is_device_array(block):
             t0 = _time.perf_counter()
-            block = _banded_put(np.asarray(block, dtype=np.float32),
-                                dev_state)
+            block = _banded_put(np.asarray(block), dev_state)
             _phase("upload", t0)
         return (key, (r0, r1, c0, c1), block)
 

@@ -549,7 +549,11 @@ def _overview_downsample(a, k, method, nodata=None):
                 mode="edge").astype(np.float64)
     numeric_nodata = nodata is not None and not np.isnan(nodata)
     if numeric_nodata:
-        ap[ap == float(nodata)] = np.nan
+        # compare in the RASTER's dtype: a float32 file stores
+        # float32(nodata), which generally != float64(nodata) after the
+        # cast above (e.g. -99999.9 -> -99999.8984375) — matching the
+        # f64 literal would miss every nodata cell
+        ap[ap == float(a.dtype.type(nodata))] = np.nan
     blocks = ap.reshape(hh, k, ww, k, b)
     import warnings
     with warnings.catch_warnings():

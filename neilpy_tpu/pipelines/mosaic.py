@@ -133,6 +133,10 @@ def _make_product_body(cellsize, lookup_pixels, threshold_angle, win,
                            and "objects" in products)
 
     def body(block, thresholds, mean, s2, n):
+        # product semantics are f32 regardless of the source raster's
+        # dtype; the coercion happens ON DEVICE so the transport
+        # (dist.tiling) can ship the source's native dtype
+        block = jnp.asarray(block, jnp.float32)
         vals = {}
         if "geomorphons" in products:
             vals["geomorphons"] = geo(block)
@@ -360,7 +364,11 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
     on device; ``False`` forces the true out-of-core streaming path
     (what a 50k/100k disk mosaic uses regardless).  ``phase_stats``:
     pass ``{}`` to collect the tile loop's cumulative per-phase wall
-    times (see ``tiled_apply``).
+    times (see ``tiled_apply``; works on both paths).  With ``mesh=``
+    the tile stream uses the mesh group loop, whose acquisition and
+    transfer structure is fixed — ``prefetch``, ``device_input`` and
+    ``wire_chunks`` apply only to the single-device streaming path and
+    are ignored there.
     """
     products = _normalize_products(products, gi_star, openness)
     if np.isscalar(windows):
@@ -453,12 +461,16 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                                         jnp.float32(mean),
                                         jnp.float32(s2),
                                         jnp.float32(n_finite))
+        # prefetch / device_input / wire_chunks are streaming-path
+        # knobs; the mesh group loop has its own acquisition and
+        # transfer structure, so they do not apply here
         res = tiled_apply(None, Z, tile_size=tile_size, overlap=ov,
                           out=out, out_dtype=out_dtype,
                           checkpoint=checkpoint, progress=progress,
                           pipeline_depth=pipeline_depth,
                           wire_specs=specs, decode=decode,
-                          mesh=mesh1, mesh_wire_fn=mesh_fn)
+                          mesh=mesh1, mesh_wire_fn=mesh_fn,
+                          phase_stats=phase_stats)
         return res
 
     # chunk the wire buffer into ~12 MB pieces: several in-flight

@@ -1468,6 +1468,21 @@ class TestTiledWriterAndOverviews:
         assert o[2, 2] == np.float32(-9999.0)
         assert np.all(o[o != -9999.0] == np.float32(10.0))
 
+    def test_overviews_nodata_not_f64_representable(self, tmp_path):
+        """nodata values that change under the f32 -> f64 round trip
+        (e.g. -99999.9) must still be masked out of overview averages:
+        the comparison has to happen in the RASTER's dtype, not against
+        the f64 literal (r4 advisory)."""
+        from neilpy_tpu.io.geotiff import write_geotiff, read_geotiff
+        nd = -99999.9              # float32(nd) != float64(nd)
+        a = np.full((8, 8), 10.0, dtype=np.float32)
+        a[0, 0] = np.float32(nd)
+        fn = str(tmp_path / "ndf.tif")
+        write_geotiff(fn, a, nodata=nd, overviews=(2,))
+        o, meta = read_geotiff(fn, level=1)
+        assert o[0, 0] == np.float32(10.0)
+        assert np.all(o == np.float32(10.0))
+
     def test_overview_level_inherits_nodata_and_crs(self, tmp_path):
         """Overview IFDs carry no GDAL_NODATA/GeoKey tags; level>0
         reads must inherit both from level 0 like the georeferencing

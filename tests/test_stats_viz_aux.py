@@ -178,6 +178,17 @@ class TestViz:
             pytest.skip("reference LUT not mounted")
         np.testing.assert_array_equal(swiss_lut(), _load_lut(lut_fn))
 
+    def test_swiss_lut_is_immutable(self):
+        """swiss_lut() hands out read-only views of the process-wide
+        cache: a caller mutation must raise, not silently corrupt every
+        later default swiss_shading render (r4 advisory)."""
+        from neilpy_tpu.viz.shading import swiss_lut
+        lut = swiss_lut()
+        with pytest.raises(ValueError):
+            lut[0, 0, 0] = 0
+        with pytest.raises(ValueError):
+            lut.flags.writeable = True
+
     def test_corner_lut_corners(self):
         from neilpy_tpu.viz.shading import CORNER_SPECS, corner_lut
         lut = corner_lut(CORNER_SPECS["swiss"])

@@ -476,3 +476,31 @@ def test_tiled_apply_lazy_source_streaming(tmp_path, rng):
     got = tiled_apply(f, GeoTiffSource(fn), tile_size=32, overlap=4,
                       device_input=False)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_tiled_apply_preserves_input_dtype():
+    """apply_parallel drop-in semantics: fn must see tiles in the
+    SOURCE dtype on both acquisition paths — coercion is the kernel's
+    decision, not the transport's (r4 advisory: an f32 cast here
+    silently truncated f64 DEMs and retyped uint8 class rasters)."""
+    from neilpy_tpu.dist.tiling import tiled_apply
+    rng = np.random.default_rng(7)
+    seen = {}
+
+    def fn(a):
+        seen["dtype"] = np.asarray(a).dtype
+        return a
+
+    for dt in (np.uint8, np.float64):
+        Z = (rng.random((70, 90)) * 100).astype(dt)
+        # host streaming path and 'auto' must both preserve dtype
+        # ('auto' routes non-canonical dtypes — f64 with x64 off — to
+        # the host path; explicit device_input=True opts in to JAX
+        # canonicalization instead)
+        for dev in (False, "auto"):
+            seen.clear()
+            got = tiled_apply(fn, Z, tile_size=32, overlap=4,
+                              device_input=dev)
+            assert seen["dtype"] == np.dtype(dt), (dt, dev)
+            assert got.dtype == np.dtype(dt), (dt, dev)
+            np.testing.assert_array_equal(got, Z)

@@ -126,8 +126,13 @@ def main():
     if args.verify:
         return verify(Z, d, n, products, engine=args.engine)
 
-    dtypes = {"geomorphons": np.uint8, "objects": np.uint8,
-              "moran": np.float16 if args.moran_f16 else np.float32}
+    # every mosaic product gets a memmap slot (uint8 stands in for the
+    # bool objects plane — memmap can't create bool, see view below)
+    from neilpy_tpu.pipelines.mosaic import _OUT_DTYPE
+    dtypes = {p: (np.uint8 if dt is bool else dt)
+              for p, dt in _OUT_DTYPE.items()}
+    if args.moran_f16:
+        dtypes["moran"] = np.float16
     outs = tuple(np.memmap(os.path.join(d, f"{p}.out"),
                            dtype=dtypes[p],
                            mode=("r+" if os.path.exists(
