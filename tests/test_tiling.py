@@ -340,6 +340,21 @@ class TestMosaicMesh:
                                         products=("geomorphons",), **kw)
         np.testing.assert_array_equal(G1, G3)
 
+    def test_mesh_phase_stats_populated(self, mesh, rng):
+        """phase_stats works on the MESH path too (r4 advisory: the
+        mesh branch used to drop the kwarg silently)."""
+        from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+        Z = rng.normal(size=(96, 96)).cumsum(axis=1).astype(np.float32)
+        ps = {}
+        mosaic_terrain_products(Z, mesh=mesh, phase_stats=ps,
+                                cellsize=1, lookup_pixels=4,
+                                windows=np.array([1]), gi_radius=1,
+                                tile_size=48)
+        for key in ("host_read", "upload", "dispatch",
+                    "readback_wait", "tiles"):
+            assert key in ps, key
+        assert ps["tiles"] == 4
+
     def test_mesh_checkpoint_resume(self, mesh, tmp_path, rng):
         """Per-TILE checkpoint keys survive the grouped mesh dispatch:
         pre-marking an arbitrary subset (as a mid-group kill would
