@@ -154,11 +154,16 @@ def _pallas_fast_probe():
     H, W = BENCH_SHAPE
     N = 10
     Zd = jax.device_put(jnp.asarray(_bench_input()))
+    # specialize=True: the unrolled fast ladder doesn't default to the
+    # 9-patch static specialization (its cold Mosaic compile is ~2x,
+    # ~754 s) but measures 870 vs 728 Mpix/s at this shape — the
+    # persistent executable cache makes the compile a one-time cost,
+    # so the bench opts in explicitly
     rep = _repeat_in_one_program(
         lambda z: geomorphons_pallas(z, cellsize=10,
                                      lookup_pixels=BENCH_LOOKUP,
-                                     fast=True), N,
-        aot_key=("pallas_fast", BENCH_SHAPE, BENCH_LOOKUP))
+                                     fast=True, specialize=True), N,
+        aot_key=("pallas_fast_spec", BENCH_SHAPE, BENCH_LOOKUP))
     t0 = time.time()
     np.asarray(rep(Zd).ravel()[:1])
     log(f"pallas fast compile-or-cached-load+first run (x{N} scan): "
@@ -233,7 +238,11 @@ def bench_fast_ladder():
     import jax
     if jax.default_backend() != "tpu":
         return
-    fbudget = int(os.environ.get("PALLAS_FAST_BENCH_TIMEOUT", "900"))
+    # 1500 s: the specialized unrolled ladder's COLD Mosaic compile is
+    # ~754 s; 900 s left no headroom for process startup + the timed
+    # scans when the executable cache is cold (any package edit
+    # invalidates it).  Warm runs finish in ~1 min regardless.
+    fbudget = int(os.environ.get("PALLAS_FAST_BENCH_TIMEOUT", "1500"))
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
@@ -264,7 +273,12 @@ def bench_scale():
     import jax
     if jax.default_backend() != "tpu":
         return None
-    sbudget = int(os.environ.get("PALLAS_SCALE_BENCH_TIMEOUT", "900"))
+    # 1800 s: with the 9-patch specialization now the exact-ladder
+    # default, the COLD 8192² compile is 9 Mosaic programs at the big
+    # shape — measured >900 s server-side, which used to kill this
+    # probe and silently drop the headline to the continuity shape.
+    # Warm (AOT-cached) runs load in seconds regardless.
+    sbudget = int(os.environ.get("PALLAS_SCALE_BENCH_TIMEOUT", "1800"))
     try:
         proc = subprocess.run(
             [sys.executable, "-c",

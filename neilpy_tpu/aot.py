@@ -59,7 +59,10 @@ def cache_dir():
     if env is not None:
         if env in ("", "0"):
             return None
-        return env
+        # expand ~ and $VARS ourselves: non-shell launchers (systemd,
+        # cron, Docker ENV) pass the value verbatim, and an unexpanded
+        # '~/aot-cache' would become a literal ./~ directory
+        return os.path.expanduser(os.path.expandvars(env))
     import jax
     if jax.default_backend() != "tpu":
         return None
@@ -71,7 +74,10 @@ _pkg_fp_cache = []
 
 
 def package_fingerprint():
-    """Content hash over every ``neilpy_tpu`` source file.  Coarse on
+    """Content hash over every ``neilpy_tpu`` package file (sources,
+    native binaries, AND data files — a kernel may bake package data
+    such as an embedded LUT into its traced constants, so data edits
+    must invalidate too; only bytecode caches are skipped).  Coarse on
     purpose: ANY package edit invalidates every cached executable —
     over-invalidation costs a recompile, under-invalidation would
     serve a stale kernel."""
@@ -81,12 +87,15 @@ def package_fingerprint():
     h = hashlib.sha256()
     for dirpath, dirnames, filenames in sorted(os.walk(root)):
         dirnames.sort()
+        if "__pycache__" in dirnames:
+            dirnames.remove("__pycache__")
         for fn in sorted(filenames):
-            if fn.endswith(".py") or fn.endswith(".so"):
-                p = os.path.join(dirpath, fn)
-                h.update(fn.encode())
-                with open(p, "rb") as f:
-                    h.update(f.read())
+            if fn.endswith((".pyc", ".pyo")):
+                continue
+            p = os.path.join(dirpath, fn)
+            h.update(os.path.relpath(p, root).encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
     fp = h.hexdigest()[:16]
     _pkg_fp_cache.append(fp)
     return fp
@@ -101,12 +110,21 @@ def _runtime_tag():
 
 def _abstract_sig(args):
     import jax
-    import numpy as np
 
     def one(a):
         if hasattr(a, "shape") and hasattr(a, "dtype"):
             return ("arr", tuple(a.shape), str(a.dtype))
-        return ("scalar", str(np.result_type(type(a))), repr(a))
+        # A raw Python scalar is REJECTED rather than keyed by value:
+        # keying by value would compile + store one multi-MB executable
+        # per distinct value (a threshold sweep would recompile the
+        # 60-430 s Mosaic program N times); keying by dtype alone would
+        # serve a stale executable if the wrapped jit marked the
+        # argument static.  Callers pass jnp.asarray(x) for traced
+        # scalars, or fold true configuration into ``key``.
+        raise TypeError(
+            f"CachedKernel arguments must be arrays; got {type(a).__name__} "
+            f"{a!r} — pass jnp.asarray(x) (traced) or move static "
+            "configuration into the cache key")
 
     return tuple(one(x) for x in jax.tree_util.tree_leaves(args))
 

@@ -218,9 +218,17 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
     # 'total'; a large 'readback_wait' means the wire is the
     # bottleneck, a large 'host_read'/'store_wait' means the host is.
     _ps = phase_stats if phase_stats is not None else {}
+    import threading as _threading
+    _ps_lock = _threading.Lock()
 
     def _phase(name, t0):
-        _ps[name] = _ps.get(name, 0.0) + (_time.perf_counter() - t0)
+        # locked: the prefetch producer (host_read/upload) and the
+        # dispatch thread (dispatch/readback_wait/store_wait) both
+        # accumulate here; an unlocked read-modify-write would drop
+        # one side's seconds between the get and the set
+        dt = _time.perf_counter() - t0
+        with _ps_lock:
+            _ps[name] = _ps.get(name, 0.0) + dt
 
     # Accept lazy 2-D sources (e.g. io.geotiff.GeoTiffSource, np.memmap)
     # without materializing: anything with shape/dtype/__getitem__ is
@@ -362,6 +370,8 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
         return np.pad(block, ((ph[0], ph[1] + fh),
                               (pw[0], pw[1] + fw)), mode="edge")
 
+    t_total = _time.perf_counter()
+
     if mesh_wire_fn is not None:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as JP
@@ -373,13 +383,19 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
 
         def flush_group():
             keys, bounds_list, shard_datas = inflight.popleft()
-            t0 = _time.perf_counter()
             for key, bounds, sd in zip(keys, bounds_list, shard_datas):
                 # each shard is (1, ts, n_bytes): one tile's packed
-                # wire buffer with its leading shard axis
+                # wire buffer with its leading shard axis.  Only the
+                # blocking device->host copy counts as readback_wait —
+                # unpack is host work and submit_store's backpressure
+                # is already accounted as store_wait (timing the whole
+                # loop would double-count it into readback_wait and
+                # point the documented diagnosis at the wire when the
+                # writer thread is the bottleneck)
+                t0 = _time.perf_counter()
                 buf = np.asarray(sd)[0]
+                _phase("readback_wait", t0)
                 submit_store(key, bounds, _unpack_host(buf, wire_specs))
-            _phase("readback_wait", t0)
 
         def dispatch_group(keys, bounds_list, blocks):
             # pad a final partial group by repeating its last tile —
@@ -427,6 +443,7 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
         while inflight:
             flush_group()
         drain_stores()
+        _phase("total", t_total)
         if out is None:
             raise ValueError(
                 "checkpoint marks every tile done but no `out` arrays "
@@ -517,7 +534,6 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
         while len(inflight) > max(int(pipeline_depth), 0):
             flush_one()
 
-    t_total = _time.perf_counter()
     if prefetch:
         prod = threading.Thread(target=_producer, daemon=True)
         prod.start()

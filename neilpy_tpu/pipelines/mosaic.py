@@ -90,11 +90,34 @@ def _normalize_products(products, gi_star, openness):
     if unknown:
         raise ValueError(f"unknown mosaic products {sorted(unknown)}; "
                          f"choose from {_PRODUCT_ORDER}")
+    if not products:
+        # catch this at the API boundary: an empty set would otherwise
+        # surface as an unrelated concatenate error inside the kernel
+        raise ValueError("products must name at least one of "
+                         f"{_PRODUCT_ORDER}")
     if ("openness_pos" in products) != ("openness_neg" in products):
         # one ladder pass produces both; forcing the pair keeps the
         # wire layout unambiguous
         raise ValueError("openness_pos/openness_neg come as a pair")
     return tuple(p for p in _PRODUCT_ORDER if p in products)
+
+
+def _input_fingerprint(Z):
+    """Cheap identity check for the moments sidecar: shape + dtype +
+    a hash of three sampled row strips (first / middle / last).  A
+    full content hash of a 40 GB memmap would cost a whole extra pass;
+    the sampled strips catch the realistic accident — reusing a
+    checkpoint path with a different raster — at ~5 MB of reads."""
+    import hashlib
+    H = int(Z.shape[0])
+    W = int(Z.shape[1])
+    h = hashlib.sha256(repr((H, W, str(Z.dtype))).encode())
+    k = min(4, H)
+    for r0 in sorted({0, max(0, H // 2 - k // 2), H - k}):
+        strip = np.ascontiguousarray(
+            np.asarray(Z[r0:r0 + k, 0:W]))
+        h.update(strip.tobytes())
+    return h.hexdigest()[:16]
 
 
 def _make_product_body(cellsize, lookup_pixels, threshold_angle, win,
@@ -394,8 +417,18 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
         import json as _json
         import os as _os
         mom_path = (str(checkpoint) + ".moments") if checkpoint else None
+        # the sidecar is only trusted for the SAME input: a reused
+        # checkpoint path with a different raster (the library's own
+        # "delete the checkpoint file to recompute" advice leaves the
+        # sidecar behind) must recompute, not z-normalize against the
+        # previous mosaic's moments
+        input_fp = _input_fingerprint(Z) if mom_path else None
+        mom = None
         if mom_path and _os.path.exists(mom_path):
-            mom = _json.load(open(mom_path))
+            cand = _json.load(open(mom_path))
+            if cand.get("input_fp") == input_fp:
+                mom = cand
+        if mom is not None:
             mean, s2, n_finite = (mom["mean"], mom["s2"],
                                   int(mom["n_finite"]))
         else:
@@ -420,7 +453,8 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
             if mom_path:
                 tmp = mom_path + ".tmp"
                 _json.dump({"mean": mean, "s2": s2,
-                            "n_finite": n_finite}, open(tmp, "w"))
+                            "n_finite": n_finite,
+                            "input_fp": input_fp}, open(tmp, "w"))
                 _os.replace(tmp, mom_path)
 
     thresholds = jnp.asarray(slope_threshold * (windows * cellsize),

