@@ -60,6 +60,7 @@ _TAG_SAMPLEFORMAT = 339
 _TAG_JPEGTABLES = 347
 _TAG_MODELPIXELSCALE = 33550
 _TAG_MODELTIEPOINT = 33922
+_TAG_MODELTRANSFORMATION = 34264
 _TAG_GEOKEYDIRECTORY = 34735
 _TAG_GDAL_NODATA = 42113
 
@@ -121,6 +122,11 @@ def _values(entry, en):
 
 
 def _dtype_from(bits, sample_format, en):
+    if bits % 8 or bits == 0:
+        # 1-/4-bit TIFFs (fax masks, GDAL mask bands) — say so plainly
+        # instead of crashing in numpy with "data type 'u0'"
+        raise ValueError(f"BitsPerSample={bits} is not supported "
+                         "(only 8/16/32/64-bit samples)")
     kind = {1: "u", 2: "i", 3: "f"}.get(sample_format, "u")
     return np.dtype(f"{'<' if en == '<' else '>'}{kind}{bits // 8}")
 
@@ -262,24 +268,43 @@ class GeoTiffSource:
 
         # --- georeferencing ---
         transform = Affine.identity()
-        scale = g(_TAG_MODELPIXELSCALE)
-        tie = g(_TAG_MODELTIEPOINT)
-        if (not (scale and tie)) and self.level > 0:
-            # overview IFDs usually carry no geo tags; GDAL convention
-            # is that overviews share the full raster's extent, so
-            # scale level 0's georeferencing by the size ratio
-            g0 = lambda t, d=None: (_values(all_tags[0][t], en)
-                                    if t in all_tags[0] else d)
-            scale0 = g0(_TAG_MODELPIXELSCALE)
-            tie = g0(_TAG_MODELTIEPOINT)
-            if scale0:
+        g0 = lambda t, d=None: (_values(all_tags[0][t], en)
+                                if t in all_tags[0] else d)
+        # ModelTransformationTag (row-major 4x4): the only GeoTIFF
+        # encoding of rotated or south-up transforms; takes precedence
+        # over PixelScale+Tiepoint (GDAL convention) when both exist
+        xf = g(_TAG_MODELTRANSFORMATION)
+        rx = ry = 1.0
+        if xf is None and self.level > 0:
+            xf = g0(_TAG_MODELTRANSFORMATION)
+            if xf is not None:
                 h0, w0 = self.levels[0]
-                scale = (float(scale0[0]) * w0 / self.width,
-                         float(scale0[1]) * h0 / self.height)
-        if scale and tie and len(tie) >= 6:
-            sx, sy = float(scale[0]), float(scale[1])
-            i, j, _, x, y, _ = tie[:6]
-            transform = Affine(sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy)
+                rx, ry = w0 / self.width, h0 / self.height
+        if xf is not None and len(xf) >= 8:
+            m = [float(v) for v in xf]
+            transform = Affine(m[0] * rx, m[1] * ry, m[3],
+                               m[4] * rx, m[5] * ry, m[7])
+            self.transform = transform
+            scale = tie = None
+        else:
+            scale = g(_TAG_MODELPIXELSCALE)
+            tie = g(_TAG_MODELTIEPOINT)
+            if (not (scale and tie)) and self.level > 0:
+                # overview IFDs usually carry no geo tags; GDAL
+                # convention is that overviews share the full raster's
+                # extent, so scale level 0's georeferencing by the
+                # size ratio
+                scale0 = g0(_TAG_MODELPIXELSCALE)
+                tie = g0(_TAG_MODELTIEPOINT)
+                if scale0:
+                    h0, w0 = self.levels[0]
+                    scale = (float(scale0[0]) * w0 / self.width,
+                             float(scale0[1]) * h0 / self.height)
+            if scale and tie and len(tie) >= 6:
+                sx, sy = float(scale[0]), float(scale[1])
+                i, j, _, x, y, _ = tie[:6]
+                transform = Affine(sx, 0.0, x - i * sx,
+                                   0.0, -sy, y + j * sy)
         self.transform = transform
 
         def _nodata_from(tagmap):
@@ -470,8 +495,11 @@ class GeoTiffSource:
         meta["bounds"] = (min(x0, x1), min(y0, y1),
                           max(x0, x1), max(y0, y1))
         cellsizes = np.abs(np.array((transform[0], transform[4])))
+        # abs(): the signed diff let any xres > yres raster masquerade
+        # as square pixels and take the scalar-mean cellsize
         meta["cellsize"] = (float(np.mean(cellsizes))
-                            if np.diff(cellsizes)[0] < 1e-8 else cellsizes)
+                            if abs(np.diff(cellsizes)[0]) < 1e-8
+                            else cellsizes)
         return meta
 
     @property
@@ -490,11 +518,21 @@ class GeoTiffSource:
         else:
             rows, cols = window
             if isinstance(rows, slice):
-                r0, r1, _ = rows.indices(self.height)
+                r0, r1, rstep = rows.indices(self.height)
+                if rstep != 1:
+                    raise ValueError("windowed reads do not support "
+                                     "strided slices (step != 1); "
+                                     "decimate after reading or use "
+                                     "an overview level=")
             else:
                 r0, r1 = int(rows[0]), int(rows[1])
             if isinstance(cols, slice):
-                c0, c1, _ = cols.indices(self.width)
+                c0, c1, cstep = cols.indices(self.width)
+                if cstep != 1:
+                    raise ValueError("windowed reads do not support "
+                                     "strided slices (step != 1); "
+                                     "decimate after reading or use "
+                                     "an overview level=")
             else:
                 c0, c1 = int(cols[0]), int(cols[1])
         arr = self._window(r0, r1, c0, c1)
@@ -540,29 +578,44 @@ def _overview_downsample(a, k, method, nodata=None):
     A numeric ``nodata`` is masked out of the average exactly like NaN
     (GDAL's convention), and blocks that are all-nodata get the nodata
     value back — otherwise a -9999 border would bleed into every
-    overview pixel it touches."""
+    overview pixel it touches.
+
+    Streams the source in row blocks (the float64 working copy used to
+    be the WHOLE raster — three 80 GB materializations for a memmapped
+    100k x 100k input with overviews=(2,4,8)); with level cascading in
+    ``write_geotiff`` the peak extra memory is now one block plus the
+    reduced level itself."""
     if method == "nearest":
         return a[::k, ::k]
     h, w, b = a.shape
     hh, ww = -(-h // k), -(-w // k)
-    ap = np.pad(a, ((0, hh * k - h), (0, ww * k - w), (0, 0)),
-                mode="edge").astype(np.float64)
+    out = np.empty((hh, ww, b), dtype=a.dtype)
     numeric_nodata = nodata is not None and not np.isnan(nodata)
-    if numeric_nodata:
-        # compare in the RASTER's dtype: a float32 file stores
-        # float32(nodata), which generally != float64(nodata) after the
-        # cast above (e.g. -99999.9 -> -99999.8984375) — matching the
-        # f64 literal would miss every nodata cell
-        ap[ap == float(a.dtype.type(nodata))] = np.nan
-    blocks = ap.reshape(hh, k, ww, k, b)
+    # compare in the RASTER's dtype: a float32 file stores
+    # float32(nodata), which generally != float64(nodata) after the
+    # cast below (e.g. -99999.9 -> -99999.8984375) — matching the
+    # f64 literal would miss every nodata cell
+    nd_cast = float(a.dtype.type(nodata)) if numeric_nodata else None
+    # ~16 MB of f64 working copy per block, in multiples of k rows
+    rows = max(1, (16 << 20) // max(w * b * 8, 1) // k) * k
     import warnings
-    with warnings.catch_warnings():
-        # all-NaN blocks legitimately stay NaN
-        warnings.simplefilter("ignore", category=RuntimeWarning)
-        out = np.nanmean(blocks, axis=(1, 3))
-    if numeric_nodata:
-        out = np.where(np.isnan(out), float(nodata), out)
-    return out.astype(a.dtype)
+    for r0 in range(0, h, rows):
+        blk = np.asarray(a[r0:r0 + rows])
+        bh = blk.shape[0]
+        bhh = -(-bh // k)
+        bp = np.pad(blk, ((0, bhh * k - bh), (0, ww * k - w), (0, 0)),
+                    mode="edge").astype(np.float64)
+        if numeric_nodata:
+            bp[bp == nd_cast] = np.nan
+        blocks = bp.reshape(bhh, k, ww, k, b)
+        with warnings.catch_warnings():
+            # all-NaN blocks legitimately stay NaN
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            red = np.nanmean(blocks, axis=(1, 3))
+        if numeric_nodata:
+            red = np.where(np.isnan(red), float(nodata), red)
+        out[r0 // k:r0 // k + bhh] = red.astype(a.dtype)
+    return out
 
 
 def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
@@ -633,9 +686,20 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
                "zstd": zstd_encode}.get(compress,
                                         lambda b: zlib.compress(b, 6))
 
-    levels = [im] + [_overview_downsample(im, k, overview_resampling,
-                                          nodata=nodata)
-                     for k in ovs]
+    # cascade levels GDAL-style (each from the previous when the
+    # factors nest): level 8 of a memmapped mosaic reduces the level-4
+    # array instead of re-reading the full-resolution input — for
+    # 'nearest' the result is identical, for 'average' it is the same
+    # mean-of-means gdaladdo computes
+    levels = [im]
+    prev, prev_k = im, 1
+    for k in ovs:
+        src, kk = ((prev, k // prev_k)
+                   if (k % prev_k == 0 and k > prev_k) else (im, k))
+        lv = _overview_downsample(src, kk, overview_resampling,
+                                  nodata=nodata)
+        levels.append(lv)
+        prev, prev_k = lv, k
 
     # --- per-level block layout -------------------------------------
     # blocks are produced lazily (callables) so uncompressed
@@ -719,18 +783,33 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
             tags += [(_TAG_ROWSPERSTRIP, 4, [layout["rps"]]),
                      (_TAG_STRIPOFFSETS, off_type, [0] * len(counts)),
                      (_TAG_STRIPBYTECOUNTS, off_type, counts)]
+        if colormap is not None:
+            # every paletted IFD needs its ColorMap — photometric=3
+            # without one is invalid TIFF, and overview levels carry
+            # photometric=3 too
+            cm = np.zeros((3, 256), dtype="<u2")
+            for value, rgb in colormap.items():
+                cm[:, int(value)] = [c * 257 for c in rgb[:3]]
+            tags.append((_TAG_COLORMAP, 3, list(cm.ravel())))
         if not is_overview:
-            if colormap is not None:
-                cm = np.zeros((3, 256), dtype="<u2")
-                for value, rgb in colormap.items():
-                    cm[:, int(value)] = [c * 257 for c in rgb[:3]]
-                tags.append((_TAG_COLORMAP, 3, list(cm.ravel())))
             if transform is not None:
                 t = transform
-                tags.append((_TAG_MODELPIXELSCALE, 12,
-                             [abs(t[0]), abs(t[4]), 0.0]))
-                tags.append((_TAG_MODELTIEPOINT, 12,
-                             [0.0, 0.0, 0.0, t[2], t[5], 0.0]))
+                if t[1] != 0 or t[3] != 0 or t[4] > 0 or t[0] < 0:
+                    # rotated, south-up, or mirrored: PixelScale +
+                    # Tiepoint cannot represent these (the old code
+                    # silently wrote abs/-sy and corrupted the
+                    # georeferencing on round-trip) — emit the full
+                    # ModelTransformationTag instead
+                    tags.append((_TAG_MODELTRANSFORMATION, 12,
+                                 [t[0], t[1], 0.0, t[2],
+                                  t[3], t[4], 0.0, t[5],
+                                  0.0, 0.0, 0.0, 0.0,
+                                  0.0, 0.0, 0.0, 1.0]))
+                else:
+                    tags.append((_TAG_MODELPIXELSCALE, 12,
+                                 [abs(t[0]), abs(t[4]), 0.0]))
+                    tags.append((_TAG_MODELTIEPOINT, 12,
+                                 [0.0, 0.0, 0.0, t[2], t[5], 0.0]))
             if crs is not None:
                 epsg = int(crs)
                 model, key = ((1, 3072) if epsg not in range(4000, 5000)

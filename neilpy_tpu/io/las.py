@@ -21,14 +21,19 @@ import pandas as pd
 
 __all__ = ["read_las", "write_las", "las_point_dtype"]
 
+# scan_angle is SIGNED per the LAS spec (i1 "Scan Angle Rank"
+# -90..+90 legacy; <i2 extended, 0.006-degree units) — the reference
+# reader declares it unsigned (neilpy.py:987/1021) so every point
+# scanned left of nadir comes back corrupted there (-15 -> 241); this
+# is a deliberate, documented deviation, not a parity miss.
 _LEGACY_CORE = [("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
                 ("intensity", "<u2"), ("return_byte", "u1"),
-                ("class", "u1"), ("scan_angle", "u1"), ("user_data", "u1"),
+                ("class", "u1"), ("scan_angle", "i1"), ("user_data", "u1"),
                 ("point_source_id", "<u2")]
 _EXT_CORE = [("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
              ("intensity", "<u2"), ("return_byte", "u1"),
              ("mixed_byte", "u1"), ("class", "u1"), ("user_data", "u1"),
-             ("scan_angle", "<u2"), ("point_source_id", "<u2"),
+             ("scan_angle", "<i2"), ("point_source_id", "<u2"),
              ("gpstime", "<f8")]
 _GPS = [("gpstime", "<f8")]
 _RGB = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
@@ -69,6 +74,14 @@ def read_las(filename):
     (neilpy.py:903-1087): scaled ``x/y/z``, ``return_number``,
     ``return_max``, scan/edge flags, and for PDRF>=6 the
     classification flag bits and scanner channel.
+
+    Parity notes: for PDRF 0-5 ``df['class']`` is the RAW
+    classification byte exactly as the reference returns it — bits 5-7
+    carry the synthetic/keypoint/withheld flags, so a flagged ground
+    point reads as 130, not 2; mask with ``& 0x1F`` for the class code
+    (the SMRF pipeline does).  ``scan_angle`` deviates from the
+    reference: it is decoded SIGNED per the LAS spec (see the core
+    dtype note above).
     """
     with open(filename, "rb") as f:
         data = f.read()
@@ -110,10 +123,21 @@ def read_las(filename):
         hdr["begin_wave_form"] = u("q", 227, 235)[0]
         if hdr["begin_wave_form"] != 0:
             end_point_data = hdr["begin_wave_form"]
+    trust_zero_count = False
     if hdr["version"] >= 1.4 and hdr["header_size"] >= 375:
+        hdr["start_of_first_evlr"] = u("Q", 235, 243)[0]
+        hdr["num_evlrs"] = u("L", 243, 247)[0]
         hdr["num_point_records_14"] = u("Q", 247, 255)[0]
         if hdr["num_point_records"] == 0:
             hdr["num_point_records"] = hdr["num_point_records_14"]
+        # EVLRs live AFTER the point records: clamp so trailing EVLR
+        # bytes (e.g. an OGC WKT CRS) are never misread as points
+        if hdr["num_evlrs"] and hdr["start_of_first_evlr"]:
+            end_point_data = min(end_point_data,
+                                 hdr["start_of_first_evlr"])
+        # a 1.4 writer must fill the 64-bit count, so 0 means an
+        # EMPTY file, not a broken legacy writer — no to-EOF fallback
+        trust_zero_count = True
 
     dt = las_point_dtype(pdrf)
     record_len = hdr["point_data_record_length"]
@@ -125,7 +149,12 @@ def read_las(filename):
                        "formats": [dt.fields[k][0] for k in dt.names],
                        "offsets": [dt.fields[k][1] for k in dt.names],
                        "itemsize": record_len})
-    count = min(n, len(raw) // record_len) if n else len(raw) // record_len
+    if n or trust_zero_count:
+        count = min(n, len(raw) // record_len)
+    else:
+        # legacy (<=1.3) files from broken writers may leave the count
+        # 0: fall back to decoding to EOF, like the reference does
+        count = len(raw) // record_len
     pts = np.frombuffer(raw, dtype=dt, count=count)
 
     df = pd.DataFrame({name: pts[name] for name in pts.dtype.names})

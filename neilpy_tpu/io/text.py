@@ -16,5 +16,7 @@ def read_isprs(fn):
 
 def read_xyz(fn, delimiter=None, names=("x", "y", "z")):
     """Generic whitespace/delimited xyz loader."""
+    # one separator argument only: pandas rejects delimiter= and sep=
+    # together, so an explicit delimiter used to raise unconditionally
     return pd.read_csv(fn, header=None, names=list(names),
-                       delimiter=delimiter, sep=delimiter or r"\s+")
+                       sep=delimiter if delimiter is not None else r"\s+")

@@ -1542,3 +1542,167 @@ class TestTiledWriterAndOverviews:
         np.testing.assert_array_equal(back, a)
         o, _ = read_geotiff(fn, level=1)
         np.testing.assert_array_equal(o, a[::2, ::2])
+
+
+# ---------------------------------------------------------------------
+# r4 continuation review fixes
+# ---------------------------------------------------------------------
+class TestIoReviewFixes:
+    def test_scan_angle_is_signed(self, tmp_path):
+        """LAS spec: Scan Angle Rank is i1 (legacy) / i2 (extended).
+        The reference reads both unsigned (neilpy.py:987/1021), so
+        -15 came back as 241 — a documented deviation here."""
+        from neilpy_tpu.io.las import read_las, write_las
+        x = np.array([1.0, 2.0])
+        for pdrf, off, fmt, val in ((0, 16, "<b", -15),
+                                    (6, 18, "<h", -2500)):
+            fn = str(tmp_path / f"sa{pdrf}.las")
+            write_las(fn, x, x, x, pdrf=pdrf)
+            hdr, _ = read_las(fn)
+            raw = bytearray(open(fn, "rb").read())
+            rl = hdr["point_data_record_length"]
+            p0 = hdr["point_data_offset"]
+            import struct as st
+            for i in range(2):
+                raw[p0 + i * rl + off:p0 + i * rl + off
+                    + st.calcsize(fmt)] = st.pack(fmt, val)
+            open(fn, "wb").write(bytes(raw))
+            _, df = read_las(fn)
+            assert (df["scan_angle"] == val).all(), pdrf
+
+    def test_las14_empty_with_evlr_reads_empty(self, tmp_path):
+        """A valid empty LAS 1.4 file carrying an EVLR (e.g. OGC WKT)
+        must return 0 points, not garbage decoded from the EVLR."""
+        import struct as st
+        from neilpy_tpu.io.las import read_las, write_las
+        fn = str(tmp_path / "empty14.las")
+        x = np.array([1.0, 2.0, 3.0])
+        write_las(fn, x, x, x, pdrf=6)
+        raw = bytearray(open(fn, "rb").read())
+        evlr_start = len(raw)
+        # 60-byte fake EVLR payload that would "decode" as points
+        raw += b"\xab" * 60
+        raw[235:243] = st.pack("<Q", evlr_start)   # start_of_first_evlr
+        raw[243:247] = st.pack("<L", 1)            # num EVLRs
+        raw[107:111] = st.pack("<L", 0)            # legacy count = 0
+        raw[247:255] = st.pack("<Q", 0)            # 1.4 count = 0
+        open(fn, "wb").write(bytes(raw))
+        hdr, df = read_las(fn)
+        assert len(df) == 0
+        # and a populated 1.4 file with a trailing EVLR still reads
+        # exactly its n points
+        fn2 = str(tmp_path / "tail14.las")
+        write_las(fn2, x, x, x, pdrf=6)
+        raw = bytearray(open(fn2, "rb").read())
+        evlr_start = len(raw)
+        raw += b"\xcd" * 60
+        raw[235:243] = st.pack("<Q", evlr_start)
+        raw[243:247] = st.pack("<L", 1)
+        open(fn2, "wb").write(bytes(raw))
+        _, df2 = read_las(fn2)
+        assert len(df2) == 3
+
+    def test_read_xyz_explicit_delimiter(self, tmp_path):
+        from neilpy_tpu.io.text import read_xyz
+        fn = str(tmp_path / "pts.csv")
+        open(fn, "w").write("1.0,2.0,3.0\n4.0,5.0,6.0\n")
+        df = read_xyz(fn, delimiter=",")
+        assert list(df.columns) == ["x", "y", "z"]
+        np.testing.assert_allclose(df.x, [1.0, 4.0])
+        # whitespace default still works
+        fn2 = str(tmp_path / "pts.txt")
+        open(fn2, "w").write("1 2 3\n4 5 6\n")
+        np.testing.assert_allclose(read_xyz(fn2).z, [3.0, 6.0])
+
+    def test_anisotropic_cellsize_both_orders(self, tmp_path):
+        """xres > yres used to slip past the signed square-pixel test
+        and take the scalar-mean cellsize (5.5 for a 10x1 raster)."""
+        from neilpy_tpu.io.geotiff import (Affine, GeoTiffSource,
+                                           write_geotiff)
+        a = np.arange(12, dtype=np.float32).reshape(3, 4)
+        for sx, sy in ((10.0, 1.0), (1.0, 10.0)):
+            fn = str(tmp_path / f"aniso{int(sx)}.tif")
+            write_geotiff(fn, a, transform=Affine(sx, 0, 0, 0, -sy, 30))
+            cs = GeoTiffSource(fn).meta["cellsize"]
+            np.testing.assert_allclose(np.asarray(cs), [sx, sy])
+
+    def test_windowed_read_rejects_strided_slice(self, tmp_path):
+        from neilpy_tpu.io.geotiff import GeoTiffSource, write_geotiff
+        fn = str(tmp_path / "w.tif")
+        write_geotiff(fn, np.zeros((10, 10), np.float32))
+        src = GeoTiffSource(fn)
+        with pytest.raises(ValueError, match="strided"):
+            src.read(window=(slice(0, 10, 2), slice(0, 10)))
+        with pytest.raises(ValueError, match="strided"):
+            src.read(window=(slice(0, 10), slice(0, 10, 3)))
+
+    def test_south_up_and_rotated_transform_roundtrip(self, tmp_path):
+        """South-up (e > 0) and rotated transforms round-trip through
+        ModelTransformationTag; the old writer silently flipped e and
+        dropped rotation terms."""
+        from neilpy_tpu.io.geotiff import (Affine, GeoTiffSource,
+                                           write_geotiff)
+        a = np.arange(20, dtype=np.float32).reshape(4, 5)
+        cases = [Affine(1, 0, 100, 0, 2, 200),        # south-up
+                 Affine(0.866, -0.5, 10, 0.5, 0.866, 20),  # rotated
+                 Affine(-1, 0, 50, 0, -1, 60)]        # mirrored x
+        for i, t in enumerate(cases):
+            fn = str(tmp_path / f"rot{i}.tif")
+            write_geotiff(fn, a, transform=t)
+            back = GeoTiffSource(fn).transform
+            np.testing.assert_allclose([back[j] for j in range(6)],
+                                       [t[j] for j in range(6)])
+        # north-up still writes classic PixelScale+Tiepoint (readable
+        # by the pre-fix reader): check the tag is absent
+        fn = str(tmp_path / "north.tif")
+        write_geotiff(fn, a, transform=Affine(2, 0, 5, 0, -2, 9))
+        raw = open(fn, "rb").read()
+        back = GeoTiffSource(fn).transform
+        np.testing.assert_allclose([back[j] for j in range(6)],
+                                   [2, 0, 5, 0, -2, 9])
+
+    def test_paletted_overviews_carry_colormap(self, tmp_path):
+        """photometric=3 without a ColorMap is invalid TIFF; overview
+        IFDs must carry the palette too."""
+        import struct as st
+        from neilpy_tpu.io.geotiff import (write_geotiff,
+                                           _read_ifd_entries)
+        fn = str(tmp_path / "pal.tif")
+        classes = (np.arange(64 * 64, dtype=np.uint8) % 7) \
+            .reshape(64, 64)
+        cmap = {i: (10 * i, 20 * i, 30 * i) for i in range(7)}
+        write_geotiff(fn, classes, colormap=cmap, overviews=(2, 4))
+        data = open(fn, "rb").read()
+        (off,) = st.unpack("<L", data[4:8])
+        ifds = []
+        while off:
+            tags, off = _read_ifd_entries(data, off, "<", False)
+            ifds.append(tags)
+        assert len(ifds) == 3
+        for tags in ifds:
+            assert 320 in tags, "ColorMap missing on an IFD"
+
+    def test_overview_cascade_memory_and_values(self, tmp_path):
+        """Factor 4 cascades from factor 2 (gdaladdo semantics: mean of
+        means) and the chunked reducer matches the one-shot result."""
+        from neilpy_tpu.io.geotiff import (GeoTiffSource,
+                                           _overview_downsample,
+                                           write_geotiff)
+        rng = np.random.default_rng(3)
+        a = rng.normal(size=(100, 130)).astype(np.float32)
+        fn = str(tmp_path / "c.tif")
+        write_geotiff(fn, a, overviews=(2, 4))
+        lv2 = GeoTiffSource(fn, level=1).read(return_metadata=False)
+        lv4 = GeoTiffSource(fn, level=2).read(return_metadata=False)
+        exp2 = _overview_downsample(a[..., None], 2, "average")[..., 0]
+        np.testing.assert_array_equal(lv2, exp2)
+        exp4 = _overview_downsample(exp2[..., None], 2,
+                                    "average")[..., 0]
+        np.testing.assert_array_equal(lv4, exp4)
+
+    def test_subbyte_bits_clear_error(self):
+        from neilpy_tpu.io.geotiff import _dtype_from
+        with pytest.raises(ValueError, match="BitsPerSample"):
+            _dtype_from(1, 1, "<")
+        with pytest.raises(ValueError, match="BitsPerSample"):
+            _dtype_from(4, 1, "<")
