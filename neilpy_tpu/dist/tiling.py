@@ -42,6 +42,14 @@ class TileCheckpoint:
             os.replace(tmp, self.path)
 
 
+# upload band size for the device-resident input path: ~32 MB rows per
+# device_put keeps several transfers in flight through the tunnel
+# (measured 2-5x one monolithic copy) while staying far below stripe
+# granularity; module-level so tests can shrink it to exercise
+# multi-band stripe stitching on small rasters
+_BAND_BYTES = 32 << 20
+
+
 def _is_device_array(a):
     import jax
     return isinstance(a, jax.Array)
@@ -264,42 +272,80 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
     dev_state = {}
 
     def _device_block(r0, c0):
-        """Uniform (ts+2ov)^2 tile window sliced from the device-
-        resident, device-edge-padded raster (lazily uploaded on the
-        first computed tile, so a fully-checkpointed resume never pays
-        the upload).
+        """Uniform (ts+2ov)^2 tile window sliced from a device-resident
+        STRIPE of the raster (lazily uploaded on the first computed
+        tile, so a fully-checkpointed resume never pays the upload).
 
-        The upload itself is BANDED: ~32 MB row bands dispatched as
-        independent ``device_put`` calls that stay in flight together,
-        then concatenated + edge-padded in one jitted program.  Through
-        the tunneled runtime several in-flight medium transfers move
-        2-5x faster than one monolithic copy (52 vs 11-24 MB/s
-        measured) — for a 16k^2 f32 input this alone saves tens of
-        seconds of serial upload."""
+        The upload is BANDED (~32 MB row bands — through the tunneled
+        runtime several medium transfers move 2-5x faster than one
+        monolithic copy, 52 vs 11-24 MB/s measured), LAZY, and
+        PER-TILE-ROW: bands upload only when the stripe that needs
+        them is built, and each tile's compute depends only on its own
+        stripe.  The whole-raster upload+concat this replaced
+        serialized the entire input ahead of the first readback
+        (device_put blocks through the tunnel), leaving the
+        duplex-capable link half idle for the first ~20-38 s of a
+        16k^2 mosaic; with per-stripe uploads on the prefetch thread,
+        row k+1's upload rides under row k's readbacks.  Dtype is
+        PRESERVED (apply_parallel drop-in semantics): coercion is the
+        kernel's decision, not the transport's."""
         import jax
         import jax.numpy as jnp
         from jax import lax
-        if "Zpad" not in dev_state:
-            pb = n_ty * ts - H + ov
-            pr = n_tx * ts - W + ov
-            band = max(1, (32 << 20) // max(W * Z.dtype.itemsize, 1))
-            # dtype is PRESERVED (apply_parallel drop-in semantics):
-            # coercion is the kernel's decision, not the transport's
-            bands = [jax.device_put(np.asarray(Z[i:i + band]))
-                     for i in range(0, H, band)]
-            # the bands are freed after this call returns (HBM peak is
-            # input + padded copy; XLA cannot alias donated inputs into
-            # a concatenate, so donation would only warn)
-            dev_state["Zpad"] = jax.jit(
-                lambda *bs: jnp.pad(jnp.concatenate(bs, axis=0),
-                                    ((ov, pb), (ov, pr)), mode="edge")
-            )(*bands)
-            del bands
+        if "bands" not in dev_state:
+            band = max(1, _BAND_BYTES // max(W * Z.dtype.itemsize, 1))
+            dev_state["band_rows"] = band
+            dev_state["bands"] = [None] * (-(-H // band))
+            dev_state["stripes"] = {}
             dev_state["slicer"] = jax.jit(
-                lambda a, r, c: lax.dynamic_slice(
-                    a, (r, c), (ts + 2 * ov, ts + 2 * ov)))
-        return dev_state["slicer"](dev_state["Zpad"], np.int32(r0),
-                                   np.int32(c0))
+                lambda a, c: lax.dynamic_slice(
+                    a, (jnp.int32(0), c), (ts + 2 * ov, ts + 2 * ov)))
+            from functools import partial as _partial
+
+            @_partial(jax.jit,
+                      static_argnames=("off", "take", "tp", "bp", "pr"))
+            def _build(bs, off, take, tp, bp, pr):
+                z = (jnp.concatenate(bs, axis=0) if len(bs) > 1
+                     else bs[0])
+                return jnp.pad(z[off:off + take], ((tp, bp), (ov, pr)),
+                               mode="edge")
+
+            dev_state["builder"] = _build
+        ti = r0 // ts
+        stripes = dev_state["stripes"]
+        if ti not in stripes:
+            # stripe = original rows [r0-ov, r0+ts+ov) with edge
+            # replication outside the raster (identical values to
+            # slicing a whole edge-padded raster) and the same column
+            # padding the whole-raster path applied
+            band = dev_state["band_rows"]
+            lo, hi = r0 - ov, r0 + ts + ov
+            b0 = max(lo, 0) // band
+            b1 = -(-min(hi, H) // band)
+            # LAZY per-stripe upload: device_put through the tunneled
+            # runtime BLOCKS for the transfer (measured: 32 bands in
+            # one go = 22-38 s of producer stall before the first tile
+            # could even dispatch), so each stripe uploads only its
+            # own ~9 bands — on the prefetch thread this interleaves
+            # row k+1's upload with row k's readbacks, which is the
+            # duplexing the whole-raster upload defeated
+            bands = dev_state["bands"]
+            for b in range(b0, b1):
+                if bands[b] is None:
+                    bands[b] = jax.device_put(
+                        np.asarray(Z[b * band:(b + 1) * band]))
+            off = max(lo, 0) - b0 * band
+            take = min(hi, H) - max(lo, 0)
+            tp, bp = max(-lo, 0), max(hi - H, 0)
+            pr = n_tx * ts - W + ov
+            # keep only this stripe: tiles stream row-major, and a
+            # previous stripe still feeding in-flight kernels stays
+            # alive through those computations' own references
+            stripes.clear()
+            stripes[ti] = dev_state["builder"](
+                tuple(dev_state["bands"][b0:b1]), off=off, take=take,
+                tp=tp, bp=bp, pr=pr)
+        return dev_state["slicer"](stripes[ti], np.int32(c0))
 
     def store(key, bounds, res):
         """Decode, crop, and store one tile's wire products; mark the
