@@ -660,9 +660,11 @@ def write_geotiff(fn, im, transform=None, crs=None, nodata=None,
     dt = im.dtype.newbyteorder("<")
     im = im.astype(dt, copy=False)
 
+    if compress is None:  # rasterio-convention alias for 'none'
+        compress = "none"
     if compress not in ("none", "deflate", "lzw", "zstd"):
         raise ValueError(
-            "compress must be 'none', 'deflate', 'lzw' or 'zstd'")
+            "compress must be None, 'none', 'deflate', 'lzw' or 'zstd'")
     tile_size = int(tile_size)
     if tiled and (tile_size % 16 or tile_size < 16):
         raise ValueError("tile_size must be a positive multiple of 16")
