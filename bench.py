@@ -448,6 +448,18 @@ def bench_mosaic():
     log(f"mosaic 16384^2 (16 tiles, lookup=50, fused geomorphons+SMRF"
         f"+Moran, compact wire): best of 2 = {best:.1f}s = "
         f"{N * N / best / 1e6:.1f} Mpix/s wall-clock (r2: 440s = 0.6)")
+    # per-product opt-in: without the Moran plane (2/3 of the downlink
+    # bytes) the same stream is wire-bound at ~1/3 the down bytes —
+    # measured 22.9 s = 11.7 Mpix/s vs 41.5 s trio on the same link
+    kw2 = dict(lookup_pixels=50, windows=5, tile_size=4096,
+               products=("geomorphons", "objects"))
+    mosaic_terrain_products(Z[:4096, :4096], **kw2)  # compile + warm
+    t0 = time.time()
+    mosaic_terrain_products(Z, **kw2)
+    dt2 = time.time() - t0
+    log(f"mosaic 16384^2 geomorphons+objects only (per-product "
+        f"opt-in, 1 B/px wire): {dt2:.1f}s = {N * N / dt2 / 1e6:.1f} "
+        f"Mpix/s wall-clock")
     return best
 
 
