@@ -131,14 +131,17 @@ def _smrf_points(coeffs_Z, coeffs_S, r, c, z, elevation_threshold,
 
 def _smrf_points_streamed(coeffs_Z, coeffs_S, r, c, z,
                           elevation_threshold, elevation_scaler,
-                          chunk_points):
+                          chunk_points, need_elev=True):
     """Chunk-streamed point phase: the classification is element-wise
     per point, so the array splits into fixed-shape chunks that share
-    ONE compile, and every chunk is DISPATCHED before any readback —
-    chunk k+1's host->device transfer rides under chunk k's compute
-    and readback instead of one monolithic blocking transfer (the 5M-
-    point tile previously spent most of its 8-11 s moving ~120 MB in
-    one go).  Bit-identical to the single-call path."""
+    ONE compile (the tail chunk is padded), each dispatched as soon as
+    its host->device transfer lands.  The chunk results stay ON DEVICE
+    and concatenate there — the earlier version read every chunk back
+    to host and re-uploaded the concatenation, which cost the 5M-point
+    tile ~45 MB of pointless round-trip through the tunnel.  The
+    elevation plane is only assembled when the caller wants extras
+    (``need_elev``); skipping it drops another 20 MB/5M pts of device
+    traffic.  Labels are bit-identical to the single-call path."""
     n = r.size
     chunk = int(min(chunk_points, max(n, 1)))
     eth = jnp.float32(elevation_threshold)
@@ -157,9 +160,10 @@ def _smrf_points_streamed(coeffs_Z, coeffs_S, r, c, z,
         pending.append((_smrf_points(coeffs_Z, coeffs_S,
                                      jnp.asarray(rr), jnp.asarray(cc),
                                      jnp.asarray(zz), eth, esc), m))
-    is_obj = np.concatenate([np.asarray(o[0])[:m] for o, m in pending])
-    elev = np.concatenate([np.asarray(o[1])[:m] for o, m in pending])
-    return jnp.asarray(is_obj), jnp.asarray(elev)
+    is_obj = jnp.concatenate([o[0][:m] for o, m in pending])
+    elev = (jnp.concatenate([o[1][:m] for o, m in pending])
+            if need_elev else None)
+    return is_obj, elev
 
 
 def smrf(x, y, z, cellsize=1, windows=5, slope_threshold=.15,
@@ -218,8 +222,10 @@ def smrf(x, y, z, cellsize=1, windows=5, slope_threshold=.15,
     if r.size > int(chunk_points):
         is_object_point, elevation_values = _smrf_points_streamed(
             coeffs_Z, coeffs_S, r, c, z64, elevation_threshold,
-            elevation_scaler, int(chunk_points))
-        z_dev = jnp.asarray(z64, dtype=jnp.float32)
+            elevation_scaler, int(chunk_points),
+            need_elev=bool(return_extras))
+        if return_extras:  # the z plane is only read by the extras
+            z_dev = jnp.asarray(z64, dtype=jnp.float32)
     else:
         z_dev = jnp.asarray(z64, dtype=jnp.float32)
         is_object_point, elevation_values = _smrf_points(
