@@ -401,13 +401,21 @@ def directional_extrema_pallas(Z, cellsize=1.0, lookup_pixels=1,
 def _counts_kernel(org_ref, nan_ref, Z_hbm, np_ref, nn_ref, win, sem,
                    *, TH, TW, R, RR, RC, H, W, cellsize, threshold_deg,
                    ext, ladder=None, static_unsafe=None, grid_off=(0, 0)):
-    i = pl.program_id(0) + grid_off[0]
-    j = pl.program_id(1) + grid_off[1]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    # grid_off: PIXEL offset of this program's region within the padded
+    # array ((0, 0) for the dynamic single-program path; a thin-strip
+    # region's origin under the static specialization, where regions
+    # carry their own tile shape so tile-unit offsets cannot address
+    # them).  nan_ref is region-local either way.
+    r0 = i * TH + grid_off[0]
+    c0 = j * TW + grid_off[1]
 
     # window DMA: slice extents/offsets are aligned to the (8, 128)
-    # VMEM tiling by construction (RR = R rounded to 8, RC to 128)
+    # VMEM tiling by construction (RR = R rounded to 8, RC to 128,
+    # region offsets/extents 8- and 128-aligned)
     dma = pltpu.make_async_copy(
-        Z_hbm.at[pl.ds(i * TH, TH + 2 * RR), pl.ds(j * TW, TW + 2 * RC)],
+        Z_hbm.at[pl.ds(r0, TH + 2 * RR), pl.ds(c0, TW + 2 * RC)],
         win, sem)
     dma.start()
     dma.wait()
@@ -418,9 +426,9 @@ def _counts_kernel(org_ref, nan_ref, Z_hbm, np_ref, nn_ref, win, sem,
     # org_ref (SMEM): global (row, col) of this array's core origin —
     # (0, 0) single-device; the device block's offset under shard_map.
     # (H, W) is always the GLOBAL raster shape for the oob tests.
-    rows = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + i * TH
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + r0
             + org_ref[0])
-    cols = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + j * TW
+    cols = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + c0
             + org_ref[1])
     no_nan = nan_ref[i, j] == 0
 
@@ -556,16 +564,22 @@ def openness_counts_pallas(Z, cellsize=1.0, lookup_pixels=1,
     TW = min(TW, -(-W // 128) * 128)
     RR = -(-R // 8) * 8        # sublane-aligned row halo
     RC = -(-R // 128) * 128    # lane-aligned column halo
-    Hp = -(-H // TH) * TH
-    Wp = -(-W // TW) * TW
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    specialize = _resolve_specialize(specialize, interpret, fast)
+    if specialize:
+        # region tiles carry their own shapes — pad to the (8, 128)
+        # VMEM alignment only (less padded work than tile multiples)
+        Hp = -(-H // 8) * 8
+        Wp = -(-W // 128) * 128
+    else:
+        Hp = -(-H // TH) * TH
+        Wp = -(-W // TW) * TW
     # pad: aligned halo on every side + tile alignment; NaN so halo
     # reads never fake terrain (masks make them ratio-0 out of range)
     Zp = jnp.pad(Z, ((RR, RR + (Hp - H)), (RC, RC + (Wp - W))),
                  constant_values=jnp.nan)
 
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    specialize = _resolve_specialize(specialize, interpret, fast)
     org = jnp.zeros((2,), dtype=jnp.int32)
     ladder = _fast_ladder(R, how_fast) if fast else None
     if specialize:
@@ -632,31 +646,48 @@ def _counts_call(Zp, org, TH, TW, R, RR, RC, H, W, cellsize,
     )(org, nan_grid, Zp)
 
 
-def _axis_runs(n, T, Rmax, N):
-    """Contiguous runs of tile indices along one padded axis with equal
-    safety flags, for the 9-patch static specialization.  For tile
-    index i (tile extent T, real data extent N, max ladder step Rmax)
-    the three flags mirror ``_dir_is_safe`` for the single-device case
-    (org = (0, 0), ext = full raster):
+def _axis_segments(P, T, Rmax, N, align):
+    """Partition one padded axis [0, P) into THIN boundary strips plus
+    interior tiles, for the static boundary specialization.  Returns
+    ``[(px_off, n_tiles, tile_px, (lo, mid, hi)), ...]`` — every offset
+    and extent a multiple of ``align`` (the (8, 128) VMEM tiling), with
+    flags as in ``_dir_is_safe``:
 
-    * lo:  reads toward negative leave the data (i*T < Rmax);
-    * mid: the tile core itself overhangs the data (i*T + T > N — the
-      bottom/right alignment padding), which unsafes EVERY direction,
-      including the two parallel to the axis;
-    * hi:  reads toward positive leave the data (i*T + T + Rmax > N).
+    * lo:  reads toward negative leave the data;
+    * mid: the tile core overhangs the real extent ``N`` (alignment
+      padding rows/cols), which unsafes EVERY direction;
+    * hi:  reads toward positive leave the data.
 
-    Returns [(start, count, (lo, mid, hi)), ...] — at most 4 runs (lo
-    is a prefix property, mid/hi suffix properties), 3 on any raster
-    with an interior."""
-    flags = [(i * T < Rmax, i * T + T > N, i * T + T + Rmax > N)
-             for i in range(n)]
-    runs = []
-    s = 0
-    for i in range(1, n + 1):
-        if i == n or flags[i] != flags[s]:
-            runs.append((s, i - s, flags[s]))
-            s = i
-    return runs
+    The r4.1 point: the masked ladder only NEEDS to run within ``Rmax``
+    of the raster edge, but the original 9-patch regions were cut at
+    full interior-tile granularity, so a 2048x4096/R=50 raster paid the
+    masked premium on 20 of 32 full (256, 1024) tiles (~63% of area)
+    when only ~4% is actually near an edge.  Boundary strips here are
+    ``Rmax`` rounded up to alignment (56 rows / 128 cols at R=50) —
+    the masked area drops to the true sliver, recovering most of the
+    gap to the maskless floor (the module-header roofline).  The
+    interior splits into k full ``T`` tiles plus one aligned remainder
+    tile, so an axis yields at most 4 segments (16 programs for 2-D;
+    measured r4: cond-free region programs compile ~O(count) but each
+    far cheaper than the one cond-heavy dynamic program).
+
+    Degenerate axes (real extent too small for a safe interior)
+    collapse to a single all-masked segment, exactly like the old
+    whole-tile runs did."""
+    strip = -(-Rmax // align) * align
+    BB = (N - Rmax) // align * align  # last aligned hi-safe region end
+    if BB < strip or strip >= P:
+        return [(0, 1, P, (True, P > N, True))]
+    segs = [(0, 1, strip, (True, False, False))]
+    M = BB - strip
+    k = M // T
+    rem = M - k * T
+    if k > 0:
+        segs.append((strip, k, T, (False, False, False)))
+    if rem > 0:
+        segs.append((strip + k * T, 1, rem, (False, False, False)))
+    segs.append((BB, 1, P - BB, (False, P > N, True)))
+    return segs
 
 
 def _axis_bad(dd, flags):
@@ -671,44 +702,75 @@ def _axis_bad(dd, flags):
     return mid
 
 
+def _coarse_nan(Zp, ext):
+    """(Hq/8, Wq/128) int32 block-max of the interior-NaN mask — the
+    shared precursor for every region's NaN-flag grid (the padded
+    array's dimensions are (8, 128)-aligned by construction)."""
+    er0, enr, ec0, enc = ext
+    Hq, Wq = Zp.shape
+    rows = lax.broadcasted_iota(jnp.int32, (Hq, Wq), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (Hq, Wq), 1)
+    interior = ((rows >= er0) & (rows < er0 + enr)
+                & (cols >= ec0) & (cols < ec0 + enc))
+    m = (jnp.isnan(Zp) & interior).astype(jnp.int32)
+    return m.reshape(Hq // 8, 8, Wq // 128, 128).max(axis=(1, 3))
+
+
+def _region_nan(coarse, off_r, off_c, rn, cn, TH, TW, RR, RC):
+    """(rn, cn) int32 flags: 1 iff region tile (i, j)'s full read
+    window (core + aligned halo) contains an interior NaN.  Exact at
+    (8, 128) block granularity — every window edge is aligned, so no
+    conservatism beyond the blocks themselves (which only ever routes
+    extra tiles down the masked path)."""
+    win = ((TH + 2 * RR) // 8, (TW + 2 * RC) // 128)
+    stride = (TH // 8, TW // 128)
+    sl = coarse[off_r // 8:, off_c // 128:]
+    f = lax.reduce_window(sl, jnp.int32(0), lax.max,
+                          window_dimensions=win, window_strides=stride,
+                          padding="valid")
+    return f[:rn, :cn]
+
+
 def _region_calls(Zp, org, TH, TW, R, RR, RC, H, W, interpret, ladder,
                   make_kernel, n_out):
-    """9-patch static-specialization driver, shared by the counts and
+    """Static-specialization driver, shared by the counts and
     fused-reduction kernels (single-device entries only — ``org`` must
-    be the concrete (0, 0) origin): partition the tile grid into
-    boundary regions (``_axis_runs``), build ONE pallas_call per region
-    via ``make_kernel(static_unsafe, grid_off)`` with the region's
-    unsafe-direction set folded at COMPILE time, and stitch the region
-    outputs.  Every tile body is then straight-line (no scf.if regions
-    at all — the ~2 ms/8.4 Mpix scheduling tax the per-direction
-    ``lax.cond`` structure pays; see the module header's roofline
-    decomposition).  Costs up to 9 Mosaic programs of server-side
-    compile per (shape, R, tile) configuration — but measurement
-    showed the 9 cond-free exact-ladder programs compile in ~the same
-    TOTAL server time as the one cond-heavy dynamic program (210 vs
-    224 s cold), so ``specialize=None`` defaults this path ON for
-    compiled exact ladders; only the unrolled ``fast`` ladder pays ~2x
-    and stays opt-in (the ``neilpy_tpu.aot`` persistent executable
-    cache makes that a per-machine one-time cost).  Outputs are
+    be the concrete (0, 0) origin): partition the padded array into
+    boundary-strip regions (``_axis_segments``), build ONE pallas_call
+    per region via ``make_kernel(static_unsafe, px_off, th, tw)`` with
+    the region's unsafe-direction set folded at COMPILE time and the
+    region's own tile shape, and stitch the region outputs.  Every tile
+    body is straight-line (no scf.if regions at all — the ~2 ms/8.4
+    Mpix scheduling tax the per-direction ``lax.cond`` structure pays;
+    see the module header's roofline decomposition), and the masked
+    bodies only cover the thin (~Rmax-wide) strips that geometrically
+    need them.  Costs up to 16 Mosaic programs of server-side compile
+    per (shape, R, tile) configuration — measured r4: the cond-free
+    region programs together compile in the same ballpark as the one
+    cond-heavy dynamic program, and the ``neilpy_tpu.aot`` persistent
+    executable cache makes it a per-machine one-time cost.  Outputs are
     bit-identical to the dynamic kernel: the per-region sets are
-    exactly ``_dir_is_safe``'s predicate evaluated statically, and
-    masked vs maskless ladders agree wherever both are valid."""
+    conservative supersets of ``_dir_is_safe``'s predicate (thin-strip
+    granularity), and masked vs maskless ladders agree wherever both
+    are valid."""
     Hp = Zp.shape[0] - 2 * RR
     Wp = Zp.shape[1] - 2 * RC
     ext = (RR, H, RC, W)
-    nan_grid = _tile_nan_grid(Zp, TH, TW, RR, RC, ext)
+    coarse = _coarse_nan(Zp, ext)
     Rmax = int(ladder[-1]) if ladder is not None else R
-    rruns = _axis_runs(Hp // TH, TH, Rmax, H)
-    cruns = _axis_runs(Wp // TW, TW, Rmax, W)
+    rsegs = _axis_segments(Hp, TH, Rmax, H, 8)
+    csegs = _axis_segments(Wp, TW, Rmax, W, 128)
     rows_out = [[] for _ in range(n_out)]
-    for (ri, rn, rflags) in rruns:
+    for (roff, rn, th, rflags) in rsegs:
         cols_out = [[] for _ in range(n_out)]
-        for (cj, cn, cflags) in cruns:
+        for (coff, cn, tw, cflags) in csegs:
             unsafe = tuple(
                 bool(_axis_bad(OFFSETS[d][0], rflags)
                      or _axis_bad(OFFSETS[d][1], cflags))
                 for d in range(8))
-            kernel = make_kernel(unsafe, (ri, cj))
+            nan_grid = _region_nan(coarse, roff, coff, rn, cn, th, tw,
+                                   RR, RC)
+            kernel = make_kernel(unsafe, (roff, coff), th, tw)
             outs = pl.pallas_call(
                 kernel,
                 grid=(rn, cn),
@@ -716,14 +778,14 @@ def _region_calls(Zp, org, TH, TW, R, RR, RC, H, W, interpret, ladder,
                           pl.BlockSpec(memory_space=pltpu.SMEM),
                           pl.BlockSpec(memory_space=pl.ANY)],
                 out_specs=tuple(
-                    pl.BlockSpec((TH, TW), lambda i, j: (i, j),
+                    pl.BlockSpec((th, tw), lambda i, j: (i, j),
                                  memory_space=pltpu.VMEM)
                     for _ in range(n_out)),
                 out_shape=tuple(
-                    jax.ShapeDtypeStruct((rn * TH, cn * TW), jnp.float32)
+                    jax.ShapeDtypeStruct((rn * th, cn * tw), jnp.float32)
                     for _ in range(n_out)),
                 scratch_shapes=[
-                    pltpu.VMEM((TH + 2 * RR, TW + 2 * RC), jnp.float32),
+                    pltpu.VMEM((th + 2 * RR, tw + 2 * RC), jnp.float32),
                     pltpu.SemaphoreType.DMA(()),
                 ],
                 compiler_params=pltpu.CompilerParams(
@@ -746,12 +808,12 @@ def _counts_call_9patch(Zp, org, TH, TW, R, RR, RC, H, W, cellsize,
     ``_region_calls``)."""
     ext = (RR, H, RC, W)
 
-    def make_kernel(unsafe, off):
-        return partial(_counts_kernel, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
+    def make_kernel(unsafe, off_px, th, tw):
+        return partial(_counts_kernel, TH=th, TW=tw, R=R, RR=RR, RC=RC,
                        H=H, W=W, cellsize=cellsize,
                        threshold_deg=threshold_deg, ext=ext,
                        ladder=ladder, static_unsafe=unsafe,
-                       grid_off=off)
+                       grid_off=off_px)
 
     return _region_calls(Zp, org, TH, TW, R, RR, RC, H, W, interpret,
                          ladder, make_kernel, 2)
@@ -813,12 +875,15 @@ def _reduced_kernel(org_ref, nan_ref, Z_hbm, *refs, TH, TW, R, RR, RC,
       in tangent space like the counts kernel; ``neg_mode`` selects
       O = pos - neg (use_negative_openness) vs O = pos - 90.
     """
-    i = pl.program_id(0) + grid_off[0]
-    j = pl.program_id(1) + grid_off[1]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    # grid_off: PIXEL region offset (see _counts_kernel)
+    r0 = i * TH + grid_off[0]
+    c0 = j * TW + grid_off[1]
     win, sem = refs[-2], refs[-1]
     out_refs = refs[:-2]
     dma = pltpu.make_async_copy(
-        Z_hbm.at[pl.ds(i * TH, TH + 2 * RR), pl.ds(j * TW, TW + 2 * RC)],
+        Z_hbm.at[pl.ds(r0, TH + 2 * RR), pl.ds(c0, TW + 2 * RC)],
         win, sem)
     dma.start()
     dma.wait()
@@ -827,9 +892,9 @@ def _reduced_kernel(org_ref, nan_ref, Z_hbm, *refs, TH, TW, R, RR, RC,
     pos_inf = jnp.float32(jnp.inf)
     half_pi = jnp.float32(np.pi / 2)
 
-    rows = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + i * TH
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + r0
             + org_ref[0])
-    cols = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + j * TW
+    cols = (jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + c0
             + org_ref[1])
     no_nan = nan_ref[i, j] == 0
 
@@ -947,30 +1012,34 @@ def _reduced_call(Z, cellsize, lookup_pixels, tile, interpret, mode,
     TW = min(TW, -(-W // 128) * 128)
     RR = -(-R // 8) * 8
     RC = -(-R // 128) * 128
-    Hp = -(-H // TH) * TH
-    Wp = -(-W // TW) * TW
-    Zp = jnp.pad(Z, ((RR, RR + (Hp - H)), (RC, RC + (Wp - W))),
-                 constant_values=jnp.nan)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     specialize = _resolve_specialize(specialize, interpret, fast)
+    if specialize:
+        Hp = -(-H // 8) * 8
+        Wp = -(-W // 128) * 128
+    else:
+        Hp = -(-H // TH) * TH
+        Wp = -(-W // TW) * TW
+    Zp = jnp.pad(Z, ((RR, RR + (Hp - H)), (RC, RC + (Wp - W))),
+                 constant_values=jnp.nan)
     org = jnp.zeros((2,), dtype=jnp.int32)
     ext = (RR, H, RC, W)
-    nan_grid = _tile_nan_grid(Zp, TH, TW, RR, RC, ext)
     ladder = _fast_ladder(R, how_fast) if fast else None
     n_out = 2 if mode == "openness" else 1
     if specialize:
-        def make_kernel(unsafe, off):
-            return partial(_reduced_kernel, TH=TH, TW=TW, R=R, RR=RR,
+        def make_kernel(unsafe, off_px, th, tw):
+            return partial(_reduced_kernel, TH=th, TW=tw, R=R, RR=RR,
                            RC=RC, H=H, W=W, cellsize=float(cellsize),
                            ext=ext, mode=mode,
                            threshold_deg=float(threshold_deg),
                            neg_mode=bool(neg_mode), ladder=ladder,
-                           static_unsafe=unsafe, grid_off=off)
+                           static_unsafe=unsafe, grid_off=off_px)
 
         outs = _region_calls(Zp, org, TH, TW, R, RR, RC, H, W,
                              interpret, ladder, make_kernel, n_out)
         return tuple(o[:H, :W] for o in outs)
+    nan_grid = _tile_nan_grid(Zp, TH, TW, RR, RC, ext)
     kernel = partial(_reduced_kernel, TH=TH, TW=TW, R=R, RR=RR, RC=RC,
                      H=H, W=W, cellsize=float(cellsize), ext=ext,
                      mode=mode, threshold_deg=float(threshold_deg),
