@@ -460,6 +460,16 @@ def bench_mosaic():
     log(f"mosaic 16384^2 geomorphons+objects only (per-product "
         f"opt-in, 1 B/px wire): {dt2:.1f}s = {N * N / dt2 / 1e6:.1f} "
         f"Mpix/s wall-clock")
+    # quantized uint16 upload (opt-in, lossy: global-range affine,
+    # error <= range/65534): halves the dominant uplink bytes
+    kw3 = dict(kw2, upload_dtype="uint16")
+    mosaic_terrain_products(Z[:4096, :4096], **kw3)  # compile + warm
+    t0 = time.time()
+    mosaic_terrain_products(Z, **kw3)
+    dt3 = time.time() - t0
+    log(f"mosaic 16384^2 geomorphons+objects, uint16-quantized upload "
+        f"(3 B/px total wire): {dt3:.1f}s = {N * N / dt3 / 1e6:.1f} "
+        f"Mpix/s wall-clock")
     return best
 
 

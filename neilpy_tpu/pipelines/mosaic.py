@@ -120,9 +120,54 @@ def _input_fingerprint(Z):
     return h.hexdigest()[:16]
 
 
+class _QuantizedSource:
+    """Lazy uint16 affine-quantized view of a 2-D source: windows read
+    through ``__getitem__`` encode on the host as
+    ``round((v - lo) * 65534 / (hi - lo))`` with non-finite cells at
+    the sentinel 65535 — HALF the upload bytes of an f32 source through
+    the (bandwidth-bound) device link.  The fused tile body dequantizes
+    on device with the matching f32 affine, so the whole pipeline
+    behaves exactly as if it ran on the dequantized raster (asserted
+    bit-exactly in tests); quantization error is bounded by
+    ``(hi - lo) / 65534`` — centimeters for a typical terrain mosaic's
+    global range."""
+
+    def __init__(self, Z, lo, hi):
+        self._Z = Z
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.enc = 65534.0 / (self.hi - self.lo) if self.hi > self.lo \
+            else 1.0
+        # the f32 decode constants the device body must use (f32 so the
+        # "== mosaic of the dequantized raster" equivalence is exact)
+        self.dec_scale = np.float32((self.hi - self.lo) / 65534.0
+                                    if self.hi > self.lo else 0.0)
+        self.dec_off = np.float32(self.lo)
+        self.shape = Z.shape
+        self.dtype = np.dtype(np.uint16)
+        self.ndim = 2
+        self.size = int(np.prod(Z.shape))
+        self.nbytes = 2 * self.size
+
+    def __getitem__(self, idx):
+        v = np.asarray(self._Z[idx], dtype=np.float64)
+        finite = np.isfinite(v)
+        q = np.rint((v - self.lo) * self.enc)
+        q = np.clip(q, 0.0, 65534.0, out=q)
+        q[~finite] = 65535.0
+        return q.astype(np.uint16)
+
+    def dequantized(self):
+        """Host f32 raster the quantized transport is equivalent to
+        (materializes — test/verification helper)."""
+        q = self[:, :]
+        v = q.astype(np.float32) * self.dec_scale + self.dec_off
+        return np.where(q == 65535, np.float32(np.nan), v)
+
+
 def _make_product_body(cellsize, lookup_pixels, threshold_angle, win,
                        gi_radius, use_pallas, fast, how_fast, compact,
-                       tile_size, overlap, products):
+                       tile_size, overlap, products, quantize=False):
     """Pure fused tile program: ``(block, thresholds, mean, s2, n) ->
     packed (tile_size, n_bytes) uint8`` — every requested product,
     overlap crop, and byte-packing in one traceable body, shared by the
@@ -155,11 +200,18 @@ def _make_product_body(cellsize, lookup_pixels, threshold_angle, win,
     combine = compact and ("geomorphons" in products
                            and "objects" in products)
 
-    def body(block, thresholds, mean, s2, n):
+    def body(block, thresholds, mean, s2, n, qscale, qoff):
         # product semantics are f32 regardless of the source raster's
         # dtype; the coercion happens ON DEVICE so the transport
         # (dist.tiling) can ship the source's native dtype
-        block = jnp.asarray(block, jnp.float32)
+        if quantize:
+            # uint16 affine wire (see _QuantizedSource): dequantize on
+            # device; 65535 is the non-finite sentinel
+            q = block.astype(jnp.float32)
+            block = jnp.where(block == jnp.uint16(65535), jnp.nan,
+                              q * qscale + qoff)
+        else:
+            block = jnp.asarray(block, jnp.float32)
         vals = {}
         if "geomorphons" in products:
             vals["geomorphons"] = geo(block)
@@ -217,7 +269,8 @@ def _make_product_body(cellsize, lookup_pixels, threshold_angle, win,
 @lru_cache(maxsize=16)
 def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
                       gi_radius, use_pallas, fast, how_fast, compact,
-                      tile_size, overlap, n_chunks, products):
+                      tile_size, overlap, n_chunks, products,
+                      quantize=False):
     """Build (and cache) the fused jitted single-chip tile WIRE kernel:
     the product body plus readback chunking inside one program, so a
     tile costs ONE dispatch (the tunneled runtime pays up to ~1 s of
@@ -233,12 +286,12 @@ def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
     body = _make_product_body(cellsize, lookup_pixels, threshold_angle,
                               win, gi_radius, use_pallas, fast,
                               how_fast, compact, tile_size, overlap,
-                              products)
+                              products, quantize)
     ts = tile_size
 
     @jax.jit
-    def tile_kernel(block, thresholds, mean, s2, n):
-        packed = body(block, thresholds, mean, s2, n)
+    def tile_kernel(block, thresholds, mean, s2, n, qscale, qoff):
+        packed = body(block, thresholds, mean, s2, n, qscale, qoff)
         step = -(-ts // n_chunks)
         return tuple(packed[i:i + step] for i in range(0, ts, step))
 
@@ -253,14 +306,14 @@ def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
     return CachedKernel(tile_kernel, key=(
         "mosaic_tile", cellsize, lookup_pixels, threshold_angle, win,
         gi_radius, use_pallas, fast, how_fast, compact, tile_size,
-        overlap, n_chunks, products))
+        overlap, n_chunks, products, quantize))
 
 
 @lru_cache(maxsize=16)
 def _make_mesh_tile_kernel(mesh1, cellsize, lookup_pixels,
                            threshold_angle, win, gi_radius, use_pallas,
                            fast, how_fast, compact, tile_size, overlap,
-                           products):
+                           products, quantize=False):
     """Per-GROUP mesh kernel: ``(D, B, B) blocks -> (D, ts, n_bytes)``
     wire buffers, one tile per device under ``shard_map`` over the flat
     ``tile`` axis.  Tiles are independent (each carries its own overlap
@@ -273,17 +326,18 @@ def _make_mesh_tile_kernel(mesh1, cellsize, lookup_pixels,
     body = _make_product_body(cellsize, lookup_pixels, threshold_angle,
                               win, gi_radius, use_pallas, fast,
                               how_fast, compact, tile_size, overlap,
-                              products)
+                              products, quantize)
 
-    def local(blocks, thresholds, mean, s2, n):
-        return body(blocks[0], thresholds, mean, s2, n)[None]
+    def local(blocks, thresholds, mean, s2, n, qscale, qoff):
+        return body(blocks[0], thresholds, mean, s2, n, qscale,
+                    qoff)[None]
 
     axis = tuple(mesh1.shape.keys())[0]
     # check_vma=False: the pallas-call output inside the shard does not
     # carry mesh-axis vma types (same workaround dist.api uses)
     return jax.jit(shard_map(
         local, mesh=mesh1,
-        in_specs=(P(axis), P(), P(), P(), P()),
+        in_specs=(P(axis), P(), P(), P(), P(), P(), P()),
         out_specs=P(axis), check_vma=False))
 
 
@@ -347,7 +401,7 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                             gi_star=False, openness=False,
                             products=None, mesh=None,
                             device_input="auto", phase_stats=None,
-                            prefetch=None):
+                            prefetch=None, upload_dtype=None):
     """Stream a (possibly memory-mapped) mosaic through one fused tile
     kernel computing the requested products; resumable at tile
     granularity via ``checkpoint``.
@@ -392,6 +446,22 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
     transfer structure is fixed — ``prefetch``, ``device_input`` and
     ``wire_chunks`` apply only to the single-device streaming path and
     are ignored there.
+
+    ``upload_dtype='uint16'`` (opt-in, LOSSY) quantizes the host->device
+    leg — the dominant wire cost for float sources (4 B/px up vs 1-3
+    down) — to an affine uint16 encoding against the global raster
+    range: error <= (max - min) / 65534 (centimeters for a typical
+    terrain mosaic), non-finite cells preserved via a sentinel code.
+    The pipeline then behaves as if run on the dequantized raster, up
+    to one rounding difference: the on-device dequantization compiles
+    to a fused multiply-add (one rounding) where a host dequantization
+    rounds twice, so ppm-level decision-tie pixels may classify
+    differently (measured 45/9M on a synthetic check; asserted in
+    tests).  moran/gi additionally z-normalize against moments of the
+    ORIGINAL raster, which is marginally more accurate than
+    dequantized-raster moments.  Ignored for sources already <= 2 B/px
+    (int16/uint8 transports are lossless as-is); the default ``None``
+    keeps the f32-exact transport.
     """
     products = _normalize_products(products, gi_star, openness)
     if np.isscalar(windows):
@@ -408,10 +478,17 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
     if not (hasattr(Z, "shape") and hasattr(Z, "dtype")
             and hasattr(Z, "__getitem__")):
         Z = np.asarray(Z)
+    if upload_dtype not in (None, "uint16"):
+        raise ValueError("upload_dtype must be None or 'uint16'")
+    quantize = (upload_dtype == "uint16"
+                and np.dtype(Z.dtype).itemsize > 2)
     mean = s2 = 0.0
     n_finite = 0
-    if {"moran", "gi"} & set(products):
-        # the moments are a full pass over the (possibly huge, on-disk)
+    qlo = qhi = 0.0
+    need_moments = bool({"moran", "gi"} & set(products))
+    if need_moments or quantize:
+        # the moments (and, for the quantized transport, the global
+        # min/max) are a full pass over the (possibly huge, on-disk)
         # input — cache them next to the tile checkpoint so a resumed
         # run doesn't re-read the whole mosaic before its first tile
         import json as _json
@@ -426,14 +503,19 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
         mom = None
         if mom_path and _os.path.exists(mom_path):
             cand = _json.load(open(mom_path))
-            if cand.get("input_fp") == input_fp:
+            if cand.get("input_fp") == input_fp and (
+                    not quantize or "qlo" in cand):
                 mom = cand
         if mom is not None:
             mean, s2, n_finite = (mom["mean"], mom["s2"],
                                   int(mom["n_finite"]))
+            qlo = float(mom.get("qlo", 0.0))
+            qhi = float(mom.get("qhi", 0.0))
         else:
             gsum = 0.0
             gsq = 0.0
+            gmin = np.inf
+            gmax = -np.inf
             for r0 in range(0, Z.shape[0], 4096):
                 # f64 ACCUMULATORS over the f32 blocks (sum(dtype=) /
                 # einsum(dtype=)) rather than f64 block copies: same
@@ -444,16 +526,25 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                 m = np.isfinite(blk)
                 if not m.all():
                     blk = np.where(m, blk, np.float32(0.0))
+                    if m.any():
+                        gmin = min(gmin, float(blk[m].min()))
+                        gmax = max(gmax, float(blk[m].max()))
+                else:
+                    gmin = min(gmin, float(blk.min()))
+                    gmax = max(gmax, float(blk.max()))
                 gsum += float(blk.sum(dtype=np.float64))
                 gsq += float(np.einsum("ij,ij->", blk, blk,
                                        dtype=np.float64))
                 n_finite += int(m.sum())
             mean = gsum / max(n_finite, 1)
             s2 = gsq / max(n_finite, 1) - mean * mean
+            qlo = gmin if np.isfinite(gmin) else 0.0
+            qhi = gmax if np.isfinite(gmax) else 0.0
             if mom_path:
                 tmp = mom_path + ".tmp"
                 _json.dump({"mean": mean, "s2": s2,
                             "n_finite": n_finite,
+                            "qlo": qlo, "qhi": qhi,
                             "input_fp": input_fp}, open(tmp, "w"))
                 _os.replace(tmp, mom_path)
 
@@ -461,6 +552,14 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                              dtype=jnp.float32)
     win = tuple(int(w) for w in windows) if "objects" in products \
         else ()
+
+    if quantize:
+        Z = _QuantizedSource(Z, qlo, qhi)
+        qscale = jnp.float32(Z.dec_scale)
+        qoff = jnp.float32(Z.dec_off)
+    else:
+        qscale = jnp.float32(0.0)
+        qoff = jnp.float32(0.0)
 
     # On TPU the Pallas VMEM-ladder kernel classifies ~10x faster than
     # the XLA scan and treats tile edges with the same edge-replication
@@ -490,11 +589,12 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
             mesh1, float(cellsize), int(lookup_pixels),
             float(threshold_angle), win, int(gi_radius),
             bool(use_pallas), bool(fast), int(how_fast), compact,
-            int(tile_size), int(ov), products)
+            int(tile_size), int(ov), products, quantize)
         mesh_fn = lambda blocks: kernel(blocks, thresholds,
                                         jnp.float32(mean),
                                         jnp.float32(s2),
-                                        jnp.float32(n_finite))
+                                        jnp.float32(n_finite),
+                                        qscale, qoff)
         # prefetch / device_input / wire_chunks are streaming-path
         # knobs; the mesh group loop has its own acquisition and
         # transfer structure, so they do not apply here
@@ -519,9 +619,10 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
         float(cellsize), int(lookup_pixels), float(threshold_angle),
         win, int(gi_radius), bool(use_pallas), bool(fast),
         int(how_fast), compact, int(tile_size), int(ov), n_chunks,
-        products)
+        products, quantize)
     wire_fn = lambda b: kernel(b, thresholds, jnp.float32(mean),
-                               jnp.float32(s2), jnp.float32(n_finite))
+                               jnp.float32(s2), jnp.float32(n_finite),
+                               qscale, qoff)
 
     return tiled_apply(None, Z, tile_size=tile_size, overlap=ov,
                        out=out, out_dtype=out_dtype,

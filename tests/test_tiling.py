@@ -300,6 +300,53 @@ def test_mosaic_products_opt_in(rng):
         mosaic_terrain_products(Z, products=("openness_pos",), **kw)
 
 
+def test_mosaic_quantized_upload(rng):
+    """``upload_dtype='uint16'`` (the lossy half-byte transport): the
+    quantized mosaic must equal — BIT-exactly — the normal mosaic run
+    on the dequantized raster (the documented semantic), the
+    dequantization error must respect the (hi-lo)/65534 bound, and NaN
+    holes must survive the sentinel round-trip."""
+    from neilpy_tpu.pipelines.mosaic import (mosaic_terrain_products,
+                                             _QuantizedSource)
+    Z = rng.normal(size=(90, 100)).cumsum(axis=0).astype(np.float32)
+    Z[40:44, 50:60] = np.nan
+    kw = dict(cellsize=1, lookup_pixels=4, windows=np.array([1, 2]),
+              gi_radius=2, tile_size=48)
+    Gq, Oq, Mq = mosaic_terrain_products(Z, upload_dtype="uint16", **kw)
+
+    fin = Z[np.isfinite(Z)]
+    src = _QuantizedSource(Z, fin.min(), fin.max())
+    Zdq = src.dequantized()
+    # error bound + hole preservation
+    assert np.array_equal(np.isnan(Zdq), np.isnan(Z))
+    bound = (float(fin.max()) - float(fin.min())) / 65534 * 0.5001
+    assert np.nanmax(np.abs(Zdq - Z)) <= bound + 1e-6
+    # equivalence with running on the dequantized raster: exact up to
+    # fused-multiply-add rounding of the on-device dequantization
+    # (ppm-level decision-tie flips); moran matches to quantization
+    # precision (its global z-moments come from the ORIGINAL raster —
+    # the quantized run normalizes slightly more accurately, not less)
+    G2, O2, M2 = mosaic_terrain_products(Zdq, **kw)
+    assert np.mean(Gq == G2) >= 0.9999
+    assert np.mean(Oq == O2) >= 0.9999
+    np.testing.assert_allclose(Mq, M2, atol=1e-3, rtol=1e-3)
+
+
+def test_mosaic_quantized_noop_for_narrow_dtypes(rng):
+    """uint16 upload quantization is a no-op for sources already at
+    <= 2 B/px: an int16 mosaic gives identical results either way."""
+    from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+    Z = (rng.normal(size=(70, 80)).cumsum(axis=0) * 50).astype(np.int16)
+    kw = dict(cellsize=1, lookup_pixels=3, windows=np.array([1]),
+              gi_radius=1, tile_size=48)
+    a = mosaic_terrain_products(Z, **kw)
+    b = mosaic_terrain_products(Z, upload_dtype="uint16", **kw)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    with pytest.raises(ValueError):
+        mosaic_terrain_products(Z, upload_dtype="int8", **kw)
+
+
 class TestMosaicMesh:
     """Config-5 topology: out-of-core tile streaming COMPOSED with
     multi-chip execution — tiles round-robined over the (virtual
@@ -324,6 +371,14 @@ class TestMosaicMesh:
         np.testing.assert_array_equal(O1, O2)
         np.testing.assert_array_equal(np.nan_to_num(M1, nan=9e9),
                                       np.nan_to_num(M2, nan=9e9))
+        # quantized upload on the mesh path == quantized single-device
+        Gq1, Oq1, _ = mosaic_terrain_products(Z, upload_dtype="uint16",
+                                              **kw)
+        Gq2, Oq2, _ = mosaic_terrain_products(Z, mesh=mesh,
+                                              upload_dtype="uint16",
+                                              **kw)
+        np.testing.assert_array_equal(Gq1, Gq2)
+        np.testing.assert_array_equal(Oq1, Oq2)
 
     def test_mesh_compact_wire_and_subset(self, mesh, rng):
         from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products

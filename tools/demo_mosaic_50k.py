@@ -91,6 +91,12 @@ def main():
                     "executable persists via neilpy_tpu.aot, so a "
                     "resumed run reloads it in seconds; 'xla' is the "
                     "fallback for environments without that cache")
+    ap.add_argument("--upload-dtype", default=None,
+                    choices=(None, "uint16"),
+                    help="quantize the host->device leg to uint16 "
+                    "(global-range affine, error <= range/65534 — "
+                    "~2 cm on this synthetic's ~1.3 km range); halves "
+                    "the dominant uplink bytes of the f32 stream")
     ap.add_argument("--moran-f16", action="store_true",
                     help="store the Moran plane as float16 on disk "
                     "(halves its footprint; the compact wire already "
@@ -124,7 +130,8 @@ def main():
     Z = np.memmap(dem_path, dtype=np.float32, mode="r", shape=(n, n))
 
     if args.verify:
-        return verify(Z, d, n, products, engine=args.engine)
+        return verify(Z, d, n, products, engine=args.engine,
+                      upload_dtype=args.upload_dtype)
 
     # every mosaic product gets a memmap slot (uint8 stands in for the
     # bool objects plane — memmap can't create bool, see view below)
@@ -167,7 +174,8 @@ def main():
         windows=np.array(WINDOWS), gi_radius=GI_RADIUS,
         tile_size=args.tile, checkpoint=ck, out=outs,
         products=products, wire=args.wire, progress=True,
-        use_pallas=(args.engine == "pallas"))
+        use_pallas=(args.engine == "pallas"),
+        upload_dtype=args.upload_dtype)
     wall = prior + (time.time() - t0)
     json.dump({"wall_s": wall}, open(wall_path, "w"))
     os.remove(start_path)
@@ -198,19 +206,30 @@ def main():
         "mpix_s": round(n * n / 1e6 / wall, 2),
         "bigtiff_s": round(t_tif, 1),
         "tile": args.tile, "lookup_pixels": LOOKUP,
+        "upload_dtype": args.upload_dtype,
         "date": time.strftime("%Y-%m-%d"),
     }, open(os.path.join(repo, rec), "w"), indent=1)
     print(f"wrote {rec}", flush=True)
 
 
-def verify(Z, d, n, products, engine="pallas"):
+def verify(Z, d, n, products, engine="pallas", upload_dtype=None):
     """Recompute a few tiles directly (single fused calls on padded
     windows) and require exact agreement with the stored mosaic
     products (classes/objects exact; Moran to bf16 wire rounding).
     ``engine`` must match the run being verified: the Pallas and XLA
-    ladders agree everywhere except exact f32 decision ties."""
-    from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+    ladders agree everywhere except exact f32 decision ties.  For a
+    quantized-upload run pass the same ``upload_dtype``: the recompute
+    then dequantizes each window on the RUN's global lattice (qlo/qhi
+    from the checkpoint's moments sidecar) so agreement stays exact."""
+    import json as _json
+    from neilpy_tpu.pipelines.mosaic import (mosaic_terrain_products,
+                                             _QuantizedSource)
     from neilpy_tpu.io.geotiff import GeoTiffSource
+    dq = None
+    if upload_dtype == "uint16":
+        mom = _json.load(open(os.path.join(d, "tiles.json.moments")))
+        dq = _QuantizedSource(np.zeros((1, 1), np.float32),
+                              mom["qlo"], mom["qhi"])
     rng = np.random.default_rng(0)
     G = np.memmap(os.path.join(d, "geomorphons.out"), dtype=np.uint8,
                   mode="r", shape=(n, n))
@@ -219,11 +238,13 @@ def verify(Z, d, n, products, engine="pallas"):
     for _ in range(3):
         # a window fully interior to a random region: recompute with
         # enough margin that the mosaic's tile seams are irrelevant
-        r = int(rng.integers(LOOKUP + 1, n - 2049))
-        c = int(rng.integers(LOOKUP + 1, n - 2049))
         w = 1024
         m = 2 * LOOKUP
+        r = int(rng.integers(m, n - w - m - 1))
+        c = int(rng.integers(m, n - w - m - 1))
         sub = np.asarray(Z[r - m:r + w + m, c - m:c + w + m])
+        if dq is not None:
+            sub = _QuantizedSource(sub, dq.lo, dq.hi).dequantized()
         (g_sub,) = mosaic_terrain_products(
             sub, cellsize=CELLSIZE, lookup_pixels=LOOKUP,
             tile_size=w + 2 * m, products=("geomorphons",),
@@ -234,7 +255,11 @@ def verify(Z, d, n, products, engine="pallas"):
         tif_got = tif[r:r + w, c:c + w]
         print(f"window ({r},{c}): mosaic==direct {frac:.6f}, "
               f"tif==memmap {np.array_equal(tif_got, got)}", flush=True)
-        ok &= frac == 1.0 and np.array_equal(tif_got, got)
+        # quantized runs dequantize on device with a fused multiply-add
+        # (one rounding) where the host recompute rounds twice —
+        # ppm-level decision-tie pixels may flip (see mosaic docstring)
+        floor = 0.99999 if dq is not None else 1.0
+        ok &= frac >= floor and np.array_equal(tif_got, got)
     print("VERIFY", "OK" if ok else "FAIL", flush=True)
     return 0 if ok else 1
 
