@@ -204,7 +204,7 @@ def openness(Z, cellsize=1, lookup_pixels=1, neighbors=None, skyview=False,
 
 
 def openness_pair(Z, cellsize=1, lookup_pixels=1, fast=False,
-                  how_fast=20, engine="auto"):
+                  how_fast=20, engine="auto", specialize=None):
     """(positive, negative) openness from ONE ladder pass.
 
     ``openness(-Z)`` equals the negative openness derived from the same
@@ -220,7 +220,8 @@ def openness_pair(Z, cellsize=1, lookup_pixels=1, fast=False,
         from .pallas_scan import openness_pallas
         return openness_pallas(Z, cellsize=float(cellsize),
                                lookup_pixels=int(lookup_pixels),
-                               fast=bool(fast), how_fast=int(how_fast))
+                               fast=bool(fast), how_fast=int(how_fast),
+                               specialize=specialize)
     mx, mn, seen = directional_ratio_extrema(
         Z, cellsize=float(cellsize), lookup_pixels=int(lookup_pixels),
         fast=fast, how_fast=how_fast)

@@ -185,10 +185,16 @@ def _make_product_body(cellsize, lookup_pixels, threshold_angle, win,
 
     if use_pallas:
         from ..ops.pallas_scan import geomorphons_pallas as _geo
+        # specialize=False inside the mosaic body: the tile stream is
+        # WIRE-bound (~0.5 s/tile kernel vs ~2 s/tile transfer), so the
+        # boundary specialization's ~6% kernel gain buys no wall-clock
+        # here while its per-region Mosaic programs ~double the
+        # server-side cold-compile of every mosaic configuration
         geo = lambda b: _geo(b, cellsize=cellsize,
                              lookup_pixels=lookup_pixels,
                              threshold_angle=threshold_angle,
-                             fast=fast, how_fast=how_fast)
+                             fast=fast, how_fast=how_fast,
+                             specialize=False)
     else:
         geo = lambda b: geomorphons(b, cellsize=cellsize,
                                     lookup_pixels=lookup_pixels,
@@ -241,7 +247,8 @@ def _make_product_body(cellsize, lookup_pixels, threshold_angle, win,
             eng = "pallas" if use_pallas else "xla"
             vals["openness_pos"], vals["openness_neg"] = openness_pair(
                 block, cellsize=cellsize, lookup_pixels=lookup_pixels,
-                fast=fast, how_fast=how_fast, engine=eng)
+                fast=fast, how_fast=how_fast, engine=eng,
+                specialize=False)
 
         res = []
         for p in products:
