@@ -319,7 +319,9 @@ def test_mosaic_quantized_upload(rng):
     Zdq = src.dequantized()
     # error bound + hole preservation
     assert np.array_equal(np.isnan(Zdq), np.isnan(Z))
-    bound = (float(fin.max()) - float(fin.min())) / 65534 * 0.5001
+    # ideal half-step plus ~1% of f32 encode/decode rounding — still
+    # 2x tighter than the documented (hi-lo)/65534 bound
+    bound = (float(fin.max()) - float(fin.min())) / 65534 * 0.505
     assert np.nanmax(np.abs(Zdq - Z)) <= bound + 1e-6
     # equivalence with running on the dequantized raster: exact up to
     # fused-multiply-add rounding of the on-device dequantization
