@@ -5,14 +5,16 @@ colortable_shade 1870-1914, brassel_atmospheric_perspective 1993-2031.
 
 The reference indexes 256x256 PNG lookup tables shipped as package
 assets.  This framework generates its LUTs procedurally from the same
-4-corner colour specs the reference uses for its named styles
-(neilpy.py:1884-1900: bilinear `ndi.zoom` between corner colours); the
-default 'swiss' LUT additionally applies a small embedded residual
-table so it is BIT-IDENTICAL to the reference's shipped
-``swiss_shading_lookup.png`` (see ``swiss_lut``).  Any user-provided
-256x256 LUT array or PNG also loads — including the reference's own
-asset files, for bit-comparison.  The shading itself is a pair of
-uint8 gathers per channel, fused under jit.
+4-corner colour specs the reference uses for its named styles,
+reproducing the reference's ``ndi.zoom([[2x2 corners]], 128)``
+cubic-spline interpolation exactly (neilpy.py:1884-1900; see
+``corner_lut``).  Two embedded tables make the asset-backed styles
+bit-identical to the reference's shipped PNGs: the default 'swiss' LUT
+(``swiss_lut``, corner base + residual) and 'gray_high_contrast'
+(``_gray_high_contrast_lut``).  Any user-provided 256x256 LUT array or
+PNG also loads — including the reference's own asset files, for
+bit-comparison.  The shading itself is a pair of uint8 gathers per
+channel, fused under jit.
 
 Design fix: the reference's ``colortable_shade`` references ``lut``
 before assignment for every named spec except 'gray'
@@ -50,21 +52,61 @@ CORNER_SPECS = {
 }
 
 
+def _cubic_zoom_weights(n_out=256):
+    """Interpolation weights of ``scipy.ndimage.zoom`` on a 2-sample
+    axis (order-3 B-spline, mirror boundary), in closed form.
+
+    For two samples (a, b) the mirror-extended cubic-spline
+    coefficients are c0 = 2a - b, c1 = 2b - a, and zoom samples the
+    spline at x_k = k/(n_out-1) in [0, 1], so the value is a fixed
+    linear blend w_a(x)·a + w_b(x)·b with
+
+        w_a = 2(B(x) + B(x-2)) - (B(x+1) + B(x-1)),   w_b = 1 - w_a
+
+    (B = cubic B-spline kernel).  Verified bit-equal (after rounding)
+    to ``ndi.zoom`` for every named corner spec; the nearest value sits
+    2.6e-8 from a rounding boundary, far above f64 noise."""
+
+    def B3(t):
+        t = np.abs(t)
+        return np.where(t < 1, 2 / 3 - t ** 2 + t ** 3 / 2,
+                        np.where(t < 2, (2 - t) ** 3 / 6, 0.0))
+
+    x = np.arange(n_out) / (n_out - 1)
+    wa = 2 * (B3(x) + B3(x - 2)) - (B3(x + 1) + B3(x - 1))
+    wb = 2 * (B3(x + 1) + B3(x - 1)) - (B3(x) + B3(x - 2))
+    return np.stack([wa, wb], axis=1)          # (n_out, 2)
+
+
 def corner_lut(spec):
-    """Build a 256x256x3 uint8 LUT by bilinear interpolation between
-    four corner colours (equivalent to the reference's
-    ``ndi.zoom([[c00, c01], [c10, c11]], 128)`` construction)."""
+    """Build a 256x256x3 uint8 LUT from four corner colours,
+    reproducing the reference's ``ndi.zoom([[c00, c01], [c10, c11]],
+    128)`` cubic-spline construction exactly (neilpy.py:1896-1900 —
+    note the zoom is NOT bilinear: the spline overshoots between
+    corners, up to 34/255 on the 'gray' spec).  Output is clipped to
+    [0, 255]; no named spec actually overshoots the uint8 range, so
+    this is unobservable for parity (the reference would wrap)."""
     spec = np.asarray(spec, dtype=np.float64)
-    t = np.linspace(0.0, 1.0, 256)
-    wy = t[:, None]          # elevation axis
-    wx = t[None, :]          # illumination axis
+    w = _cubic_zoom_weights()
     lut = np.zeros((256, 256, 3), dtype=np.uint8)
     for ch in range(3):
-        c00, c01, c10, c11 = spec[0, ch], spec[1, ch], spec[2, ch], spec[3, ch]
-        top = c00 * (1 - wx) + c01 * wx
-        bot = c10 * (1 - wx) + c11 * wx
-        lut[:, :, ch] = np.round(top * (1 - wy) + bot * wy).astype(np.uint8)
+        C = np.array([[spec[0, ch], spec[1, ch]],
+                      [spec[2, ch], spec[3, ch]]])
+        v = np.round(w @ C @ w.T)
+        lut[:, :, ch] = np.clip(v, 0, 255).astype(np.uint8)
     return lut
+
+
+def _decode_row_deltas(filename, shape):
+    """Decode a zlib'd int8 row-delta table (tools/gen_lut_assets.py)
+    back to the int16 array it encodes."""
+    import os
+    import zlib
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        filename)
+    deltas = np.frombuffer(zlib.decompress(open(path, "rb").read()),
+                           dtype=np.int8).reshape(shape)
+    return np.cumsum(deltas.astype(np.int16), axis=0)
 
 
 _SWISS_LUT_CACHE = None
@@ -72,30 +114,51 @@ _SWISS_LUT_CACHE = None
 
 def swiss_lut():
     """The exact 256x256x3 swiss-shading LUT the reference ships as
-    ``swiss_shading_lookup.png`` (neilpy.py:1848-1863), reconstructed
-    as corner_lut('swiss') + a small embedded residual table
-    (``_swiss_lut_residual.bin``: zlib-compressed int8 row-deltas of
-    the residual, ~30 KB).  The procedural corner interpolation alone
-    differs from the shipped asset by up to 25/255 (the asset was not
-    generated by pure bilinear corner blending); adding the stored
-    residual reproduces it bit-exactly, so the default render matches
-    the reference's default render."""
+    ``swiss_shading_lookup.png`` (neilpy.py:1848-1863).
+
+    ``_swiss_lut_residual.bin`` embeds the CONTENT of that reference
+    asset (a data table from the MIT-licensed neilpy package), stored
+    as zlib-compressed int8 row-deltas of the residual against the
+    procedural ``corner_lut('swiss')`` base (~25 KB; regenerate with
+    tools/gen_lut_assets.py).  The corner interpolation alone differs
+    from the shipped asset by up to ~25/255 — the asset was hand-tuned,
+    not generated from the corner spec — so the residual is what makes
+    default renders bit-identical to the reference's."""
     global _SWISS_LUT_CACHE
     if _SWISS_LUT_CACHE is None:
-        import os
-        import zlib
         base = corner_lut(CORNER_SPECS["swiss"]).astype(np.int16)
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "_swiss_lut_residual.bin")
-        deltas = np.frombuffer(zlib.decompress(open(path, "rb").read()),
-                               dtype=np.int8).reshape(256, 256, 3)
-        residual = np.cumsum(deltas.astype(np.int16), axis=0)
+        residual = _decode_row_deltas("_swiss_lut_residual.bin",
+                                      (256, 256, 3))
         lut = np.clip(base + residual, 0, 255).astype(np.uint8)
         # the cache is shared process state: hand out read-only views
         # so a caller mutation can't corrupt later default renders
         lut.flags.writeable = False
         _SWISS_LUT_CACHE = lut
     return _SWISS_LUT_CACHE.view()
+
+
+_GRAY_HC_LUT_CACHE = None
+
+
+def _gray_high_contrast_lut():
+    """The exact 256x256 grayscale LUT the reference ships as
+    ``gray_high_contrast_lookup.png`` (used by
+    ``colortable_shade('gray_high_contrast')``, neilpy.py:1870-1878),
+    replicated to 3 channels as the reference does.
+
+    ``_gray_hc_lut.bin`` embeds the content of that reference asset
+    (MIT-licensed neilpy package data) as zlib'd int8 row-deltas (~6 KB
+    — no procedural base approximates it: an ad-hoc contrast ramp
+    missed it by mean 48/255).  Regenerate with
+    tools/gen_lut_assets.py."""
+    global _GRAY_HC_LUT_CACHE
+    if _GRAY_HC_LUT_CACHE is None:
+        g = _decode_row_deltas("_gray_hc_lut.bin", (256, 256))
+        g = np.clip(g, 0, 255).astype(np.uint8)
+        lut = np.stack((g, g, g), axis=2)
+        lut.flags.writeable = False
+        _GRAY_HC_LUT_CACHE = lut
+    return _GRAY_HC_LUT_CACHE.view()
 
 
 def _load_lut(name):
@@ -152,11 +215,7 @@ def colortable_shade(Z, name="swiss", cellsize=1):
     """Generalised LUT shading (parity: neilpy.py:1870-1914, with the
     unbound-lut bug fixed by construction)."""
     if isinstance(name, str) and name == "gray_high_contrast":
-        # high-contrast gray ramp: steeper illumination response
-        t = np.linspace(0, 1, 256)
-        g = np.clip((t[None, :] - 0.2) / 0.6, 0, 1)
-        lut = np.round(255 * np.repeat(g, 256, axis=0)).astype(np.uint8)
-        lut = np.stack((lut, lut, lut), axis=2)
+        lut = _gray_high_contrast_lut()
     else:
         lut = _load_lut(name)
     return lut_shade(Z, lut, cellsize)
