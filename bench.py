@@ -177,125 +177,153 @@ def _pallas_fast_probe():
     print(f"PALLAS_FAST_MPIX {H * W / dt / 1e6:.1f}", flush=True)
 
 
-def bench_geomorphons():
+def _run_probe(entry, tag, budget, attempts=1):
+    """Run ``bench.<entry>()`` in a SUBPROCESS and parse its
+    '<tag> <value>' stdout line.  Every expensive probe runs behind
+    this watchdog — r4's driver bench died because ONE in-process
+    compile+first-run blocked for 999 s on a degraded tunnel before
+    any record had printed.  ``attempts`` > 1 retries on timeout or
+    failure (tunnel weather is transient; a retry within the same
+    budget recovered r4-style stalls in testing)."""
     import os
     import subprocess
+    for k in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", f"import bench; bench.{entry}()"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=budget)
+            if proc.stderr:
+                for ln in proc.stderr.splitlines():
+                    if not ln.startswith("WARNING:"):
+                        log(f"  [{entry}] {ln}")
+            for line in proc.stdout.splitlines():
+                if line.startswith(tag):
+                    return float(line.split()[1])
+            log(f"{entry} produced no {tag} line "
+                f"(attempt {k + 1}/{attempts})")
+        except subprocess.TimeoutExpired:
+            log(f"{entry} exceeded {budget}s (attempt {k + 1}/{attempts})")
+        except Exception as e:
+            log(f"{entry} failed:", str(e)[:200])
+    return None
+
+
+def _xla_probe(shape=None):
+    """XLA-engine exact geomorphons at the continuity shape, fully
+    jitted (lower/compile/first-run phases logged separately so a
+    tunnel-weather stall is attributable — r4 logged a single opaque
+    '999.3s').  Prints 'XLA_MPIX <value>'."""
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from neilpy_tpu.ops.visibility import geomorphons
 
-    H, W = BENCH_SHAPE
+    H, W = shape or BENCH_SHAPE
     lookup = BENCH_LOOKUP
-    Zd = jax.device_put(jnp.asarray(_bench_input()))
-
-    results = {}
+    rng = np.random.default_rng(0)
+    Z = rng.normal(size=(H, W)).astype(np.float32)
+    Z = np.cumsum(Z, axis=0) + np.cumsum(Z, axis=1)
     t0 = time.time()
-    np.asarray(geomorphons(Zd, cellsize=10, lookup_pixels=lookup,
-                           threshold_angle=1, engine="xla"))
-    log(f"xla compile+first run: {time.time() - t0:.1f}s")
-    # in-one-program timing: dispatch-amortized loops under-report 3x+
-    # through the tunnel (per-roundtrip latency is erratic); one scan
-    # program pays the roundtrip once, like the pallas probes
+    Zd = jax.device_put(jnp.asarray(Z))
+    np.asarray(Zd.ravel()[:1])
+    log(f"xla probe upload: {time.time() - t0:.1f}s")
+    fn = jax.jit(lambda z: geomorphons(z, cellsize=10,
+                                       lookup_pixels=lookup,
+                                       threshold_angle=1, engine="xla"))
+    t0 = time.time()
+    lowered = fn.lower(Zd)
+    t1 = time.time()
+    compiled = lowered.compile()
+    t2 = time.time()
+    np.asarray(compiled(Zd).ravel()[:1])
+    t3 = time.time()
+    log(f"xla lower {t1 - t0:.1f}s, compile {t2 - t1:.1f}s, first run "
+        f"{t3 - t2:.1f}s (true cold compile of the scan ladder is ~3 s "
+        f"on a healthy link; r4's '999.3s' was tunnel weather)")
     ms = _one_program_ms(
         Zd, lambda z: geomorphons(z, cellsize=10, lookup_pixels=lookup,
                                   threshold_angle=1, engine="xla"), n=8)
-    results["xla"] = H * W / ms / 1e3
+    mpix = H * W / ms / 1e3
     log(f"xla geomorphons {H}x{W} lookup={lookup}: {ms:.1f} ms "
-        f"= {results['xla']:.0f} Mpix/s (in-one-program)")
+        f"= {mpix:.0f} Mpix/s (in-one-program)")
+    print(f"XLA_MPIX {mpix:.1f}", flush=True)
 
-    if jax.default_backend() == "tpu":
-        budget = int(os.environ.get("PALLAS_BENCH_TIMEOUT", "1500"))
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c",
-                 "import bench; bench._pallas_probe()"],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True, text=True, timeout=budget)
-            for line in proc.stdout.splitlines():
-                if line.startswith("PALLAS_MPIX"):
-                    results["pallas"] = float(line.split()[1])
-                    log(f"pallas geomorphons: {results['pallas']:.0f} "
-                        f"Mpix/s")
-            if "pallas" not in results:
-                log("pallas probe produced no result:",
-                    proc.stderr[-300:])
-        except subprocess.TimeoutExpired:
-            log(f"pallas probe exceeded {budget}s (Mosaic compile); "
-                "using the XLA number")
-        except Exception as e:
-            log("pallas probe failed:", str(e)[:200])
 
-    return max(results.values())
+def _xla_probe_small():
+    """Last-resort record source: the XLA ladder at a small shape (a
+    few seconds end-to-end even on a sick tunnel).  Prints
+    'XLA_SMALL_MPIX <value>'."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from neilpy_tpu.ops.visibility import geomorphons
+
+    H, W = 1024, 2048
+    rng = np.random.default_rng(0)
+    Z = rng.normal(size=(H, W)).astype(np.float32).cumsum(axis=0)
+    Zd = jax.device_put(jnp.asarray(Z))
+    kern = lambda z: geomorphons(z, cellsize=10,
+                                 lookup_pixels=BENCH_LOOKUP,
+                                 threshold_angle=1, engine="xla")
+    np.asarray(kern(Zd).ravel()[:1])
+    ms = _one_program_ms(Zd, kern, n=6)
+    print(f"XLA_SMALL_MPIX {H * W / ms / 1e3:.1f}", flush=True)
+
+
+def _aot_scale_warm():
+    """True when the 8192² exact-ladder probe would LOAD its executable
+    from the persistent AOT cache (seconds) instead of paying a cold
+    Mosaic compile (~15 min server-side) — decides whether the scale
+    probe runs before or after the provisional record."""
+    try:
+        from neilpy_tpu import aot
+        N = 6
+        key = ("bench_rep", ("pallas_exact", (8192, 8192), BENCH_LOOKUP), N)
+        return aot.is_cached(key, [((8192, 8192), "float32")])
+    except Exception as e:
+        log("AOT warmness check failed:", str(e)[:160])
+        return False
 
 
 def bench_fast_ladder():
     """The reference's documented `fast` progressive ladder (geometric
     L levels) at the continuity shape — secondary number (the baseline
     comparison is against the reference's EXACT ladder throughput).
-    Runs after the headline JSON is printed."""
+    Runs after the headline JSON is printed.  Budget 1500 s: the
+    specialized unrolled ladder's COLD Mosaic compile is ~754 s."""
     import os
-    import subprocess
     import jax
     if jax.default_backend() != "tpu":
         return
-    # 1500 s: the specialized unrolled ladder's COLD Mosaic compile is
-    # ~754 s; 900 s left no headroom for process startup + the timed
-    # scans when the executable cache is cold (any package edit
-    # invalidates it).  Warm runs finish in ~1 min regardless.
     fbudget = int(os.environ.get("PALLAS_FAST_BENCH_TIMEOUT", "1500"))
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import bench; bench._pallas_fast_probe()"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, timeout=fbudget)
-        for line in proc.stdout.splitlines():
-            if line.startswith("PALLAS_FAST_MPIX"):
-                log(f"pallas geomorphons fast ladder: "
-                    f"{float(line.split()[1]):.0f} Mpix/s "
-                    "(secondary; headline is the exact ladder)")
-    except subprocess.TimeoutExpired:
-        log(f"pallas fast probe exceeded {fbudget}s (Mosaic compile)")
-    except Exception as e:
-        log("pallas fast probe failed:", str(e)[:200])
+    v = _run_probe("_pallas_fast_probe", "PALLAS_FAST_MPIX", fbudget)
+    if v is not None:
+        log(f"pallas geomorphons fast ladder: {v:.0f} Mpix/s "
+            "(secondary; headline is the exact ladder)")
 
 
-def bench_scale():
+def bench_scale(budget=None):
     """Reference-scale exact ladder (8192² — the baseline workload,
     the reference's 42-min Poland EU-DEM run, is ~1e8 px, so this is
     the shape the headline should be measured at; interior tiles
     dominate and the 2048x4096 continuity shape's boundary-tile
     premium disappears).  Returns the Mpix/s value, or None if the
-    probe fails — the caller falls back to the continuity-shape
-    number so the record always exists."""
+    probe fails.  Default budget 1800 s: the COLD 8192² compile is 9
+    Mosaic programs at the big shape, measured >900 s server-side;
+    warm (AOT-cached) runs load in seconds — callers pass a short
+    budget when `_aot_scale_warm()` says the executable is on disk."""
     import os
-    import subprocess
     import jax
     if jax.default_backend() != "tpu":
         return None
-    # 1800 s: with the 9-patch specialization now the exact-ladder
-    # default, the COLD 8192² compile is 9 Mosaic programs at the big
-    # shape — measured >900 s server-side, which used to kill this
-    # probe and silently drop the headline to the continuity shape.
-    # Warm (AOT-cached) runs load in seconds regardless.
-    sbudget = int(os.environ.get("PALLAS_SCALE_BENCH_TIMEOUT", "1800"))
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import bench; bench._pallas_scale_probe()"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, timeout=sbudget)
-        for line in proc.stdout.splitlines():
-            if line.startswith("PALLAS_SCALE_MPIX"):
-                v = float(line.split()[1])
-                log(f"pallas geomorphons exact 8192x8192: "
-                    f"{v:.0f} Mpix/s (reference-scale)")
-                return v
-    except subprocess.TimeoutExpired:
-        log(f"pallas 8192² probe exceeded {sbudget}s (Mosaic compile)")
-    except Exception as e:
-        log("pallas 8192² probe failed:", str(e)[:200])
-    return None
+    sbudget = budget if budget is not None else int(
+        os.environ.get("PALLAS_SCALE_BENCH_TIMEOUT", "1800"))
+    v = _run_probe("_pallas_scale_probe", "PALLAS_SCALE_MPIX", sbudget)
+    if v is not None:
+        log(f"pallas geomorphons exact 8192x8192: {v:.0f} Mpix/s "
+            f"(reference-scale)")
+    return v
 
 
 def _pallas_scale_probe():
@@ -564,31 +592,88 @@ def bench_demo50k_recorded():
             f"({d['date']})")
 
 
-def main():
-    _enable_compile_cache()
-    mpix_s = bench_geomorphons()
-    # headline = exact ladder at reference scale (8192²; the baseline
-    # 0.2 Mpix/s comes from the reference's ~1e8-px Poland run, so the
-    # shapes match); the 2048x4096 continuity number above is the
-    # fallback if the scale probe fails, so a record always exists
-    try:
-        scale = bench_scale()
-    except Exception as e:
-        log("scale bench failed:", e)
-        scale = None
-    if scale is not None and scale > mpix_s:
-        log(f"headline: reference-scale exact ladder {scale:.0f} Mpix/s "
-            f"(continuity 2048x4096 shape: {mpix_s:.0f})")
-        mpix_s = scale
-    # print the headline before the remaining secondary benches: they
-    # can add many minutes of Mosaic compile on a cold cache, and the
-    # record must survive any outer time cap
+def _emit_record(mpix_s):
     print(json.dumps({
         "metric": "geomorphons_throughput_lookup50",
         "value": round(mpix_s, 1),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 1),
     }), flush=True)
+
+
+def main():
+    """Headline policy (r4 post-mortem: the driver's bench timed out
+    with NO parsed record because one in-process compile+first-run
+    blocked 999 s on a degraded tunnel before anything printed):
+
+    1. every expensive step runs in a SUBPROCESS behind a watchdog
+       budget, with one retry for transient tunnel weather;
+    2. a valid headline record prints as early as possible — from the
+       8192² reference-scale probe when its executable is AOT-warm
+       (the normal driver case, ~1-2 min), else provisionally from the
+       cheap XLA-engine measurement (~2-4 min even cold), else from a
+       small-shape last resort;
+    3. better numbers measured later re-print the record (same metric;
+       a parser taking either the first or the last JSON line gets a
+       valid record, and on a warm cache the first IS the headline).
+    """
+    import os
+    _enable_compile_cache()
+    t_start = time.time()
+    best = None         # best measured throughput so far
+    emitted = None      # value of the last-printed record
+
+    def emit_if_better(v, source):
+        nonlocal best, emitted
+        if v is None:
+            return
+        best = v if best is None else max(best, v)
+        if emitted is None or best > emitted:
+            log(f"record <- {best:.0f} Mpix/s ({source}) at "
+                f"t+{time.time() - t_start:.0f}s")
+            _emit_record(best)
+            emitted = best
+
+    # 1. warm fast path: real headline in ~1-2 min
+    scale = None
+    if _aot_scale_warm():
+        scale = bench_scale(budget=int(
+            os.environ.get("PALLAS_SCALE_FAST_TIMEOUT", "420")))
+        emit_if_better(scale, "8192² exact ladder, AOT-warm")
+    else:
+        log("8192² executable not AOT-cached; deferring the scale "
+            "probe until after a provisional record exists")
+
+    # 2. XLA continuity probe — the provisional record on a cold cache
+    xla = _run_probe("_xla_probe", "XLA_MPIX",
+                     int(os.environ.get("XLA_BENCH_TIMEOUT", "420")),
+                     attempts=2)
+    if xla is not None and emitted is None:
+        emit_if_better(xla, "XLA engine 2048x4096 (provisional)")
+    if emitted is None:
+        # 3. last resort: small-shape XLA (seconds even on a sick link)
+        v = _run_probe("_xla_probe_small", "XLA_SMALL_MPIX", 240,
+                       attempts=2)
+        emit_if_better(v, "XLA engine 1024x2048 (last resort)")
+    if emitted is None:
+        log("NO record emitted yet — all early probes failed; "
+            "continuing to the Pallas probes")
+
+    # 4. Pallas continuity probe, then the full-budget scale probe if
+    #    it didn't run warm — each can only upgrade the record
+    import jax
+    if jax.default_backend() == "tpu":
+        v = _run_probe("_pallas_probe", "PALLAS_MPIX",
+                       int(os.environ.get("PALLAS_BENCH_TIMEOUT",
+                                          "1500")))
+        if v is not None:
+            log(f"pallas geomorphons 2048x4096: {v:.0f} Mpix/s")
+        emit_if_better(v, "pallas exact 2048x4096")
+    if scale is None:
+        scale = bench_scale()
+        emit_if_better(scale, "8192² exact ladder")
+    if emitted is None:
+        log("FATAL: no probe produced a measurement; no record emitted")
     try:
         bench_fast_ladder()
     except Exception as e:

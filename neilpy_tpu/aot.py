@@ -45,7 +45,8 @@ import os
 import pickle
 import threading
 
-__all__ = ["CachedKernel", "cache_dir", "clear", "package_fingerprint"]
+__all__ = ["CachedKernel", "cache_dir", "clear", "package_fingerprint",
+           "is_cached"]
 
 _DISABLED = object()
 _lock = threading.Lock()
@@ -141,9 +142,30 @@ def clear(directory=None):
             try:
                 os.remove(os.path.join(d, fn))
                 n += 1
-            except OSError:
-                pass
+            except OSError as e:
+                import logging
+                logging.getLogger(__name__).debug(
+                    "could not remove AOT cache entry %s: %s", fn, e)
     return n
+
+
+def is_cached(key, shapes_dtypes):
+    """True when a ``CachedKernel(fn, key=key)`` call with array
+    arguments of the given ``(shape, dtype)`` list would load its
+    executable from disk for the CURRENT runtime + package state —
+    i.e. no compile would be paid.  Lets callers (bench.py) order
+    expensive probes by whether they are warm."""
+    import numpy as np
+    d = cache_dir()
+    if d is None:
+        return False
+    sig = tuple(("arr", tuple(s), str(np.dtype(dt)))
+                for s, dt in shapes_dtypes)
+    raw = repr((1, _runtime_tag(), package_fingerprint(),
+                str(key), sig))
+    path = os.path.join(
+        d, hashlib.sha256(raw.encode()).hexdigest() + ".jaxexec")
+    return os.path.exists(path)
 
 
 class CachedKernel:
@@ -217,9 +239,15 @@ class CachedKernel:
                 execution_devices=jax.devices()[:1])
         except FileNotFoundError:
             return None
-        except Exception:
+        except Exception as e:
             # corrupt / stale-format / wrong-runtime file: drop it so
-            # the next run rebuilds instead of failing forever
+            # the next run rebuilds instead of failing forever — but
+            # say so, a vanishing cache entry means a multi-minute
+            # recompile the user should be able to attribute
+            import warnings
+            warnings.warn(f"dropping unreadable AOT cache entry "
+                          f"{os.path.basename(path)} ({type(e).__name__}: "
+                          f"{e}); the kernel will recompile")
             try:
                 os.remove(path)
             except OSError:
@@ -240,6 +268,12 @@ class CachedKernel:
             with open(tmp, "wb") as f:
                 f.write(payload)
             os.replace(tmp, path)
-        except Exception:
-            pass  # backend without serialization: still use `compiled`
+        except Exception as e:
+            # backend without serialization: still use `compiled`, but
+            # note the cache miss will recur every process
+            import logging
+            logging.getLogger(__name__).debug(
+                "AOT executable for %s not persisted (%s): backend "
+                "lacks serialization; every process will recompile",
+                os.path.basename(path), e)
         return compiled

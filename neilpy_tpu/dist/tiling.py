@@ -125,6 +125,25 @@ def _banded_put(block, dev_state, chunk_bytes=24 << 20):
     return dev_state["concat"](*bands)
 
 
+_ASYNC_COPY_WARNED = False
+
+
+def _start_host_copy(x):
+    """Fire-and-forget ``copy_to_host_async`` prefetch hint; a backend
+    without it just pays the synchronous copy at collect time (logged
+    once per process so the slower path is attributable)."""
+    global _ASYNC_COPY_WARNED
+    try:
+        x.copy_to_host_async()
+    except Exception as e:
+        if not _ASYNC_COPY_WARNED:
+            _ASYNC_COPY_WARNED = True
+            import logging
+            logging.getLogger(__name__).debug(
+                "copy_to_host_async unsupported (%s); readbacks will "
+                "be synchronous", e)
+
+
 def _stage_readback(a, chunk_bytes=6 << 20):
     """Split a device array into row chunks and start their host
     copies immediately (``copy_to_host_async``).  The tunneled runtime
@@ -138,10 +157,7 @@ def _stage_readback(a, chunk_bytes=6 << 20):
     step = -(-a.shape[0] // n)
     chunks = [a[i:i + step] for i in range(0, a.shape[0], step)]
     for c in chunks:
-        try:
-            c.copy_to_host_async()
-        except Exception:
-            pass  # backend without async host copies: asarray later
+        _start_host_copy(c)
     return chunks
 
 
@@ -458,10 +474,7 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
                             key=lambda s: s.index[0].start or 0)
             datas = [s.data for s in shards[:n_real]]
             for d in datas:
-                try:
-                    d.copy_to_host_async()
-                except Exception:
-                    pass
+                _start_host_copy(d)
             _phase("dispatch", t0)
             inflight.append((keys, bounds_list, datas))
             while len(inflight) > max(int(pipeline_depth), 0):
@@ -550,10 +563,7 @@ def tiled_apply(fn, Z, tile_size, overlap, out=None, out_dtype=None,
             t0 = _time.perf_counter()
             chunks = list(wire_fn(block))
             for c in chunks:
-                try:
-                    c.copy_to_host_async()
-                except Exception:
-                    pass
+                _start_host_copy(c)
             _phase("dispatch", t0)
             if multi is None:
                 multi = True

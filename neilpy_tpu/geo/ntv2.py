@@ -38,8 +38,11 @@ def _find_grid_file(name):
         for fn in os.listdir(_PROJ_DATA_DIR):
             if fn.lower() == low:
                 return os.path.join(_PROJ_DATA_DIR, fn)
-    except OSError:
-        pass
+    except OSError as e:
+        import logging
+        logging.getLogger(__name__).debug(
+            "PROJ data dir %s unreadable (%s); datum grids unavailable",
+            _PROJ_DATA_DIR, e)
     return None
 
 

@@ -1220,7 +1220,12 @@ def _grid_at(geod_code, lon, lat):
         try:
             if ntv2.grid_covers(path, lon, lat):
                 return path, inverted
-        except (OSError, ValueError):
+        except (OSError, ValueError) as e:
+            # a truncated/corrupt .gsb must not SILENTLY degrade the
+            # transform to the (less accurate) Helmert fallback
+            import warnings
+            warnings.warn(f"NTv2 grid {path} unusable ({e}); "
+                          "falling back to Helmert parameters")
             continue
     return None
 

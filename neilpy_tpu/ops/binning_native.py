@@ -50,6 +50,8 @@ def _cpu_signature():
                     flags = line
                     break
     except OSError:
+        # no /proc/cpuinfo (non-Linux): the flags hash is of "" and the
+        # freshness check degrades to machine-arch only
         pass
     return {"machine": platform.machine(),
             "cpu_flags_md5": hashlib.md5(flags.encode()).hexdigest()}

@@ -78,31 +78,36 @@ def exif_dict_to_dd(exif_dict):
     lon = dms_to_dd(gps[4])
     if gps.get(3) in (b"W", "W"):
         lon = -lon
+    import logging
+    _log = logging.getLogger(__name__)
+    # altitude / time / date tags are genuinely optional in EXIF GPS
+    # IFDs; a missing or malformed one degrades that field to NaN, and
+    # the debug log names which (so corrupt metadata is attributable)
     alt = gpstime = gpsdate = clockdatetime = np.nan
     try:
         alt = gps[6][0] / gps[6][1]
         if gps.get(5) == 1:
             alt = -alt
-    except (KeyError, TypeError, ZeroDivisionError):
-        pass
+    except (KeyError, TypeError, ZeroDivisionError) as e:
+        _log.debug("GPSAltitude (tag 6) unusable: %r", e)
     try:
         h = gps[7][0][0] // max(gps[7][0][1], 1)
         m = gps[7][1][0] // max(gps[7][1][1], 1)
         s = gps[7][2][0] / max(gps[7][2][1], 1)
         gpstime = f"{h}:{int(m):02d}:{s:06.3f}"[:-4] \
             if s != int(s) else f"{h}:{int(m):02d}:{int(s):02d}"
-    except (KeyError, TypeError):
-        pass
+    except (KeyError, TypeError) as e:
+        _log.debug("GPSTimeStamp (tag 7) unusable: %r", e)
     try:
         gpsdate = gps[29].decode("utf-8") if isinstance(gps[29], bytes) \
             else gps[29]
     except KeyError:
-        pass
+        _log.debug("GPSDateStamp (tag 29) absent")
     try:
         v = exif_dict["Exif"][36867]
         clockdatetime = v.decode("utf-8") if isinstance(v, bytes) else v
     except KeyError:
-        pass
+        _log.debug("DateTimeOriginal (tag 36867) absent")
     return lon, lat, alt, gpstime, gpsdate, clockdatetime
 
 

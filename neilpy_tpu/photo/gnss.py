@@ -46,7 +46,10 @@ def read_llh(fn, return_datetimes=True, skiprows=0, comment="%"):
             df, geometry=geopandas.points_from_xy(df.lon, df.lat))
         df = df.set_crs(epsg=4326)
     except ImportError:
-        pass
+        import logging
+        logging.getLogger(__name__).debug(
+            "geopandas not installed: read_llh returns a plain "
+            "DataFrame (no geometry column)")
     return df
 
 

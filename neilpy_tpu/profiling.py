@@ -111,8 +111,12 @@ def compile_report(fn, *args, name=None, **kwargs):
         for k in ("flops", "bytes accessed"):
             if cost and k in cost:
                 report[k.replace(" ", "_")] = float(cost[k])
-    except Exception:
-        pass
+    except Exception as e:
+        # cost_analysis is backend-dependent (the axon plugin lacks
+        # it); the report simply omits flops/bytes
+        import logging
+        logging.getLogger(__name__).debug(
+            "cost_analysis unavailable for %s: %s", name, e)
     flops = report.get("flops")
     extra = f", {flops / 1e9:.2f} GFLOP" if flops else ""
     print(f"compile[{name}]: lower {t_lower:.2f}s, compile "

@@ -107,7 +107,10 @@ def test_corrupt_file_recovered(cachedir):
     with open(path, "wb") as f:
         f.write(b"not a pickle")
     ck2 = aot.CachedKernel(_kernel(), key="t6")
-    got = np.asarray(ck2(a, s)[0])
+    # the drop must be VISIBLE (VERDICT r4 #7): a vanished cache entry
+    # costs a multi-minute recompile the user should hear about
+    with pytest.warns(UserWarning, match="unreadable AOT cache entry"):
+        got = np.asarray(ck2(a, s)[0])
     np.testing.assert_array_equal(got, want)
     # the corrupt file was replaced by a fresh valid one
     (fn2,) = _files(cachedir)
