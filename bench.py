@@ -271,19 +271,24 @@ def _xla_probe_small():
     print(f"XLA_SMALL_MPIX {H * W / ms / 1e3:.1f}", flush=True)
 
 
+def _aot_warm_probe():
+    """Subprocess entry: prints 'AOT_WARM 1' when the 8192²
+    exact-ladder probe would LOAD its executable from the persistent
+    AOT cache (seconds) instead of paying a cold Mosaic compile
+    (~15 min server-side).  Runs in a subprocess because the check
+    itself initializes the tunneled backend (jax.devices()) — on a
+    dead tunnel even that can hang, and it must not be able to block
+    the record (r4's lesson)."""
+    from neilpy_tpu import aot
+    N = 6
+    key = ("bench_rep", ("pallas_exact", (8192, 8192), BENCH_LOOKUP), N)
+    warm = aot.is_cached(key, [((8192, 8192), "float32")])
+    print(f"AOT_WARM {int(warm)}", flush=True)
+
+
 def _aot_scale_warm():
-    """True when the 8192² exact-ladder probe would LOAD its executable
-    from the persistent AOT cache (seconds) instead of paying a cold
-    Mosaic compile (~15 min server-side) — decides whether the scale
-    probe runs before or after the provisional record."""
-    try:
-        from neilpy_tpu import aot
-        N = 6
-        key = ("bench_rep", ("pallas_exact", (8192, 8192), BENCH_LOOKUP), N)
-        return aot.is_cached(key, [((8192, 8192), "float32")])
-    except Exception as e:
-        log("AOT warmness check failed:", str(e)[:160])
-        return False
+    v = _run_probe("_aot_warm_probe", "AOT_WARM", 120)
+    return bool(v)
 
 
 def bench_fast_ladder():
@@ -445,60 +450,86 @@ def bench_inpaint():
 
 
 def bench_mosaic():
-    """Out-of-core mosaic wall-clock (VERDICT r2 item 1): 16,384^2 f32
-    streamed through the fused geomorphons+SMRF+Moran tile kernel
-    (tile 4096 + exactness overlap, compact wire, pipelined readback).
-    Transfer-bound through the tunnel (~25-50 MB/s D2H measured), so
-    the wall number carries real variance run-to-run."""
+    """Out-of-core mosaic wall-clock at 16,384² (VERDICT r2 item 1; r4
+    items 4 and 8): every configuration runs k attempts and EVERY
+    attempt's per-phase breakdown is persisted to MOSAIC_BENCH.json —
+    the tunnel's throughput swings >3x within minutes, so the artifact
+    itself quantifies the link weather a single number would hide.
+
+    Headline configuration (r4 #4): int16 source + geomorphons+objects
+    (2 B/px up, 1 B/px down — products bit-identical to the f32/trio
+    kernel path on the same classes).  The classic f32 trio and the
+    quantized-uplink variants are recorded alongside."""
+    import os
     from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
 
     rng = np.random.default_rng(0)
     N = 16384
     Z = rng.standard_normal((N, N), dtype=np.float32).cumsum(axis=0)
-    kw = dict(lookup_pixels=50, windows=5, gi_radius=3, tile_size=4096)
-    t0 = time.time()
-    mosaic_terrain_products(Z[:4096, :4096], **kw)   # compile + warm
-    log(f"mosaic warmup (1 tile, incl any Pallas compile): "
-        f"{time.time() - t0:.1f}s")
-    # two timed runs, report the best: the tunnel's throughput swings
-    # >3x within minutes, so a single draw mostly measures link
-    # weather; phases (see tiled_apply) show where the wall went
-    best = None
-    for rep in range(2):
-        ps = {}
-        t0 = time.time()
-        mosaic_terrain_products(Z, phase_stats=ps, **kw)
-        dt = time.time() - t0
-        log(f"mosaic 16384^2 run{rep}: {dt:.1f}s = "
-            f"{N * N / dt / 1e6:.1f} Mpix/s; phases: "
-            f"{ {k: round(v, 1) for k, v in sorted(ps.items())} }")
-        best = dt if best is None else min(best, dt)
-    log(f"mosaic 16384^2 (16 tiles, lookup=50, fused geomorphons+SMRF"
-        f"+Moran, compact wire): best of 2 = {best:.1f}s = "
-        f"{N * N / best / 1e6:.1f} Mpix/s wall-clock (r2: 440s = 0.6)")
-    # per-product opt-in: without the Moran plane (2/3 of the downlink
-    # bytes) the same stream is wire-bound at ~1/3 the down bytes —
-    # measured 22.9 s = 11.7 Mpix/s vs 41.5 s trio on the same link
-    kw2 = dict(lookup_pixels=50, windows=5, tile_size=4096,
-               products=("geomorphons", "objects"))
-    mosaic_terrain_products(Z[:4096, :4096], **kw2)  # compile + warm
-    t0 = time.time()
-    mosaic_terrain_products(Z, **kw2)
-    dt2 = time.time() - t0
-    log(f"mosaic 16384^2 geomorphons+objects only (per-product "
-        f"opt-in, 1 B/px wire): {dt2:.1f}s = {N * N / dt2 / 1e6:.1f} "
-        f"Mpix/s wall-clock")
-    # quantized uint16 upload (opt-in, lossy: global-range affine,
-    # error <= range/65534): halves the dominant uplink bytes
-    kw3 = dict(kw2, upload_dtype="uint16")
-    mosaic_terrain_products(Z[:4096, :4096], **kw3)  # compile + warm
-    t0 = time.time()
-    mosaic_terrain_products(Z, **kw3)
-    dt3 = time.time() - t0
-    log(f"mosaic 16384^2 geomorphons+objects, uint16-quantized upload "
-        f"(3 B/px total wire): {dt3:.1f}s = {N * N / dt3 / 1e6:.1f} "
-        f"Mpix/s wall-clock")
-    return best
+    Zi16 = np.clip(np.round(Z), -32000, 32000).astype(np.int16)
+
+    configs = [
+        # (name, source, kwargs, attempts, wire bytes/px up+down)
+        ("duo_int16", Zi16,
+         dict(lookup_pixels=50, windows=5, tile_size=4096,
+              products=("geomorphons", "objects")), 2, "2+1"),
+        ("trio_f32", Z,
+         dict(lookup_pixels=50, windows=5, gi_radius=3,
+              tile_size=4096), 2, "4+3"),
+        ("trio_f32_moran8", Z,
+         dict(lookup_pixels=50, windows=5, gi_radius=3, tile_size=4096,
+              float_wire="uint8"), 1, "4+2"),
+        ("duo_f32_q16", Z,
+         dict(lookup_pixels=50, windows=5, tile_size=4096,
+              products=("geomorphons", "objects"),
+              upload_dtype="uint16"), 1, "2+1"),
+    ]
+    record = {"date": time.strftime("%Y-%m-%d"), "side": N,
+              "configs": {}}
+    for name, src, kw, attempts, wire in configs:
+        try:
+            t0 = time.time()
+            mosaic_terrain_products(src[:4096, :4096], **kw)  # warm
+            warm_s = time.time() - t0
+            log(f"mosaic[{name}] warmup (1 tile, incl Pallas "
+                f"compile-or-load): {warm_s:.1f}s")
+            runs = []
+            for rep in range(attempts):
+                ps = {}
+                t0 = time.time()
+                mosaic_terrain_products(src, phase_stats=ps, **kw)
+                dt = time.time() - t0
+                runs.append({
+                    "wall_s": round(dt, 1),
+                    "mpix_s": round(N * N / dt / 1e6, 1),
+                    "phases": {k: round(v, 1)
+                               for k, v in sorted(ps.items())}})
+                log(f"mosaic[{name}] run{rep}: {dt:.1f}s = "
+                    f"{N * N / dt / 1e6:.1f} Mpix/s; "
+                    f"phases: {runs[-1]['phases']}")
+            best = min(r["wall_s"] for r in runs)
+            record["configs"][name] = {
+                "wire_bytes_px": wire, "warmup_s": round(warm_s, 1),
+                "attempts": runs, "best_s": best,
+                "best_mpix_s": round(N * N / best / 1e6, 1)}
+        except Exception as e:
+            log(f"mosaic[{name}] failed:", str(e)[:200])
+            record["configs"][name] = {"error": str(e)[:200]}
+    head = record["configs"].get("duo_int16", {})
+    if "best_mpix_s" in head:
+        record["headline"] = {"config": "duo_int16",
+                              "mpix_s": head["best_mpix_s"]}
+        log(f"mosaic 16384^2 HEADLINE duo_int16: {head['best_s']}s = "
+            f"{head['best_mpix_s']} Mpix/s wall (trio_f32 best: "
+            f"{record['configs'].get('trio_f32', {}).get('best_mpix_s')}"
+            f" Mpix/s)")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "MOSAIC_BENCH.json")
+    tmp = path + ".tmp"
+    json.dump(record, open(tmp, "w"), indent=1)
+    os.replace(tmp, path)
+    log(f"mosaic attempts persisted to {path}")
+    return record
 
 
 def bench_sharded_overhead():

@@ -89,15 +89,23 @@ def _pack_device(res):
 def _unpack_host(buf, specs):
     """Invert ``_pack_device`` on the host copy: contiguous column-
     block slices + zero-copy dtype views (tens of ms per 4096^2
-    tile)."""
+    tile).
+
+    ``nb`` (bytes per pixel) may be FRACTIONAL for sub-byte planes —
+    a bit-packed boolean plane contributes nb=1/8, i.e. W/8 byte
+    columns; such planes come back as their raw uint8 columns for the
+    caller's ``decode`` to expand (np.unpackbits)."""
     H = buf.shape[0]
-    W = buf.shape[1] // sum(nb for _, nb in specs)
+    W = int(round(buf.shape[1] / sum(nb for _, nb in specs)))
     out = []
     ofs = 0
     for dt, nb in specs:
-        chunk = buf[:, ofs:ofs + nb * W]
-        ofs += nb * W
-        if nb == 1:
+        cols = int(round(nb * W))
+        chunk = buf[:, ofs:ofs + cols]
+        ofs += cols
+        if nb < 1:
+            out.append(np.ascontiguousarray(chunk))   # packed bits
+        elif nb == 1:
             out.append(chunk.astype(dt) if dt != np.uint8
                        else np.ascontiguousarray(chunk))
         else:

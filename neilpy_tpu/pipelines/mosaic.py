@@ -173,9 +173,14 @@ class _QuantizedSource:
         return np.where(q == 65535, np.float32(np.nan), v)
 
 
+#: uint8 Moran wire: z clipped to ±_MORAN8_RANGE, 254 steps, 255 = NaN
+_MORAN8_RANGE = 8.0
+
+
 def _make_product_body(cellsize, lookup_pixels, threshold_angle, win,
                        gi_radius, use_pallas, fast, how_fast, compact,
-                       tile_size, overlap, products, quantize=False):
+                       tile_size, overlap, products, quantize=False,
+                       float_wire="bf16", bitpack=False):
     """Pure fused tile program: ``(block, thresholds, mean, s2, n) ->
     packed (tile_size, n_bytes) uint8`` — every requested product,
     overlap crop, and byte-packing in one traceable body, shared by the
@@ -266,15 +271,38 @@ def _make_product_body(cellsize, lookup_pixels, threshold_angle, win,
                      | (vals["objects"].astype(jnp.uint8) << 7))
             elif combine and p == "objects":
                 continue  # riding bit 7 of the geomorphon byte
-            elif compact and p in ("moran", "gi", "openness_pos",
+            elif compact and p == "gi":
+                # the ±3 significance bins encode LOSSLESSLY in one
+                # byte (bin+3 in 0..6, 255 = NaN) — half the bf16 wire
+                a = jnp.where(jnp.isnan(a), jnp.float32(255.0),
+                              a + 3.0).astype(jnp.uint8)
+            elif compact and p == "moran" and float_wire == "uint8":
+                # opt-in lossy z-bins: clip to ±_MORAN8_RANGE, 254
+                # uniform steps (quantum 16/254 ≈ 0.063 z, half-step
+                # error ≤ 0.032), 255 = NaN.  |z| > 8 is astronomically
+                # significant either way; the bins keep hot/cold-spot
+                # maps intact at 1 B/px
+                r = jnp.float32(_MORAN8_RANGE)
+                enc = jnp.rint((jnp.clip(a, -r, r) + r)
+                               * (254.0 / (2.0 * r)))
+                a = jnp.where(jnp.isnan(a), jnp.float32(255.0),
+                              enc).astype(jnp.uint8)
+            elif compact and p in ("moran", "openness_pos",
                                    "openness_neg"):
-                # the ±3 Gi significance bins (and NaN) are exact in
-                # bf16; moran/openness round to ~3 significant digits
+                # moran/openness round to ~3 significant digits
                 a = a.astype(jnp.bfloat16)
             elif p == "geomorphons":
                 a = a.astype(jnp.uint8)
+            a = a[ov:ov + ts, ov:ov + ts]
+            if bitpack and p == "objects" and not combine:
+                # 1-bit plane: 8 object flags per byte (MSB-first so
+                # the host expands with np.unpackbits) — 8x less
+                # downlink than the bool byte plane
+                bits = a.astype(jnp.uint32).reshape(ts, ts // 8, 8)
+                pw = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1],
+                                 dtype=jnp.uint32)
+                a = jnp.sum(bits * pw, axis=2).astype(jnp.uint8)
             res.append(a)
-        res = tuple(a[ov:ov + ts, ov:ov + ts] for a in res)
         packed, _ = _pack_device(res)
         return packed
 
@@ -285,7 +313,8 @@ def _make_product_body(cellsize, lookup_pixels, threshold_angle, win,
 def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
                       gi_radius, use_pallas, fast, how_fast, compact,
                       tile_size, overlap, n_chunks, products,
-                      quantize=False):
+                      quantize=False, float_wire="bf16",
+                      bitpack=False):
     """Build (and cache) the fused jitted single-chip tile WIRE kernel:
     the product body plus readback chunking inside one program, so a
     tile costs ONE dispatch (the tunneled runtime pays up to ~1 s of
@@ -301,7 +330,7 @@ def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
     body = _make_product_body(cellsize, lookup_pixels, threshold_angle,
                               win, gi_radius, use_pallas, fast,
                               how_fast, compact, tile_size, overlap,
-                              products, quantize)
+                              products, quantize, float_wire, bitpack)
     ts = tile_size
 
     @jax.jit
@@ -321,14 +350,15 @@ def _make_tile_kernel(cellsize, lookup_pixels, threshold_angle, win,
     return CachedKernel(tile_kernel, key=(
         "mosaic_tile", cellsize, lookup_pixels, threshold_angle, win,
         gi_radius, use_pallas, fast, how_fast, compact, tile_size,
-        overlap, n_chunks, products, quantize))
+        overlap, n_chunks, products, quantize, float_wire, bitpack))
 
 
 @lru_cache(maxsize=16)
 def _make_mesh_tile_kernel(mesh1, cellsize, lookup_pixels,
                            threshold_angle, win, gi_radius, use_pallas,
                            fast, how_fast, compact, tile_size, overlap,
-                           products, quantize=False):
+                           products, quantize=False, float_wire="bf16",
+                           bitpack=False):
     """Per-GROUP mesh kernel: ``(D, B, B) blocks -> (D, ts, n_bytes)``
     wire buffers, one tile per device under ``shard_map`` over the flat
     ``tile`` axis.  Tiles are independent (each carries its own overlap
@@ -341,7 +371,7 @@ def _make_mesh_tile_kernel(mesh1, cellsize, lookup_pixels,
     body = _make_product_body(cellsize, lookup_pixels, threshold_angle,
                               win, gi_radius, use_pallas, fast,
                               how_fast, compact, tile_size, overlap,
-                              products, quantize)
+                              products, quantize, float_wire, bitpack)
 
     def local(blocks, thresholds, mean, s2, n, qscale, qoff):
         return body(blocks[0], thresholds, mean, s2, n, qscale,
@@ -356,7 +386,7 @@ def _make_mesh_tile_kernel(mesh1, cellsize, lookup_pixels,
         out_specs=P(axis), check_vma=False))
 
 
-def _wire_specs(compact, products):
+def _wire_specs(compact, products, float_wire="bf16", bitpack=False):
     combine = compact and ("geomorphons" in products
                            and "objects" in products)
     specs = []
@@ -366,7 +396,11 @@ def _wire_specs(compact, products):
         elif p == "objects":
             if combine:
                 continue
-            specs.append((np.dtype(bool), 1))
+            specs.append((np.dtype(np.uint8), 0.125) if bitpack
+                         else (np.dtype(bool), 1))
+        elif compact and (p == "gi" or (p == "moran"
+                                        and float_wire == "uint8")):
+            specs.append((np.dtype(np.uint8), 1))
         elif compact:
             specs.append((np.dtype(jnp.bfloat16), 2))
         else:
@@ -374,7 +408,7 @@ def _wire_specs(compact, products):
     return specs
 
 
-def _make_decode(compact, products):
+def _make_decode(compact, products, float_wire="bf16", bitpack=False):
     """Host decode: wire products -> caller products (fixed order)."""
     combine = compact and ("geomorphons" in products
                            and "objects" in products)
@@ -389,7 +423,21 @@ def _make_decode(compact, products):
                 i += 1
             elif combine and p == "objects":
                 out.append(res[i - 1] >= 128)
-            elif compact and p in ("moran", "gi", "openness_pos",
+            elif bitpack and p == "objects":
+                out.append(np.unpackbits(res[i], axis=1).astype(bool))
+                i += 1
+            elif compact and p == "gi":
+                v = res[i]
+                out.append(np.where(v == 255, np.float32(np.nan),
+                                    v.astype(np.float32) - 3.0))
+                i += 1
+            elif compact and p == "moran" and float_wire == "uint8":
+                v = res[i]
+                r = np.float32(_MORAN8_RANGE)
+                dec = v.astype(np.float32) * (2 * r / 254) - r
+                out.append(np.where(v == 255, np.float32(np.nan), dec))
+                i += 1
+            elif compact and p in ("moran", "openness_pos",
                                    "openness_neg"):
                 out.append(np.asarray(res[i]).astype(np.float32))
                 i += 1
@@ -416,7 +464,8 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
                             gi_star=False, openness=False,
                             products=None, mesh=None,
                             device_input="auto", phase_stats=None,
-                            prefetch=None, upload_dtype=None):
+                            prefetch=None, upload_dtype=None,
+                            float_wire=None):
     """Stream a (possibly memory-mapped) mosaic through one fused tile
     kernel computing the requested products; resumable at tile
     granularity via ``checkpoint``.
@@ -445,11 +494,20 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
 
     ``wire`` controls the device->host encoding of each tile:
     ``'exact'`` sends uint8 + bool + float32 products; ``'compact'``
-    halves the wire (class+object share a byte, float products as
-    bfloat16 — classes and object cells stay EXACT, floats round to ~3
-    significant digits).  ``'auto'`` picks compact on the TPU backend,
-    where the tunnel/PCIe link — not the kernel — bounds mosaic
-    throughput, and exact elsewhere.
+    halves or better the wire per plane (class+object share a byte; a
+    standalone objects plane bit-packs to 1 bit/px; Gi significance
+    bins ship as one byte LOSSLESSLY; other float products as bfloat16
+    — classes, object cells and Gi bins stay EXACT, moran/openness
+    round to ~3 significant digits).  ``'auto'`` picks compact on the
+    TPU backend, where the tunnel/PCIe link — not the kernel — bounds
+    mosaic throughput, and exact elsewhere.
+
+    ``float_wire='uint8'`` (opt-in, LOSSY, compact wire only) ships the
+    local-Moran plane as 254 uniform z-bins over ±8 (quantum ≈ 0.063 z,
+    half-step error ≤ 0.032; NaN preserved) — 1 B/px instead of bf16's
+    2.  Hot/cold-spot structure survives exactly; use when the Moran
+    plane's downlink share matters more than its third significant
+    digit.  Default ``'bf16'``.
 
     ``device_input`` forwards to ``dist.tiling.tiled_apply``: ``'auto'``
     uploads inputs under the device budget once and slices tile windows
@@ -584,6 +642,15 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
     if wire == "auto":
         wire = "compact" if jax.default_backend() == "tpu" else "exact"
     compact = wire == "compact"
+    if float_wire is None:
+        float_wire = "bf16"
+    if float_wire not in ("bf16", "uint8"):
+        raise ValueError("float_wire must be 'bf16' or 'uint8'")
+    # a standalone objects plane (no geomorphon byte to ride) bit-packs
+    # on the compact wire whenever the tile width splits into bytes
+    bitpack = (compact and "objects" in products
+               and "geomorphons" not in products
+               and int(tile_size) % 8 == 0)
     if prefetch is None:
         # acquisition-thread prefetch duplexes uploads with readbacks
         # through the remote TPU tunnel (A/B on 16k^2: won 3 of 4
@@ -591,9 +658,9 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
         # (tests, local arrays) the single-threaded loop is cheaper
         prefetch = jax.default_backend() == "tpu"
 
-    specs = _wire_specs(compact, products)
+    specs = _wire_specs(compact, products, float_wire, bitpack)
     px_bytes = sum(nb for _, nb in specs)
-    decode = _make_decode(compact, products)
+    decode = _make_decode(compact, products, float_wire, bitpack)
     out_dtype = tuple(_OUT_DTYPE[p] for p in products)
 
     if mesh is not None:
@@ -604,7 +671,8 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
             mesh1, float(cellsize), int(lookup_pixels),
             float(threshold_angle), win, int(gi_radius),
             bool(use_pallas), bool(fast), int(how_fast), compact,
-            int(tile_size), int(ov), products, quantize)
+            int(tile_size), int(ov), products, quantize, float_wire,
+            bitpack)
         mesh_fn = lambda blocks: kernel(blocks, thresholds,
                                         jnp.float32(mean),
                                         jnp.float32(s2),
@@ -634,7 +702,7 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
         float(cellsize), int(lookup_pixels), float(threshold_angle),
         win, int(gi_radius), bool(use_pallas), bool(fast),
         int(how_fast), compact, int(tile_size), int(ov), n_chunks,
-        products, quantize)
+        products, quantize, float_wire, bitpack)
     wire_fn = lambda b: kernel(b, thresholds, jnp.float32(mean),
                                jnp.float32(s2), jnp.float32(n_finite),
                                qscale, qoff)

@@ -141,6 +141,48 @@ def test_mosaic_compact_wire(rng):
     np.testing.assert_allclose(M1, M2, rtol=1e-2, atol=1e-2)
 
 
+def test_mosaic_objects_bitpacked_wire(rng):
+    """A standalone objects plane (no geomorphon byte to ride its bit
+    7) ships BIT-PACKED on the compact wire — 1 bit/px, 8x less
+    downlink than the bool byte plane (VERDICT r4 #4): decoded mask
+    identical to the exact wire, including cropped edge tiles."""
+    from neilpy_tpu.pipelines.mosaic import (mosaic_terrain_products,
+                                             _wire_specs)
+    Z = rng.normal(size=(100, 88)).cumsum(axis=0).astype(np.float32)
+    kw = dict(cellsize=1, windows=np.array([1, 2]), tile_size=48,
+              products=("objects",))
+    (O1,) = mosaic_terrain_products(Z, wire="exact", **kw)
+    (O2,) = mosaic_terrain_products(Z, wire="compact", **kw)
+    np.testing.assert_array_equal(O1, O2)
+    assert O1.dtype == bool and O2.dtype == bool
+    specs = _wire_specs(True, ("objects",), bitpack=True)
+    assert specs == [(np.dtype(np.uint8), 0.125)]
+
+
+def test_mosaic_moran_uint8_wire(rng):
+    """float_wire='uint8' (opt-in) ships the Moran plane as 254
+    z-bins over ±8: values within the half-step quantum of the exact
+    wire, NaN pattern preserved, classes/objects untouched
+    (VERDICT r4 #4)."""
+    from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+    Z = rng.normal(size=(96, 96)).cumsum(axis=0).astype(np.float32)
+    Z[30:33, 40:44] = np.nan
+    kw = dict(cellsize=1, lookup_pixels=4, windows=np.array([1, 2]),
+              gi_radius=2, tile_size=48)
+    G1, O1, M1 = mosaic_terrain_products(Z, wire="exact", **kw)
+    G2, O2, M2 = mosaic_terrain_products(Z, wire="compact",
+                                         float_wire="uint8", **kw)
+    np.testing.assert_array_equal(G1, G2)
+    np.testing.assert_array_equal(O1, O2)
+    np.testing.assert_array_equal(np.isnan(M1), np.isnan(M2))
+    fin = np.isfinite(M1)
+    # clip region: exact values beyond ±8 decode to the clip bound
+    clipped = np.clip(M1[fin], -8.0, 8.0)
+    assert np.max(np.abs(clipped - M2[fin])) <= 16 / 254 / 2 + 1e-6
+    with pytest.raises(ValueError):
+        mosaic_terrain_products(Z, float_wire="float16", **kw)
+
+
 @pytest.mark.heavy
 def test_mosaic_gi_star_product(rng):
     """gi_star=True appends the Gi* significance bins as a fourth
@@ -298,6 +340,35 @@ def test_mosaic_products_opt_in(rng):
         mosaic_terrain_products(Z, products=("nope",), **kw)
     with pytest.raises(ValueError, match="pair"):
         mosaic_terrain_products(Z, products=("openness_pos",), **kw)
+
+
+def test_mosaic_quantized_flip_margin_audit(rng):
+    """Every geomorphon class flip between the exact-f32 and the
+    uint16-quantized transports must sit inside the quantization's own
+    decision window: its f64 margin to the ±threshold_angle boundary
+    (reference ladder semantics) below the analytic bound
+    2·rad2deg(quantum/cellsize) (VERDICT r4 #5 — the 'confined to
+    decision boundaries' claim, asserted rather than narrated; same
+    tie-pixel methodology as the Pallas-vs-XLA comparison)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.quplink_audit import audit_flips
+    from neilpy_tpu.pipelines.mosaic import mosaic_terrain_products
+    # gentle terrain + large global range: ratios cluster near the
+    # threshold so the tiny uint16 quantum actually flips some pixels
+    Z = (rng.normal(size=(256, 256)).cumsum(axis=0)
+         + rng.normal(size=(256, 256)).cumsum(axis=1)).astype(np.float32)
+    Z *= np.float32(8.0)
+    kw = dict(cellsize=64, lookup_pixels=8, tile_size=128,
+              products=("geomorphons",), wire="exact")
+    (G1,) = mosaic_terrain_products(Z, **kw)
+    (G2,) = mosaic_terrain_products(Z, upload_dtype="uint16", **kw)
+    rep = audit_flips(Z, G1, G2, qlo=np.nanmin(Z), qhi=np.nanmax(Z),
+                      cellsize=64, lookup_pixels=8, threshold_angle=1)
+    assert rep["agreement"] > 0.99
+    assert rep["all_flips_within_bound"], rep
 
 
 def test_mosaic_quantized_upload(rng):
