@@ -89,17 +89,26 @@ def child(tag, quantized):
     print(f"CHILD_DONE {tag} {time.time() - t0:.1f}", flush=True)
 
 
-def run_child(tag, quantized, kill_after=None):
+def run_child(tag, quantized, kill_at_tiles=None):
     cmd = [sys.executable, os.path.abspath(__file__), "--child", tag,
            "1" if quantized else "0"]
     t0 = time.time()
     proc = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True)
-    if kill_after is not None:
-        time.sleep(kill_after)
-        proc.send_signal(signal.SIGKILL)
-        proc.wait()
-        print(f"[{tag}] SIGKILLed at t+{kill_after:.0f}s")
+    if kill_at_tiles is not None:
+        # poll the tile checkpoint and SIGKILL MID-STREAM — a timed
+        # kill can land after the last tile on a fast run (first cert
+        # attempt did exactly that, tiles_done_at_kill == total)
+        while proc.poll() is None:
+            done = ckpt_tiles(tag)
+            if done >= kill_at_tiles:
+                proc.send_signal(signal.SIGKILL)
+                proc.wait()
+                print(f"[{tag}] SIGKILLed at t+{time.time() - t0:.0f}s "
+                      f"with {done} tiles checkpointed")
+                return None
+            time.sleep(0.3)
+        print(f"[{tag}] finished before reaching {kill_at_tiles} tiles")
         return None
     out, _ = proc.communicate()
     wall = None
@@ -124,6 +133,11 @@ def ckpt_tiles(tag):
 
 def main():
     ensure_input()
+    # fresh certification: stale outputs/checkpoints would let a run
+    # "resume" to instant completion and certify nothing
+    for f in os.listdir(SCRATCH):
+        if f != os.path.basename(_input_path()):
+            os.remove(os.path.join(SCRATCH, f))
     rec = {"date": time.strftime("%Y-%m-%d"), "side": N, **{
         k: (list(v) if isinstance(v, np.ndarray) else v)
         for k, v in KW.items()}}
@@ -133,16 +147,17 @@ def main():
     rec["wall_plain_s"] = wall_plain
     rec["wall_quant_s"] = wall_q
 
-    # SIGKILL mid-stream, then resume in a fresh process
-    kill_at = max(15.0, 0.5 * wall_q)
-    run_child("qB", quantized=True, kill_after=kill_at)
+    # SIGKILL mid-stream (checkpoint-triggered), resume in a fresh
+    # process
+    tiles_total = (N // KW["tile_size"]) ** 2
+    run_child("qB", quantized=True, kill_at_tiles=tiles_total // 3)
     done_at_kill = ckpt_tiles("qB")
     rec["tiles_done_at_kill"] = done_at_kill
-    rec["tiles_total"] = (N // KW["tile_size"]) ** 2
+    rec["tiles_total"] = tiles_total
     wall_resume = run_child("qB", quantized=True)
     rec["wall_resume_s"] = wall_resume
     rec["killed_mid_stream"] = bool(
-        0 < done_at_kill < rec["tiles_total"])
+        0 < done_at_kill < tiles_total)
 
     # jax-free comparisons
     sys.path.insert(0, REPO)
