@@ -63,6 +63,11 @@ def _timeit(f, k=5):
 
 BENCH_SHAPE = (2048, 4096)
 BENCH_LOOKUP = 50
+# reference-scale probe configuration — shared by _pallas_scale_probe
+# and _aot_warm_probe so the warmness check can never drift from the
+# probe it predicts
+SCALE_SHAPE = (8192, 8192)
+SCALE_REPS = 6
 
 
 def _bench_input():
@@ -182,17 +187,24 @@ def _run_probe(entry, tag, budget, attempts=1):
     '<tag> <value>' stdout line.  Every expensive probe runs behind
     this watchdog — r4's driver bench died because ONE in-process
     compile+first-run blocked for 999 s on a degraded tunnel before
-    any record had printed.  ``attempts`` > 1 retries on timeout or
-    failure (tunnel weather is transient; a retry within the same
-    budget recovered r4-style stalls in testing)."""
+    any record had printed.  ``attempts`` > 1 retries on failure,
+    SHARING the single budget (deadline-based): the retry exists for
+    transient weather and must not double the worst-case
+    time-to-first-record."""
     import os
     import subprocess
+    deadline = time.time() + budget
     for k in range(attempts):
+        remaining = deadline - time.time()
+        if remaining <= 10:
+            log(f"{entry}: budget exhausted before attempt "
+                f"{k + 1}/{attempts}")
+            break
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", f"import bench; bench.{entry}()"],
                 cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True, text=True, timeout=budget)
+                capture_output=True, text=True, timeout=remaining)
             if proc.stderr:
                 for ln in proc.stderr.splitlines():
                     if not ln.startswith("WARNING:"):
@@ -203,13 +215,14 @@ def _run_probe(entry, tag, budget, attempts=1):
             log(f"{entry} produced no {tag} line "
                 f"(attempt {k + 1}/{attempts})")
         except subprocess.TimeoutExpired:
-            log(f"{entry} exceeded {budget}s (attempt {k + 1}/{attempts})")
+            log(f"{entry} exceeded its {budget}s budget "
+                f"(attempt {k + 1}/{attempts})")
         except Exception as e:
             log(f"{entry} failed:", str(e)[:200])
     return None
 
 
-def _xla_probe(shape=None):
+def _xla_probe():
     """XLA-engine exact geomorphons at the continuity shape, fully
     jitted (lower/compile/first-run phases logged separately so a
     tunnel-weather stall is attributable — r4 logged a single opaque
@@ -219,7 +232,7 @@ def _xla_probe(shape=None):
     import jax.numpy as jnp
     from neilpy_tpu.ops.visibility import geomorphons
 
-    H, W = shape or BENCH_SHAPE
+    H, W = BENCH_SHAPE
     lookup = BENCH_LOOKUP
     rng = np.random.default_rng(0)
     Z = rng.normal(size=(H, W)).astype(np.float32)
@@ -280,9 +293,11 @@ def _aot_warm_probe():
     dead tunnel even that can hang, and it must not be able to block
     the record (r4's lesson)."""
     from neilpy_tpu import aot
-    N = 6
-    key = ("bench_rep", ("pallas_exact", (8192, 8192), BENCH_LOOKUP), N)
-    warm = aot.is_cached(key, [((8192, 8192), "float32")])
+    # MUST mirror _pallas_scale_probe's _repeat_in_one_program call:
+    # CachedKernel key = ("bench_rep", aot_key, n)
+    key = ("bench_rep", ("pallas_exact", SCALE_SHAPE, BENCH_LOOKUP),
+           SCALE_REPS)
+    warm = aot.is_cached(key, [(SCALE_SHAPE, "float32")])
     print(f"AOT_WARM {int(warm)}", flush=True)
 
 
@@ -341,15 +356,15 @@ def _pallas_scale_probe():
     import jax.numpy as jnp
     from neilpy_tpu.ops.pallas_scan import geomorphons_pallas
 
-    N_SIDE = 8192
-    N = 6
+    N_SIDE = SCALE_SHAPE[0]
+    N = SCALE_REPS
     rng = np.random.default_rng(0)
     Z = rng.normal(size=(N_SIDE, N_SIDE)).astype(np.float32).cumsum(axis=0)
     Zd = jax.device_put(jnp.asarray(Z))
     rep = _repeat_in_one_program(
         lambda z: geomorphons_pallas(z, cellsize=10,
                                      lookup_pixels=BENCH_LOOKUP), N,
-        aot_key=("pallas_exact", (N_SIDE, N_SIDE), BENCH_LOOKUP))
+        aot_key=("pallas_exact", SCALE_SHAPE, BENCH_LOOKUP))
     t0 = time.time()
     np.asarray(rep(Zd).ravel()[:1])
     log(f"pallas 8192² compile-or-cached-load+first run (x{N} scan): "
@@ -675,12 +690,14 @@ def main():
         log("8192² executable not AOT-cached; deferring the scale "
             "probe until after a provisional record exists")
 
-    # 2. XLA continuity probe — the provisional record on a cold cache
+    # 2. XLA continuity probe — the provisional record on a cold
+    #    cache, and an upgrade candidate like any other measurement
+    #    (a degraded-window scale number must not shadow a better one)
     xla = _run_probe("_xla_probe", "XLA_MPIX",
                      int(os.environ.get("XLA_BENCH_TIMEOUT", "420")),
                      attempts=2)
-    if xla is not None and emitted is None:
-        emit_if_better(xla, "XLA engine 2048x4096 (provisional)")
+    emit_if_better(xla, "XLA engine 2048x4096"
+                   + (" (provisional)" if emitted is None else ""))
     if emitted is None:
         # 3. last resort: small-shape XLA (seconds even on a sick link)
         v = _run_probe("_xla_probe_small", "XLA_SMALL_MPIX", 240,

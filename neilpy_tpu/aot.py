@@ -149,6 +149,21 @@ def clear(directory=None):
     return n
 
 
+def _exec_path(key, sig):
+    """Cache-file path for (key, abstract signature) under the current
+    runtime + package state, or None when caching is off.  The SINGLE
+    place the path is derived — ``CachedKernel._path`` and
+    ``is_cached`` must agree bit-for-bit or warmness checks silently
+    go always-False (asserted in test_aot)."""
+    d = cache_dir()
+    if d is None:
+        return None
+    raw = repr((1, _runtime_tag(), package_fingerprint(),
+                str(key), sig))
+    return os.path.join(
+        d, hashlib.sha256(raw.encode()).hexdigest() + ".jaxexec")
+
+
 def is_cached(key, shapes_dtypes):
     """True when a ``CachedKernel(fn, key=key)`` call with array
     arguments of the given ``(shape, dtype)`` list would load its
@@ -156,16 +171,10 @@ def is_cached(key, shapes_dtypes):
     i.e. no compile would be paid.  Lets callers (bench.py) order
     expensive probes by whether they are warm."""
     import numpy as np
-    d = cache_dir()
-    if d is None:
-        return False
     sig = tuple(("arr", tuple(s), str(np.dtype(dt)))
                 for s, dt in shapes_dtypes)
-    raw = repr((1, _runtime_tag(), package_fingerprint(),
-                str(key), sig))
-    path = os.path.join(
-        d, hashlib.sha256(raw.encode()).hexdigest() + ".jaxexec")
-    return os.path.exists(path)
+    path = _exec_path(key, sig)
+    return path is not None and os.path.exists(path)
 
 
 class CachedKernel:
@@ -191,13 +200,7 @@ class CachedKernel:
         self._mem = {}
 
     def _path(self, sig):
-        d = cache_dir()
-        if d is None:
-            return None
-        raw = repr((1, _runtime_tag(), package_fingerprint(),
-                    self.key, sig))
-        return os.path.join(
-            d, hashlib.sha256(raw.encode()).hexdigest() + ".jaxexec")
+        return _exec_path(self.key, sig)
 
     def __call__(self, *args):
         import jax

@@ -553,6 +553,12 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
         Z = np.asarray(Z)
     if upload_dtype not in (None, "uint16"):
         raise ValueError("upload_dtype must be None or 'uint16'")
+    # validate BEFORE the (possibly whole-raster) moments pass below —
+    # a typo'd wire option must not cost a 40 GB streaming read first
+    if float_wire is None:
+        float_wire = "bf16"
+    if float_wire not in ("bf16", "uint8"):
+        raise ValueError("float_wire must be 'bf16' or 'uint8'")
     quantize = (upload_dtype == "uint16"
                 and np.dtype(Z.dtype).itemsize > 2)
     mean = s2 = 0.0
@@ -642,10 +648,6 @@ def mosaic_terrain_products(Z, cellsize=1, lookup_pixels=25,
     if wire == "auto":
         wire = "compact" if jax.default_backend() == "tpu" else "exact"
     compact = wire == "compact"
-    if float_wire is None:
-        float_wire = "bf16"
-    if float_wire not in ("bf16", "uint8"):
-        raise ValueError("float_wire must be 'bf16' or 'uint8'")
     # a standalone objects plane (no geomorphon byte to ride) bit-packs
     # on the compact wire whenever the tile width splits into bytes
     bitpack = (compact and "objects" in products

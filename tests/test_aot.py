@@ -48,6 +48,25 @@ def test_compile_store_and_parity(cachedir):
     assert len(_files(cachedir)) == 1
 
 
+def test_is_cached_matches_cachedkernel_path(cachedir):
+    """``aot.is_cached`` must agree with the path ``CachedKernel``
+    actually writes (both derive it via ``_exec_path``): a drift here
+    makes bench.py's warmness check silently always-False and the
+    driver bench takes the slow cold-ordering on a fully warm cache
+    (r5 review finding)."""
+    a = np.ones((7, 3), np.float32)
+    s = jnp.float32(2.0)
+    sig = [((7, 3), "float32"), ((), "float32")]
+    assert not aot.is_cached("warmcheck", sig)
+    ck = aot.CachedKernel(_kernel(), key="warmcheck")
+    ck(a, s)
+    assert aot.is_cached("warmcheck", sig)
+    # different key or signature -> not warm
+    assert not aot.is_cached("other-key", sig)
+    assert not aot.is_cached("warmcheck", [((8, 3), "float32"),
+                                           ((), "float32")])
+
+
 def test_disk_hit_skips_compile(cachedir):
     a = np.ones((4, 4), np.float32)
     s = jnp.float32(3.0)

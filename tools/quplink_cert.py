@@ -189,7 +189,10 @@ def main():
     rec["pass"] = bool(same and audit["all_flips_within_bound"]
                        and rec["killed_mid_stream"])
     out_path = os.path.join(REPO, "QUPLINK_CERT.json")
-    json.dump(rec, open(out_path, "w"), indent=1)
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f, indent=1)
+    os.replace(tmp, out_path)       # never leave a truncated artifact
     print(json.dumps(rec, indent=1))
     print("certification", "PASS" if rec["pass"] else "FAIL",
           "->", out_path)
