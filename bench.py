@@ -284,6 +284,19 @@ def _xla_probe_small():
     print(f"XLA_SMALL_MPIX {H * W / ms / 1e3:.1f}", flush=True)
 
 
+def _selftest_probe():
+    """tests/test_bench.py hook: a trivial probe that succeeds fast."""
+    log("selftest stderr line")
+    print("SELFTEST 42.5", flush=True)
+
+
+def _selftest_sleep_probe():
+    """tests/test_bench.py hook: a probe that outlives any sane
+    deadline (exercises the shared-budget timeout path)."""
+    time.sleep(60)
+    print("SELFTEST_SLEEP 1.0", flush=True)
+
+
 def _aot_warm_probe():
     """Subprocess entry: prints 'AOT_WARM 1' when the 8192²
     exact-ladder probe would LOAD its executable from the persistent
