@@ -342,6 +342,29 @@ def test_mosaic_products_opt_in(rng):
         mosaic_terrain_products(Z, products=("openness_pos",), **kw)
 
 
+def test_pointwise_margins_match_full_raster_oracle(rng):
+    """The audit's pointwise f64 margin kernel (tools/quplink_audit)
+    must agree BIT-EXACTLY with the independent full-raster oracle's
+    margin plane (reference_impls.np_count_openness return_margin) at
+    every pixel, including raster edges — the certification's margin
+    numbers are only as trustworthy as this equivalence."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.quplink_audit import pointwise_margins
+    from tests.reference_impls import np_count_openness
+    Z = rng.normal(size=(40, 50)).cumsum(axis=0)
+    _, _, marg = np_count_openness(Z, cellsize=2, lookup_pixels=6,
+                                   threshold_angle=1,
+                                   return_margin=True)
+    rows, cols = np.mgrid[0:40, 0:50]
+    pm = pointwise_margins(Z, rows.ravel(), cols.ravel(), cellsize=2,
+                           lookup_pixels=6,
+                           threshold_angle=1).reshape(40, 50)
+    np.testing.assert_array_equal(pm, marg)
+
+
 def test_mosaic_quantized_flip_margin_audit(rng):
     """Every geomorphon class flip between the exact-f32 and the
     uint16-quantized transports must sit inside the quantization's own
